@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed to full materialization (count + collect of a
+bounded result), not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_top_customers_per_nation",
+    "q11_running_total_events",
+    "q22_json_events",
+    # graph
+    "g30_degree_by_label",
+    "g32_two_hop_customer1",
+    # LLM pipeline
+    "d40_exact_dedup",
+    "d42_minhash_lsh_pairs",
+    "s50_cosine_topk_bruteforce",
+    "t61_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+
+    from pymongraph_spark.session import get_spark
+    from pymongraph_spark.queries import QUERIES
+
+    spark = get_spark(app_name="sparkgraph-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once so per-query numbers measure the engine,
+    # not session bootstrap.
+    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

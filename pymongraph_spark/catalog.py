@@ -1,0 +1,76 @@
+"""Table catalog over the driver-generated parquet directories (TESTDATA.md).
+
+The reference binds two MongoDB collections at init
+(/root/reference/mongraph.py:20-21); our catalog binds a directory of
+columnar tables. Reads are plain ``spark.read.parquet`` so Catalyst gets
+predicate pushdown / column pruning / partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default. Read nanos as long, then convert to a microsecond
+        # timestamp with integer division (the data is µs-precision; ns
+        # longs exceed 2^53 so float division would corrupt them).
+        # DuckDB reads the same column as µs TIMESTAMP, so both engines
+        # see identical instants.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+class _LazyTables(dict):
+    """Table-name → DataFrame mapping that only touches a parquet footer
+    when the table is actually used (so one bad/unneeded table never
+    blocks an unrelated query, and entry() stays minimal)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        df = table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as lazily-bound DataFrames."""
+    return _LazyTables(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` queries work."""
+    dfs = load_tables(spark, sf_dir)
+    for name in TABLES:
+        dfs[name].createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,38 @@
+"""Numeric-determinism helpers for oracle parity.
+
+Floating-point SUM/AVG are order-dependent, and Spark and DuckDB both
+aggregate in parallel with nondeterministic partial ordering — so a double
+sum will not reliably hash-match between engines. The fix: round each input
+to a decimal grid (cast double → DECIMAL(38,6) is well-defined: decimal
+midpoints are never exactly representable in binary, so both engines round
+to the same nearest), sum exactly in decimal, then cast the exact result
+back to double. Both engines produce the identical IEEE double.
+
+Use ``dsum``/``davg`` on the Spark side and the matching SQL shapes
+(``SUM_D``/``AVG_D`` templates) on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def dsum(c: Column | str) -> Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(c: Column | str) -> Column:
+    """Order-independent avg: exact decimal sum / count, double division."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+# DuckDB-side SQL templates matching dsum/davg. Usage:
+#   SUM_D.format("l_quantity")  ->  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+SUM_D = "CAST(SUM(CAST({} AS DECIMAL(38,6))) AS DOUBLE)"
+AVG_D = "(CAST(SUM(CAST({} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({}))"

@@ -1,0 +1,48 @@
+"""Scalar functions from the reference importer (SURVEY.md §2.8), as
+JVM-side Column expressions (no Python UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F1 — IPv4 classification (graph_importer.py:32-38): same octet-range
+# regex, anchored full-match.
+IPV4_RE = (
+    r"^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\.){3}"
+    r"([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])$"
+)
+
+
+def is_ipv4(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.rlike(IPV4_RE)
+
+
+def classify_resource(c: Column | str) -> Column:
+    """ip/domain label split (graph_importer.py:63-68)."""
+    return F.when(is_ipv4(c), F.lit("ip")).otherwise(F.lit("domain"))
+
+
+def parse_ratio(c: Column | str) -> Column:
+    """F3 — '"detected/checker"' → float ratio (graph_importer.py:109-110).
+
+    B8 intent: malformed/missing prob strings yield NULL (cast failure →
+    null; avg skips nulls) instead of the reference's ValueError crash.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    parts = F.split(F.trim(c), "/")
+    num = F.element_at(parts, 1).cast("double")
+    den = F.element_at(parts, 2).cast("double")
+    return F.when(den.isNotNull() & (den != 0) & num.isNotNull(), num / den)
+
+
+def flatten_indexed(prefix: str, arr: Column) -> Column:
+    """F5 — list property → {field_0: v0, field_1: v1, ...} map
+    (graph_importer.py:155-161). Kept for parity; ArrayType columns are the
+    preferred native representation."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(-1)))
+    keys = F.transform(idx, lambda i: F.concat(F.lit(prefix + "_"), i.cast("string")))
+    vals = F.transform(arr, lambda x: x.cast("string"))
+    return F.map_from_arrays(keys, vals)

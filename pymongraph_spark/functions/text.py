@@ -1,0 +1,113 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface: tokenizing,
+shingling, quality scoring, language-ID heuristics, fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no Python boundary) —
+these run on every document of a 100 TB corpus, so staying JVM-side is the
+difference between hours and days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(c: Column | str) -> Column:
+    """Lowercased whitespace tokens, empty strings removed."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("bigint")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def char_shingles(c: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    c = F.col(c) if isinstance(c, str) else c
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, 1, n).substr(i, n)))
+
+
+def normalized_text(c: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapsed whitespace."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token bag. Near-dup docs that only permute words collide."""
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(c)))))
+
+
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it"]
+
+# Marker vocabularies for the n-gram/markers language-ID heuristic.
+# Disjoint across languages so the argmax is well-defined.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "los", "las", "una"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "les", "et", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4"],  # romanized placeholders
+}
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    toks = tokens(c)
+    return {lang: _count_in(toks, ws) for lang, ws in LANG_MARKERS.items()}
+
+
+def predict_lang(c: Column | str) -> Column:
+    """argmax of marker counts with deterministic tie-break (first language
+    in LANG_MARKERS order wins ties; 'und' when no markers hit)."""
+    scores = lang_scores(c)
+    best = F.greatest(*scores.values())
+    chain = F.lit("und")
+    # build the CASE chain back-to-front so earlier languages win ties
+    for lang in reversed(list(scores)):
+        chain = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(chain)
+    return chain
+
+
+def quality_features(c: Column | str) -> dict[str, Column]:
+    """Deterministic per-document quality features (all exact int counts +
+    elementwise double arithmetic → oracle-parity safe)."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+    n_toks = F.size(toks).cast("bigint")
+    n_chars = F.length(c).cast("bigint")
+    punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("bigint")
+    stop = _count_in(toks, STOPWORDS)
+    return {
+        "n_tokens": n_toks,
+        "n_chars": n_chars,
+        "punct_count": punct,
+        "stopword_count": stop,
+    }
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality score: length saturation + low punctuation +
+    healthy stopword ratio. Formula is arbitrary but fixed; the point is
+    the deterministic columnar pipeline."""
+    f = quality_features(c)
+    nt = f["n_tokens"].cast("double")
+    length_part = F.least(nt / F.lit(50.0), F.lit(1.0))
+    punct_ratio = F.when(f["n_chars"] > 0, f["punct_count"].cast("double") / f["n_chars"].cast("double")).otherwise(F.lit(0.0))
+    stop_ratio = F.when(f["n_tokens"] > 0, f["stopword_count"].cast("double") / nt).otherwise(F.lit(0.0))
+    return F.lit(0.5) * length_part + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))

@@ -1,0 +1,30 @@
+"""Vector expressions over embedding columns (array<float>).
+
+Dot products / norms are built from ``zip_with`` + ``aggregate`` — strict
+left-to-right folds, so the IEEE double result is identical across engines
+and partitionings (the basis of oracle parity AND of deterministic re-runs
+on a cluster). Inputs are cast to double first (float→double is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(_d(a), _d(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    den = norm(a) * norm(b)
+    return F.when(den != 0, dot(a, b) / den)

@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all shuffle-frugal by construction:
+
+- exact_dedup           — hash-groupBy on a normalized content hash.
+- token_jaccard_pairs   — exact Jaccard over shingle sets, blocked so the
+                          self-join never goes O(n²) globally.
+- minhash_lsh_pairs     — MinHash signatures + banded LSH bucketing; only
+                          same-bucket candidates are verified. The scale
+                          path for 100 TB fuzzy dedup: cost is
+                          O(n·bands + candidate pairs), never n².
+- simhash_pairs         — 64-bit SimHash + Hamming-ball banding.
+- embedding_dup_pairs   — cosine near-dup over embedding columns (see
+                          similarity.py for the ANN machinery).
+
+Everything below is pure Column expressions — signatures, banding, and
+verification all stay JVM-side; there is no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pymongraph_spark.functions.text import normalized_text, tokens, word_shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text. Returns
+    (content_hash, dup_count, keep_id, doc_ids) — keep_id is the min id
+    (deterministic survivor, SURVEY §5.5 discipline)."""
+    h = F.md5(normalized_text(text_col)).alias("content_hash")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), h)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+    )
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialized exact dedup: one surviving row (min id) per distinct
+    normalized text. Window-free: groupBy + semi-join back."""
+    survivors = (
+        docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(survivors, on=id_col, how="left_semi")
+
+
+def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs above ``threshold``.
+
+    The self-join is blocked on ``block_cols`` (+ shingle-count band) so
+    comparisons stay within buckets. Jaccard = |∩| / (|A|+|B|-|∩|) over
+    DISTINCT shingle sets — integer sizes, double division (exact parity).
+    """
+    s = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(tokens(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = s.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, on=[f"__b_{c}" for c in block_cols])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 64, shingle_col: str = "shingles"
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    murmur3(shingle, seed=i). One nested transform, fully codegen'd —
+    no UDF, no shuffle."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(F.col(shingle_col), lambda s: F.hash(s, i.cast("int")))
+        ),
+    )
+    return shingle_df.withColumn("signature", sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fuzzy-dup candidate pairs via banded MinHash LSH, verified with
+    exact Jaccard.
+
+    rows = num_hashes/bands; P(candidate) = 1-(1-j^rows)^bands — with
+    64/16 the S-curve crosses ~0.5 near j≈0.47, catching everything we
+    then verify at ``threshold``. The band bucket join is an equi-join on
+    (band_idx, band_hash): shuffle keys are uniform hashes, so no skew.
+    """
+    rows = num_hashes // bands
+    s = shingled(docs, text_col, id_col, n)
+    sig = minhash_signatures(s, num_hashes).persist()
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.cast("int").alias("band"),
+                    F.xxhash64(F.slice("signature", bi * rows + 1, rows).cast("string")).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_b"))
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+    sh = sig.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"), on="doc_id_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"), on="doc_id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        verified.select("doc_id_a", "doc_id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# Bit masks 2^0..2^63 as a literal long array (2^63 wraps to long min —
+# fine, it's only a mask). Shift amounts can't be lambda Columns, so the
+# bit loop transforms over this constant array instead.
+_POW2 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per bit b, sign of Σ_tokens ±1 by bit b
+    of xxhash64(token). Bit loop is an array transform over a constant
+    mask array — JVM-side, no UDF."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(m).cast("long") for m in _POW2])
+    bit_counts = F.transform(
+        masks,
+        lambda m: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_counts,
+            masks,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Banding: split
+    64 bits into 4 16-bit chunks; any pair within distance 3 shares ≥1
+    exact chunk (pigeonhole), so candidates come from 4 equi-joins, not a
+    cross join."""
+    sh = simhash(docs, text_col, id_col).persist()
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned("simhash", i * 16)
+                .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                .alias("chunk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("cc")
+    ).select("doc_id", "simhash", "cc.chunk", "cc.chunk_val")
+    a = chunks.select("chunk", "chunk_val", F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk", "chunk_val", F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on=["chunk", "chunk_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

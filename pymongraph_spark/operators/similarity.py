@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk — exact cosine top-k: queries broadcast against the
+  corpus, ranked per query. The correctness baseline; O(|Q|·n) but the
+  corpus side never shuffles (queries are broadcast), so it scales out
+  linearly with executors.
+- lsh_topk — random-hyperplane (sign) LSH: bucket by sign bits, search
+  only same-bucket (± multi-probe) candidates, exact re-rank. The 100 TB
+  path: candidate generation is an equi-join on bucket keys.
+
+Dot products use strict left-fold aggregates (functions/vectors.py) so
+scores are bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pymongraph_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Deterministic ranking: (-cosine, neighbor id) with self-matches
+    excluded. Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (fixed seed → stable
+    buckets across runs/executors)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Append a ``bucket`` column = sign-bit key over n_planes hyperplanes.
+    Pure Column arithmetic: each bit is a dot product against a literal
+    plane (whole-stage codegen; planes are plan constants, no join)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        prods = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(float(x)) for x in plane]),
+            lambda a, b: a.cast("double") * b,
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank. Recall grows with fewer planes / multi-probe;
+    cost is the bucket equi-join instead of |Q|×n."""
+    cb = sign_lsh_buckets(corpus, dim, n_planes, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+    )
+    qb = sign_lsh_buckets(queries, dim, n_planes, vec_col, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,251 @@
+"""Graph operators (SURVEY.md §2.2-2.7) as oracle-checked queries.
+
+The driver's oracle is DuckDB over the TPC-H-ish tables, so these queries
+run the real PropertyGraph machinery (upserts, neighbors, k-hop, cascade
+delete, induced subgraph) on a graph DERIVED from those tables with an
+oracle-reproducible id scheme:
+
+    customer c → id = c_custkey*4      (label 'customer')
+    order    o → id = o_orderkey*4 + 1 (label 'order')
+    part     p → id = p_partkey*4 + 2  (label 'part')
+    supplier s → id = s_suppkey*4 + 3  (label 'supplier')
+
+    edges: customer -placed→ order      (from orders)
+           order -contains→ part        (distinct from lineitem)
+           order -supplied_by→ supplier (distinct from lineitem)
+
+Production ids are xxhash64(label, natural_key) (graph/model.py) — not
+SQL-reproducible, so the xxhash path is covered by unit tests instead;
+the arithmetic scheme here keeps every graph-semantics query under the
+driver's hash-match gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongraph_spark.catalog import load_tables
+from pymongraph_spark.graph.model import PropertyGraph
+from pymongraph_spark.graph.traversal import find_neighbors, induced_subgraph, k_hop
+from pymongraph_spark.graph.writes import delete_vertices, upsert_vertices
+from pymongraph_spark.queries.registry import query
+
+# DuckDB CTEs recomputing the derived graph — prefix for graph oracles.
+ORACLE_GRAPH_CTE = """
+WITH v AS (
+  SELECT c_custkey*4   AS id, 'customer' AS label FROM customer
+  UNION ALL SELECT o_orderkey*4 + 1, 'order'    FROM orders
+  UNION ALL SELECT p_partkey*4  + 2, 'part'     FROM part
+  UNION ALL SELECT s_suppkey*4  + 3, 'supplier' FROM supplier
+),
+e AS (
+  SELECT o_custkey*4 AS src, o_orderkey*4 + 1 AS dst, 'placed' AS label FROM orders
+  UNION ALL
+  SELECT DISTINCT l_orderkey*4 + 1, l_partkey*4 + 2, 'contains' FROM lineitem
+  UNION ALL
+  SELECT DISTINCT l_orderkey*4 + 1, l_suppkey*4 + 3, 'supplied_by' FROM lineitem
+)
+"""
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Derive the property graph from the star schema. One pass, no UDFs;
+    edge dedup via dropDuplicates (the W2 triple-dedup semantic)."""
+    t = load_tables(spark, sf_dir)
+    vertices = (
+        t["customer"].select((F.col("c_custkey") * 4).alias("id"), F.lit("customer").alias("label"),
+                             F.map_from_arrays(F.array(F.lit("name")), F.array(F.col("c_name"))).alias("props"))
+        .unionByName(t["orders"].select((F.col("o_orderkey") * 4 + 1).alias("id"), F.lit("order").alias("label"),
+                                        F.map_from_arrays(F.array(F.lit("status")), F.array(F.col("o_orderstatus"))).alias("props")))
+        .unionByName(t["part"].select((F.col("p_partkey") * 4 + 2).alias("id"), F.lit("part").alias("label"),
+                                      F.map_from_arrays(F.array(F.lit("name")), F.array(F.col("p_name"))).alias("props")))
+        .unionByName(t["supplier"].select((F.col("s_suppkey") * 4 + 3).alias("id"), F.lit("supplier").alias("label"),
+                                          F.map_from_arrays(F.array(F.lit("name")), F.array(F.col("s_name"))).alias("props")))
+    )
+    empty_props = F.lit(None).cast("map<string,string>")
+    edges = (
+        t["orders"].select((F.col("o_custkey") * 4).alias("src"), (F.col("o_orderkey") * 4 + 1).alias("dst"),
+                           F.lit("placed").alias("label"))
+        .unionByName(t["lineitem"].select((F.col("l_orderkey") * 4 + 1).alias("src"), (F.col("l_partkey") * 4 + 2).alias("dst"),
+                                          F.lit("contains").alias("label")).dropDuplicates())
+        .unionByName(t["lineitem"].select((F.col("l_orderkey") * 4 + 1).alias("src"), (F.col("l_suppkey") * 4 + 3).alias("dst"),
+                                          F.lit("supplied_by").alias("label")).dropDuplicates())
+        .withColumn("props", empty_props)
+        .withColumn("id", F.xxhash64("src", "dst", "label"))
+        .select("id", "src", "dst", "label", "props")
+    )
+    return PropertyGraph(vertices, edges)
+
+
+# --------------------------------------------------------------------------
+# Degree distribution per label — exercises the derived graph build + the
+# union-of-equi-joins incident pattern, aggregated.
+# --------------------------------------------------------------------------
+@query(
+    "g30_degree_by_label",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , deg AS (
+      SELECT id, count(*) AS degree FROM (
+        SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY id
+    )
+    SELECT v.label,
+           COUNT(*) AS n_vertices,
+           CAST(COALESCE(SUM(deg.degree), 0) AS BIGINT) AS total_degree,
+           CAST(MAX(COALESCE(deg.degree, 0)) AS BIGINT) AS max_degree
+    FROM v LEFT JOIN deg ON v.id = deg.id
+    GROUP BY v.label
+    """,
+)
+def g30_degree_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    deg = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionByName(g.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        g.vertices.join(deg, on="id", how="left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.coalesce(F.sum("degree"), F.lit(0)).cast("bigint").alias("total_degree"),
+            F.max(F.coalesce(F.col("degree"), F.lit(0))).cast("bigint").alias("max_degree"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# G1 find_neighbors — undirected 1-hop, B7 semantics (query vertex included
+# as an endpoint of its own incident edges).
+# --------------------------------------------------------------------------
+@query(
+    "g31_neighbors_of_customer1",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    SELECT DISTINCT id FROM (
+      SELECT src AS id FROM e WHERE src = 4 OR dst = 4
+      UNION ALL
+      SELECT dst FROM e WHERE src = 4 OR dst = 4
+    )
+    """,
+)
+def g31_neighbors_of_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    nbr_ids, _edges = find_neighbors(g, 4)  # customer c_custkey=1 → id 4
+    return nbr_ids
+
+
+# --------------------------------------------------------------------------
+# G2 k-hop — 2-hop ego network of customer 1 with labels.
+# --------------------------------------------------------------------------
+@query(
+    "g32_two_hop_customer1",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , hop1 AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e WHERE src = 4 OR dst = 4
+        UNION ALL SELECT dst FROM e WHERE src = 4 OR dst = 4
+        UNION ALL SELECT 4
+      )
+    ),
+    hop2 AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e WHERE src IN (SELECT id FROM hop1) OR dst IN (SELECT id FROM hop1)
+        UNION ALL
+        SELECT dst FROM e WHERE src IN (SELECT id FROM hop1) OR dst IN (SELECT id FROM hop1)
+        UNION ALL SELECT id FROM hop1
+      )
+    )
+    SELECT h.id, v.label FROM hop2 h JOIN v ON h.id = v.id
+    """,
+)
+def g32_two_hop_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    visited, _edges = k_hop(g, 4, depth=2)
+    return visited.join(g.vertices, on="id", how="inner").select("id", "label")
+
+
+# --------------------------------------------------------------------------
+# G3 induced subgraph — vertex/edge counts of the depth-2 ego network.
+# --------------------------------------------------------------------------
+@query(
+    "g33_subgraph_counts_customer1",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , hop1 AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e WHERE src = 4 OR dst = 4
+        UNION ALL SELECT dst FROM e WHERE src = 4 OR dst = 4
+        UNION ALL SELECT 4
+      )
+    ),
+    hop2 AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e WHERE src IN (SELECT id FROM hop1) OR dst IN (SELECT id FROM hop1)
+        UNION ALL
+        SELECT dst FROM e WHERE src IN (SELECT id FROM hop1) OR dst IN (SELECT id FROM hop1)
+        UNION ALL SELECT id FROM hop1
+      )
+    )
+    SELECT (SELECT COUNT(*) FROM hop2) AS n_vertices,
+           (SELECT COUNT(*) FROM e
+             WHERE src IN (SELECT id FROM hop2) AND dst IN (SELECT id FROM hop2)) AS n_edges
+    """,
+)
+def g33_subgraph_counts_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    visited, _ = k_hop(g, 4, depth=2)
+    sub = induced_subgraph(g, visited)
+    n_v = sub.vertices.count()
+    n_e = sub.edges.count()
+    return spark.createDataFrame([(n_v, n_e)], "n_vertices: long, n_edges: long")
+
+
+# --------------------------------------------------------------------------
+# D1 cascade delete — drop all BUILDING-segment customers; edges incident
+# to them (either direction) must vanish. Remaining edge count per label.
+# --------------------------------------------------------------------------
+@query(
+    "g34_cascade_delete_building",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , doomed AS (SELECT c_custkey*4 AS id FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT label, COUNT(*) AS n_edges
+    FROM e
+    WHERE src NOT IN (SELECT id FROM doomed) AND dst NOT IN (SELECT id FROM doomed)
+    GROUP BY label
+    """,
+)
+def g34_cascade_delete_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    doomed = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 4).alias("id")
+    )
+    g2 = delete_vertices(g, doomed)
+    return g2.edges.groupBy("label").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+# --------------------------------------------------------------------------
+# W1 upsert idempotency — upserting the customer vertex batch TWICE through
+# the real natural-key upsert path yields exactly one vertex per key.
+# --------------------------------------------------------------------------
+@query(
+    "g35_upsert_idempotency",
+    oracle="""
+    SELECT 'customer' AS label, COUNT(DISTINCT c_custkey) AS n_vertices FROM customer
+    """,
+)
+def g35_upsert_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    data = t["customer"].select(F.col("c_custkey").cast("string").alias("custkey"), F.col("c_name").alias("name"))
+    registry = {"customer": {"custkey"}}
+    g = PropertyGraph.empty(spark)
+    g = upsert_vertices(g, "customer", data, key="custkey", registry=registry)
+    g = upsert_vertices(g, "customer", data, key="custkey", registry=registry)  # idempotent re-import
+    return g.vertices.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))

@@ -1,0 +1,352 @@
+"""LLM-data-pipeline operators as oracle-checked queries: dedup tiers,
+similarity search, text analysis, multimodal plumbing (SURVEY.md §2.13
+north-star extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongraph_spark.catalog import load_tables
+from pymongraph_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    normalized_text,
+    predict_lang,
+    quality_features,
+    quality_score,
+    token_count,
+    tokens,
+)
+from pymongraph_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    token_jaccard_pairs,
+)
+from pymongraph_spark.operators.multimodal import attach_fake_media, decode_media
+from pymongraph_spark.operators.similarity import brute_force_topk, lsh_topk
+from pymongraph_spark.queries.registry import query
+
+# DuckDB token expression matching functions.text.tokens
+_SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+# DuckDB word-3-gram shingles matching functions.text.word_shingles(n=3)
+_SQL_SHINGLES = (
+    f"list_distinct([array_to_string(toks[i:i+2], ' ') "
+    f"for i in generate_series(1, greatest(len(toks) - 2, 0))])"
+)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "d40_exact_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           COUNT(*) AS dup_count,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def d40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        exact_dedup(docs)
+        .filter(F.col("dup_count") > 1)
+        .select("content_hash", "dup_count", "keep_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (blocked self-join).
+# --------------------------------------------------------------------------
+@query(
+    "d41_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= 0.5
+    """,
+)
+def d41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return token_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=("lang",))
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH fuzzy dedup — the 100 TB scale path. MinHash signatures use
+# Spark's murmur3 (F.hash), which DuckDB cannot reproduce → rows-only gate
+# (no oracle); exactness of survivors is covered by d41's oracle and by
+# unit tests asserting LSH ⊇ high-jaccard pairs.
+# --------------------------------------------------------------------------
+@query("d42_minhash_lsh_pairs")
+def d42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs — xxhash64-based, rows-only gate for the same
+# reason as d42.
+# --------------------------------------------------------------------------
+@query("d43_simhash_pairs")
+def d43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k similarity search (exact baseline).
+# DuckDB oracle recomputes the identical left-fold dot product.
+# --------------------------------------------------------------------------
+_SQL_COSINE = """
+list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+            (acc, x) -> acc + x)
+/ (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+   * sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)))
+"""
+
+
+@query(
+    "s50_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS cosine_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s50_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH approximate top-k — bucketed scale path; hyperplanes are a
+# seeded numpy constant the oracle can't reproduce → rows-only gate, with
+# recall vs s50 asserted in unit tests.
+# --------------------------------------------------------------------------
+@query("s51_cosine_topk_lsh")
+def s51_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=10)
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids — array op + decimal-exact per-dimension
+# mean (posexplode → groupBy), a common training-data QA aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "s52_embedding_centroids",
+    # Floats are cast to double BEFORE decimal quantization: Spark's
+    # float→decimal goes through the float's shortest string repr (~9
+    # digits) while DuckDB uses the exact binary value — double-first makes
+    # both see the same real number. Scale 9 keeps the repr-vs-binary
+    # rounding disagreement probability ~1e-8 per value.
+    oracle="""
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(val) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM (
+      SELECT label,
+             unnest(embedding) AS val,
+             unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim
+      FROM embeddings
+    )
+    WHERE dim < 8
+    GROUP BY label, dim
+    """,
+)
+def s52_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "val")).filter(
+        F.col("dim") < 8
+    )
+    return exploded.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(38,9)")).cast("double")
+            / F.count("val")
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token counts per language.
+# --------------------------------------------------------------------------
+@query(
+    "t60_token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(MAX(len({_SQL_TOKS})) AS BIGINT) AS max_tokens,
+           CAST(SUM(len({_SQL_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def t60_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tc = token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.max(tc).alias("max_tokens"),
+        (F.sum(tc).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: deterministic per-doc features + composite score.
+# --------------------------------------------------------------------------
+@query(
+    "t61_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_count,
+             CAST(len(list_filter(toks, t -> t IN ({",".join("'" + w + "'" for w in STOPWORDS)}))) AS BIGINT) AS stopword_count
+      FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, n_tokens, n_chars, punct_count, stopword_count,
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+           + 0.25 * (1.0 - least(CASE WHEN n_chars > 0
+                                      THEN CAST(punct_count AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                                      ELSE 0.0 END * 5, 1.0))
+           + 0.25 * least(CASE WHEN n_tokens > 0
+                               THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                               ELSE 0.0 END * 4, 1.0) AS quality
+    FROM feat
+    """,
+)
+def t61_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["n_chars"].alias("n_chars"),
+        f["punct_count"].alias("punct_count"),
+        f["stopword_count"].alias("stopword_count"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (marker-word argmax) vs the labeled lang column.
+# --------------------------------------------------------------------------
+def _sql_lang_case() -> str:
+    scores = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@query(
+    "t62_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS actual_lang,
+           {_sql_lang_case()} AS predicted_lang,
+           ({_sql_lang_case()} = lang) AS is_correct
+    FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+    """,
+)
+def t62_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pred = predict_lang("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: order-insensitive token-bag md5; groups whose
+# members permute the same words collide.
+# --------------------------------------------------------------------------
+@query(
+    "t63_fingerprint_groups",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def t63_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: binary payload column + Arrow-batched decode stub.
+# The payload derivation (md5-unhex) is SQL-expressible, so even the
+# mapInPandas path gets an oracle: the fake decoder's byte_len and
+# mean_intensity are recomputed in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "m70_multimodal_decode",
+    # The fake payload is unhex(repeat(md5(text), 4)) → 64 bytes. DuckDB
+    # recomputes the byte sum from the md5 hex pairs (16 bytes × 4 repeats).
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS byte_len,
+           CAST(4 * list_reduce(
+                 [ (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)
+                   for i in generate_series(1, 16) ],
+                 (a, b) -> a + b) AS DOUBLE) / 64 / 255.0 AS mean_intensity
+    FROM media
+    """,
+)
+def m70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = attach_fake_media(docs)
+    decoded = decode_media(media, fake=True)
+    return decoded.select("doc_id", "byte_len", "mean_intensity")

@@ -1,0 +1,37 @@
+"""Registry machinery for oracle-checked queries.
+
+Each registered callable has signature ``(spark, sf_dir) -> DataFrame``.
+Column names in the Spark result and the oracle SQL must match exactly —
+the driver sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pymongraph_spark.session import tune
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)  # UTC tz + AQE, even on a driver-provided session
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco

@@ -1,0 +1,552 @@
+"""Relational operator surface (SURVEY.md §2.13) as oracle-checked queries.
+
+The reference has no relational layer — its only query surface is a
+pass-through Mongo filter (/root/reference/mongraph.py:215-226) and one
+client-side avg (/root/reference/graph_importer.py:131-138). Everything here
+is the Spark-native surface the north star mandates: scans with pushdown,
+all join types, hash aggregation, windows, rollup/cube/grouping sets, set
+ops, sorts/top-k, string/date/JSON functions, subqueries, as-of joins.
+
+All float aggregates go through the decimal-exact ``dsum``/``davg`` helpers
+(see compat.py) so values hash-match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pymongraph_spark.catalog import load_tables
+from pymongraph_spark.compat import AVG_D, SUM_D, dsum, davg
+from pymongraph_spark.queries.registry import query
+
+
+# --------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 shape — scan + filter + hash agg (partial+final).
+# Flagship query; the filter pushes down to the parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUM_D.format('l_quantity')} AS sum_qty,
+           {SUM_D.format('l_extendedprice')} AS sum_base_price,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {SUM_D.format('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {AVG_D.format('l_quantity', 'l_quantity')} AS avg_qty,
+           {AVG_D.format('l_extendedprice', 'l_extendedprice')} AS avg_price,
+           {AVG_D.format('l_discount', 'l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join + agg + top-k: TPC-H Q3 shape. 3-way join; the deterministic top-10
+# uses o_orderkey as the tiebreaker (order-insensitive hash still needs a
+# deterministic row SET under ties).
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join through the whole star: TPC-H Q5 shape. region and nation
+# are broadcast (small dims); customer⋈orders⋈lineitem⋈supplier shuffle on
+# their keys; AQE handles skew.
+# --------------------------------------------------------------------------
+@query(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: rank / top-k per group (row_number with deterministic
+# tiebreak), the Spark mapping for "sorts/limits/top-k" in SURVEY §2.13.
+# --------------------------------------------------------------------------
+@query(
+    "q10_top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, c_name, c_acctbal, rnk
+    FROM (
+      SELECT n_name, c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q10_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: running total + lag deltas over an event stream.
+# Running sum in exact decimal (cumulative double sums differ between
+# engines' frame evaluation order), delta as elementwise double arithmetic.
+# --------------------------------------------------------------------------
+@query(
+    "q11_running_total_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta_value
+    FROM events
+    """,
+)
+def q11_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(wsum).cast("double").alias("running_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP with grouping flags (SURVEY §2.13 "grouping sets / cube / rollup").
+# --------------------------------------------------------------------------
+@query(
+    "q12_rollup_revenue_region_nation",
+    oracle=f"""
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           {SUM_D.format('c_acctbal')} AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q12_rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        dsum("c_acctbal").alias("total_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    ).select("r_name", "n_name", "g_region", "g_nation", "total_acctbal", "n_customers")
+
+
+# --------------------------------------------------------------------------
+# CUBE over order attributes.
+# --------------------------------------------------------------------------
+@query(
+    "q13_cube_order_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {SUM_D.format('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q13_cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS via SQL on registered views.
+# --------------------------------------------------------------------------
+@query(
+    "q14_grouping_sets_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items, {SUM_D.format('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q14_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.13): the reference only does client-side Python
+# set unions (/root/reference/mongraph.py:244-245,274).
+# --------------------------------------------------------------------------
+@query(
+    "q15_set_ops_customers",
+    oracle="""
+    WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM big INTERSECT SELECT * FROM bld)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM bld)
+    """,
+)
+def q15_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    big = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        big.intersect(bld).select(F.lit("intersect").alias("op"), "c_custkey")
+        .unionByName(big.exceptAll(bld).distinct()
+                     .select(F.lit("except").alias("op"), "c_custkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join (batch form of the reference's cascade-delete check, SURVEY D1)
+# and semi join (dedup probe form, SURVEY W1/W2).
+# --------------------------------------------------------------------------
+@query(
+    "q16_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q16_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q17_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q17_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return t["customer"].join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "q18_distinct_suppliers_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q18_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: orders above the (decimal-exact) global average price.
+# --------------------------------------------------------------------------
+@query(
+    "q19_orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                                 / COUNT(o_totalprice) FROM orders)
+    """,
+)
+def q19_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    avg_df = o.agg(davg("o_totalprice").alias("thresh"))
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("thresh"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# String + date functions: monthly order stats with string-formatted month
+# (timestamps are exported as strings so both engines hash identically).
+# --------------------------------------------------------------------------
+@query(
+    "q20_monthly_order_stats",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           {SUM_D.format('o_totalprice')} AS total_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def q20_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# String functions over part names.
+# --------------------------------------------------------------------------
+@query(
+    "q21_string_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END AS is_promo,
+           replace(p_type, ' ', '_') AS type_slug
+    FROM part
+    """,
+)
+def q21_string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.when(F.col("p_type").rlike("^PROMO"), 1).otherwise(0).alias("is_promo"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON functions over events.props (SURVEY §2.13 "array/map/json fns").
+# --------------------------------------------------------------------------
+@query(
+    "q22_json_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(json_extract_string(props, '$.k')) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q22_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Global top-k (TakeOrderedAndProject physical op).
+# --------------------------------------------------------------------------
+@query(
+    "q23_top_lineitems_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q23_top_lineitems_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (SURVEY §2.13 "range/as-of joins"): for each purchase event,
+# the user's most recent signup at-or-before it. Implemented the scalable
+# way — union both streams, one window pass carrying the last signup ts
+# forward — not a per-row correlated lookup.
+# --------------------------------------------------------------------------
+@query(
+    "q24_asof_purchase_signup",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           (SELECT max(s.ts) FROM events s
+             WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts)
+             IS NOT NULL AS has_prior_signup,
+           CAST(date_diff('second',
+               (SELECT max(s.ts) FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts),
+               p.ts) AS BIGINT) AS secs_since_signup
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q24_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("last_signup_ts", F.max("signup_ts").over(w))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("last_signup_ts").isNotNull().alias("has_prior_signup"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_signup_ts"))
+        .cast("bigint")
+        .alias("secs_since_signup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array functions: per-order sorted array of quantities + stats.
+# --------------------------------------------------------------------------
+@query(
+    "q25_array_functions",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS linenumbers,
+           CAST(len(list(l_linenumber)) AS INT) AS n_lines,
+           CAST(list_sort(list(l_linenumber))[1] AS INT) AS first_line
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q25_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+        F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+        F.sort_array(F.collect_list("l_linenumber")).getItem(0).alias("first_line"),
+    )

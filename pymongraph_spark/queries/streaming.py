@@ -1,0 +1,143 @@
+"""Structured Streaming surface (SURVEY.md §2.11): event-time windowed
+aggregation with watermark, run to completion with availableNow so the
+result is deterministic and oracle-checkable (a bounded replay of the
+events table is semantically a batch query over tumbling windows).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongraph_spark.compat import SUM_D, dsum
+from pymongraph_spark.queries.registry import query
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """File-source streams need a DIRECTORY; stage the single parquet file
+    into a per-(sf_dir, table) temp dir via symlink (no data copy)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraph_stream_{name}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over events with the same ts normalization as the
+    batch catalog (nanos-long → µs timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(_stream_dir(sf_dir, "events"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet → 1h tumbling windows per
+    event_type with a 1h watermark → availableNow → memory sink."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"win_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "st80_windowed_event_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st80_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_event_counts_stream(spark, sf_dir)
+
+
+@query(
+    "st81_session_windows",
+    # Session windows (30 min gap) per user — the oracle reproduces Spark's
+    # merge semantics with a classic gaps-and-islands window query.
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def st81_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"sess_events_{uuid.uuid4().hex[:8]}"
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
