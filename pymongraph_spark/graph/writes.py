@@ -148,7 +148,15 @@ def update_vertices(g: PropertyGraph, updates: DataFrame) -> PropertyGraph:
             "props",
             F.when(
                 F.col("__new_props").isNotNull(),
-                F.map_concat(F.coalesce(F.col("props"), F.expr("map()")), F.col("__new_props")),
+                # $set: drop overwritten keys first — plain map_concat throws
+                # DUPLICATED_MAP_KEY under the default dedup policy
+                F.map_concat(
+                    F.map_filter(
+                        F.coalesce(F.col("props"), F.expr("map()")),
+                        lambda k, _: ~F.array_contains(F.map_keys(F.col("__new_props")), k),
+                    ),
+                    F.col("__new_props"),
+                ),
             ).otherwise(F.col("props")),
         )
         .select(VERTEX_FIELDS)
@@ -165,7 +173,15 @@ def update_edges(g: PropertyGraph, updates: DataFrame) -> PropertyGraph:
             "props",
             F.when(
                 F.col("__new_props").isNotNull(),
-                F.map_concat(F.coalesce(F.col("props"), F.expr("map()")), F.col("__new_props")),
+                # $set: drop overwritten keys first — plain map_concat throws
+                # DUPLICATED_MAP_KEY under the default dedup policy
+                F.map_concat(
+                    F.map_filter(
+                        F.coalesce(F.col("props"), F.expr("map()")),
+                        lambda k, _: ~F.array_contains(F.map_keys(F.col("__new_props")), k),
+                    ),
+                    F.col("__new_props"),
+                ),
             ).otherwise(F.col("props")),
         )
         .select(EDGE_FIELDS)

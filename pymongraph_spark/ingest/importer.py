@@ -1,0 +1,337 @@
+"""Threat-intel JSON → property graph ETL (reference:
+/root/reference/graph_importer.py:51-175, SURVEY.md §2.10).
+
+Architecture (Spark-first, two layers):
+
+1. **Parse** — the report format is open-world (dynamic top-level resource
+   key, fields that are string-or-nested-report, arbitrary residual keys),
+   and the reference's extraction is a depth-first recursion. A declared
+   nested schema cannot express "string | recursive dict" unions, so the
+   parse step runs as an Arrow-batched ``mapInPandas``: each report is
+   flattened LOCALLY (no data movement) into a long staging format of
+   vertex/edge/detection rows. This is per-row embarrassingly parallel —
+   the one place Python is genuinely warranted (SURVEY §2.10 maps the
+   recursion to data-parallel flattening).
+
+2. **Merge** — everything that shuffles is DataFrame ops: the A1
+   ``detected_prop`` aggregation (groupBy + null-skipping avg,
+   graph_importer.py:131-138 with the B8 intent), first-insert-wins /
+   last-update-wins property merges, natural-key vertex dedup and
+   (src, dst, label) edge dedup — all JVM-side expressions, no UDFs.
+
+Reference write semantics preserved exactly:
+- ``insert_vertex`` with ``identify`` → FIRST insert wins, later inserts
+  return the existing vertex untouched (mongraph.py:90-97).
+- ``update_vertex`` → $set merge, later keys win (mongraph.py:195-203).
+- ``insert_edge`` → one edge per directed (src, dst, label); first
+  insert's props stick (mongraph.py:120-130).
+- detection prob "x/y" → ratio; malformed/missing prob is SKIPPED (null,
+  avg ignores it) per the B8 intent instead of the reference's crash.
+- every processed (dict-typed) resource gets ``detected_prop`` (0.0 when
+  it has no parseable detections — graph_importer.py:131-138).
+- whois contacts (admin/tech/registrant with email) → ``owner`` vertex
+  keyed by email, ``belongTo`` edge owner→resource (graph_importer.py:
+  141-151 via mongraph.py:132-151; label registered per B5 intent).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongraph_spark.graph.model import PropertyGraph, edge_id, vertex_id
+
+# graph_importer.py:11-23 — relation fields not copied as plain properties.
+NOT_BROWSE_FIELDS = [
+    "whois",
+    "domain-siblings",
+    "dns-resolutions",
+    "observed-subdomains",
+    "detected-urls",
+    "detected-downloaded",
+    "undetected-downloaded",
+    "detected-referrer",
+    "undetected-referrer",
+    "detected-communicating",
+    "undetected-communicating",
+]
+
+LEGITIMATE_LIST = ["undetected-downloaded", "undetected-communicating", "undetected-referrer"]
+MALICIOUS_LIST = ["detected-downloaded", "detected-communicating", "detected-referrer"]
+
+_IPV4_RE = re.compile(
+    r"^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\.){3}"
+    r"([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])$"
+)
+
+# Long staging format emitted by the parser.
+#   kind: 'v' insert-vertex | 'u' update-vertex | 'e' insert-edge
+#       | 'd' detection-ratio sample (feeds the A1 aggregate)
+STAGING_SCHEMA = (
+    "ord bigint, seq bigint, kind string, label string, key string, "
+    "src_label string, src_key string, dst_label string, dst_key string, "
+    "edge_label string, props map<string,string>, ratio double"
+)
+
+_COLS = [
+    "ord", "seq", "kind", "label", "key",
+    "src_label", "src_key", "dst_label", "dst_key",
+    "edge_label", "props", "ratio",
+]
+
+
+def _resource_name(resource) -> str | None:
+    """graph_importer.py:40-49 — first key of a dict, else the value."""
+    if isinstance(resource, dict):
+        return next(iter(resource.keys()), None)
+    return resource
+
+
+def flatten_report(report: dict, ord_: int = 0) -> list[tuple]:
+    """Pure-Python DFS over one report, mirroring
+    graph_importer._extract_data_and_save (graph_importer.py:51-168) but
+    emitting staging rows instead of issuing Mongo RPCs. Runs inside
+    mapInPandas on executor-local data."""
+    rows: list[tuple] = []
+    seq = 0
+
+    def emit(kind, label=None, key=None, src=None, dst=None, edge_label=None,
+             props=None, ratio=None):
+        nonlocal seq
+        rows.append((
+            ord_, seq, kind, label, key,
+            src[0] if src else None, src[1] if src else None,
+            dst[0] if dst else None, dst[1] if dst else None,
+            edge_label,
+            {k: ("" if v is None else str(v)) for k, v in props.items()} if props else None,
+            ratio,
+        ))
+        seq += 1
+
+    def classify(name: str) -> str:
+        return "ip" if _IPV4_RE.match(name) else "domain"
+
+    def walk(resource) -> None:
+        name = _resource_name(resource)
+        if name is None or not isinstance(resource, dict):
+            return  # graph_importer.py:54-59
+        body = resource[name]
+        label = classify(name)
+        key_field = "address" if label == "ip" else "name"
+        me = (label, name)
+        emit("v", label, name, props={key_field: name})  # :63-68
+
+        for sub in body.get("observed-subdomains") or []:  # :70-77
+            child = _resource_name(sub.get("domain"))
+            if child is None:
+                continue
+            emit("v", "domain", child, props={"name": child})
+            emit("e", src=me, dst=("domain", child), edge_label="observed")
+            walk(sub.get("domain"))
+
+        for resolve in body.get("dns-resolutions") or []:  # :79-94
+            if label != "ip":
+                child = _resource_name(resolve.get("ipaddress"))
+                child_label = "ip"
+                child_props = {"address": child}
+                rec = resolve.get("ipaddress")
+            else:
+                child = _resource_name(resolve.get("domain"))
+                child_label = "domain"
+                child_props = {"name": child}
+                rec = resolve.get("domain")
+            if child is None:
+                continue
+            emit("v", child_label, child, props=child_props)
+            emit("e", src=me, dst=(child_label, child), edge_label="assign",
+                 props={"date": resolve.get("date")})
+            walk(rec)
+
+        # detections (:96-128) + A1 samples (:131-138)
+        saw_detection = False
+        for detect_element in LEGITIMATE_LIST + MALICIOUS_LIST:
+            for detect in body.get(detect_element) or []:
+                data_hash = detect.get("hash", "")
+                data_time = detect.get("datetime", "")
+                data_prob = detect.get("prob", "")
+                saw_detection = True
+                ratio = None
+                try:  # B8 intent: malformed prob → skipped sample, not crash
+                    detected, checker = map(int, str(data_prob).strip().split("/"))
+                    ratio = (1.0 * detected / checker) if checker else None
+                except (ValueError, AttributeError):
+                    ratio = None
+                vlabel = "legitimate" if detect_element in LEGITIMATE_LIST else "malicious"
+                elabel = "trusted" if detect_element in LEGITIMATE_LIST else "threat"
+                emit("v", vlabel, data_hash, props={
+                    "hash": data_hash, "datetime": data_time, "probability": data_prob,
+                })
+                emit("e", src=me, dst=(vlabel, data_hash), edge_label=elabel)
+                emit("d", label, name, ratio=ratio)
+        if not saw_detection:
+            emit("d", label, name, ratio=None)  # still gets detected_prop=0.0
+
+        # whois contacts (:141-151): owner vertex, belongTo owner→resource
+        contacts = (body.get("whois") or {}).get("contacts") or {}
+        for dept in ["admin", "tech", "registrant"]:
+            contact = contacts.get(dept)
+            if contact is not None and "email" in contact:
+                emit("v", "owner", contact["email"], props=dict(contact))
+                emit("e", src=("owner", contact["email"]), dst=me, edge_label="belongTo")
+
+        # residual flattening (:153-168) — F5/F6/scalar → update-vertex
+        for field, value in body.items():
+            if field in NOT_BROWSE_FIELDS and field != name:
+                continue
+            if isinstance(value, list):
+                emit("u", label, name, props={
+                    f"{field}_{i}": v for i, v in enumerate(value)
+                })
+            elif isinstance(value, dict):
+                emit("u", label, name, props={
+                    f"{field}_{k}": v for k, v in value.items()
+                })
+            else:
+                emit("u", label, name, props={field: value})
+
+    walk(report)
+    return rows
+
+
+def staging_frame(spark: SparkSession, reports: DataFrame) -> DataFrame:
+    """Arrow-batched parse: reports(ord bigint, value string-JSON) → long
+    staging rows. Partition-local, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for ord_, raw in zip(pdf["ord"], pdf["value"]):
+                try:
+                    report = json.loads(raw)
+                except (ValueError, TypeError):
+                    # Dead-letter, don't poison-pill: one corrupt line must
+                    # not kill a 100 TB ingest. Quarantined rows stay
+                    # queryable via corrupt_records().
+                    out.append((
+                        int(ord_), 0, "x", None, None, None, None, None,
+                        None, None, {"raw": str(raw)[:4096]}, None,
+                    ))
+                    continue
+                if not isinstance(report, dict):
+                    continue
+                out.extend(flatten_report(report, int(ord_)))
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return reports.mapInPandas(parse, schema=STAGING_SCHEMA)
+
+
+def corrupt_records(staging: DataFrame) -> DataFrame:
+    """Quarantined unparseable inputs (kind='x'): (ord, raw prefix)."""
+    return staging.filter(F.col("kind") == "x").select(
+        "ord", F.col("props")["raw"].alias("raw")
+    )
+
+
+def build_graph_tables(staging: DataFrame) -> PropertyGraph:
+    """Staging rows → (vertices, edges), all JVM-side.
+
+    - A1: detected_prop = per-(resource, report) avg of non-null ratios,
+      0.0 when none parse (graph_importer.py:131-138 + B8 intent); becomes
+      an update row at the report's position (later reports overwrite,
+      matching the reference's per-report update_vertex).
+    - vertex props: first insert wins, then updates fold left in
+      (ord, seq) order with later keys winning ($set semantics).
+    - edges: dedup on (src, dst, label), first occurrence's props win.
+    """
+    staging = staging.persist()
+
+    detected = (
+        staging.filter(F.col("kind") == "d")
+        .groupBy("label", "key", "ord")
+        .agg(F.coalesce(F.avg("ratio"), F.lit(0.0)).alias("dp"))
+        .select(
+            "label", "key", "ord",
+            F.lit(2_000_000_000).alias("seq"),  # after any in-report update
+            F.create_map(F.lit("detected_prop"), F.col("dp").cast("string")).alias("props"),
+        )
+    )
+
+    inserts = staging.filter(F.col("kind") == "v").select("label", "key", "ord", "seq", "props")
+    updates = (
+        staging.filter(F.col("kind") == "u")
+        .select("label", "key", "ord", "seq", "props")
+        .unionByName(detected)
+    )
+
+    base = inserts.groupBy("label", "key").agg(
+        F.min_by("props", F.struct("ord", "seq")).alias("base_props")
+    )
+    def _cmp(l, r):  # maps aren't orderable → compare (ord, seq) explicitly
+        return (
+            F.when(l["ord"] < r["ord"], -1)
+            .when(l["ord"] > r["ord"], 1)
+            .when(l["seq"] < r["seq"], -1)
+            .when(l["seq"] > r["seq"], 1)
+            .otherwise(0)
+        )
+
+    upd = updates.groupBy("label", "key").agg(
+        F.array_sort(F.collect_list(F.struct("ord", "seq", "props")), _cmp).alias("upds")
+    )
+    vertices = (
+        base.join(upd, on=["label", "key"], how="left")
+        .select(
+            vertex_id(F.col("label"), F.col("key")).alias("id"),
+            "label",
+            F.when(F.col("upds").isNull(), F.col("base_props"))
+            .otherwise(
+                F.aggregate(
+                    F.col("upds"),
+                    F.col("base_props"),
+                    # $set: drop overwritten keys from acc, then concat —
+                    # explicit so we don't depend on mapKeyDedupPolicy
+                    lambda acc, u: F.map_concat(
+                        F.map_filter(
+                            acc, lambda k, _: ~F.array_contains(F.map_keys(u["props"]), k)
+                        ),
+                        u["props"],
+                    ),
+                )
+            )
+            .alias("props"),
+        )
+    )
+
+    edges = (
+        staging.filter(F.col("kind") == "e")
+        .select(
+            vertex_id(F.col("src_label"), F.col("src_key")).alias("src"),
+            vertex_id(F.col("dst_label"), F.col("dst_key")).alias("dst"),
+            F.col("edge_label").alias("label"),
+            "props", "ord", "seq",
+        )
+        .groupBy("src", "dst", "label")
+        .agg(F.min_by("props", F.struct("ord", "seq")).alias("props"))
+        .select(
+            edge_id(F.col("src"), F.col("dst"), F.col("label")).alias("id"),
+            "src", "dst", "label", "props",
+        )
+    )
+    return PropertyGraph(vertices, edges)
+
+
+def import_from_json(spark: SparkSession, reports: list[dict] | DataFrame) -> PropertyGraph:
+    """E1 entry point (graph_importer.py:170-175): reports → PropertyGraph.
+
+    Accepts a list of report dicts (tests) or a DataFrame[ord, value]
+    (``spark.read.text`` / streaming micro-batches).
+    """
+    if isinstance(reports, list):
+        rows = [(i, json.dumps(r)) for i, r in enumerate(reports)]
+        reports = spark.createDataFrame(rows, "ord bigint, value string")
+    return build_graph_tables(staging_frame(spark, reports))

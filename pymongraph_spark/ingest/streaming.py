@@ -1,0 +1,51 @@
+"""Streaming ingest (SURVEY.md §2.11): the reference has no streaming at
+all — ingestion is synchronous per-document RPCs. Here the same staging
+transform as batch (importer.py) runs per micro-batch under Structured
+Streaming, with ``foreachBatch`` merging into the parquet graph store.
+
+Exactly-once-effective: ids are pure functions of natural keys and the
+store merge is an idempotent upsert, so micro-batch replays after failure
+converge to the same graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pymongraph_spark.graph import store
+from pymongraph_spark.ingest.importer import build_graph_tables, staging_frame
+
+
+def stream_import(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for text files (one JSON report per line) and
+    continuously upsert them into the graph store at ``store_path``.
+
+    ``available_now=True`` drains what exists and stops (deterministic for
+    tests/backfills); False runs a continuous micro-batch stream.
+    """
+    lines = spark.readStream.text(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        reports = batch_df.filter(F.length(F.trim("value")) > 0).select(
+            F.monotonically_increasing_id().alias("ord"), "value"
+        )
+        if reports.isEmpty():
+            return
+        g = build_graph_tables(staging_frame(spark, reports))
+        store.merge_into(spark, store_path, g)
+
+    writer = (
+        lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
