@@ -23,10 +23,17 @@ def token_count(c: Column | str) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token array."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    """Distinct word n-gram shingles from a token array. Guarded so short
+    docs yield [] — sequence(1, 0) would otherwise produce a DESCENDING
+    [1, 0] index array and slice(…, 0, …) throws."""
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -34,8 +41,13 @@ def char_shingles(c: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text."""
     c = F.col(c) if isinstance(c, str) else c
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, 1, n).substr(i, n)))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+    return F.when(F.length(norm) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def normalized_text(c: Column | str) -> Column:

@@ -50,13 +50,12 @@ def find_neighbors(
     vertex itself (B7, kept as documented behavior). ``vertex`` is an id
     (int) or a DataFrame of ids.
     """
-    spark = g.vertices.sparkSession
-    frontier = (
-        vertex
-        if isinstance(vertex, DataFrame)
-        else spark.createDataFrame([(int(vertex),)], "id: long")
-    )
-    e = incident_edges(g, frontier)
+    if isinstance(vertex, DataFrame):
+        e = incident_edges(g, vertex)
+    else:
+        # single-vertex case: one scan with a pushable predicate, no join
+        v = int(vertex)
+        e = g.edges.filter((F.col("src") == v) | (F.col("dst") == v))
     nbr_ids = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -68,43 +67,105 @@ def find_neighbors(
 
 
 def k_hop(
-    g: PropertyGraph, roots, depth: int, checkpoint_every: int = 1
+    g: PropertyGraph,
+    roots,
+    depth: int,
+    small_frontier_threshold: int = 20_000,
 ) -> tuple[DataFrame, DataFrame]:
     """G2 (_explode_node intent, mongraph.py:252-274): k-hop ego network.
 
-    Frontier BFS with a visited anti-join (the reference has no visited
-    set — worst-case exponential re-expansion; ours is O(depth) jobs).
-    Returns (visited_vertex_ids, visited_edges). The root is included.
+    Frontier BFS with a visited set (the reference has none — worst-case
+    exponential re-expansion; ours is O(depth) jobs). Returns
+    (visited_vertex_ids, visited_edges). The root is included.
+
+    Adaptive frontier strategy: while the frontier + visited sets fit on
+    the driver (≤ small_frontier_threshold ids — the common case for ego
+    networks), each level is ONE scan of edges with an ``IN`` filter
+    (pushed into the scan, no shuffle, no checkpoint barrier). When a
+    level's endpoint set exceeds the threshold (hub explosion), the loop
+    falls back to the distributed plan: union-of-equi-joins + anti-join
+    visited + localCheckpoint lineage truncation. Edge dedup across
+    levels is deferred to one final dropDuplicates.
     """
     spark = g.vertices.sparkSession
-    if isinstance(roots, DataFrame):
-        frontier = roots.select("id").distinct()
-    elif isinstance(roots, (list, tuple, set)):
-        frontier = spark.createDataFrame([(int(r),) for r in roots], "id: long")
-    else:
-        frontier = spark.createDataFrame([(int(roots),)], "id: long")
 
-    visited = frontier
-    visited_edges = g.edges.limit(0)
-    for level in range(depth):
-        e = incident_edges(g, frontier)
-        visited_edges = visited_edges.unionByName(e).dropDuplicates(["id"])
-        endpoints = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        frontier = endpoints.join(visited, on="id", how="left_anti")
-        visited = visited.unionByName(frontier).distinct()
-        if (level + 1) % checkpoint_every == 0:
-            # Truncate lineage: iterative unions otherwise build a plan of
-            # depth O(k) that recomputes every prior level per action.
-            frontier = frontier.localCheckpoint(eager=True)
-            visited = visited.localCheckpoint(eager=True)
-            visited_edges = visited_edges.localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
-    return visited, visited_edges
+    # --- initialize in driver (fast) mode when roots are enumerable -----
+    frontier_ids: list[int] | None
+    if isinstance(roots, DataFrame):
+        sample = roots.select("id").distinct().limit(small_frontier_threshold + 1).collect()
+        frontier_ids = [r["id"] for r in sample] if len(sample) <= small_frontier_threshold else None
+        frontier_df = roots.select("id").distinct()
+    elif isinstance(roots, (list, tuple, set)):
+        frontier_ids = [int(r) for r in roots]
+        frontier_df = None
+    else:
+        frontier_ids = [int(roots)]
+        frontier_df = None
+
+    visited_ids: set[int] | None = set(frontier_ids) if frontier_ids is not None else None
+    visited_df = frontier_df
+    edge_levels: list[DataFrame] = []
+
+    for _level in range(depth):
+        if frontier_ids is not None:
+            if not frontier_ids:
+                break
+            e = g.edges.filter(
+                F.col("src").isin(frontier_ids) | F.col("dst").isin(frontier_ids)
+            ).localCheckpoint(eager=True)  # one scan; later actions reuse it
+            edge_levels.append(e)
+            endpoints = e.select("src", "dst").distinct().limit(
+                small_frontier_threshold + 1
+            ).collect()
+            flat = {r["src"] for r in endpoints} | {r["dst"] for r in endpoints}
+            if len(endpoints) > small_frontier_threshold:
+                # hub explosion → promote driver state to DataFrames
+                visited_df = spark.createDataFrame(
+                    [(i,) for i in visited_ids], "id: long"
+                )
+                frontier_df = spark.createDataFrame(
+                    [(i,) for i in frontier_ids], "id: long"
+                )
+                frontier_ids = visited_ids = None
+                # re-run this level distributed
+                e = incident_edges(g, frontier_df)
+                edge_levels[-1] = e.localCheckpoint(eager=True)
+                ep = (
+                    e.select(F.col("src").alias("id"))
+                    .unionByName(e.select(F.col("dst").alias("id")))
+                    .distinct()
+                )
+                frontier_df = ep.join(visited_df, on="id", how="left_anti").localCheckpoint(eager=True)
+                visited_df = visited_df.unionByName(frontier_df).distinct().localCheckpoint(eager=True)
+                if frontier_df.isEmpty():
+                    break
+                continue
+            new_frontier = flat - visited_ids
+            visited_ids |= new_frontier
+            frontier_ids = sorted(new_frontier)
+        else:
+            e = incident_edges(g, frontier_df)
+            edge_levels.append(e.localCheckpoint(eager=True))
+            endpoints_df = (
+                e.select(F.col("src").alias("id"))
+                .unionByName(e.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            frontier_df = endpoints_df.join(visited_df, on="id", how="left_anti").localCheckpoint(eager=True)
+            visited_df = visited_df.unionByName(frontier_df).distinct().localCheckpoint(eager=True)
+            if frontier_df.isEmpty():
+                break
+
+    if visited_ids is not None:
+        visited_df = spark.createDataFrame([(i,) for i in sorted(visited_ids)], "id: long")
+    if edge_levels:
+        visited_edges = edge_levels[0]
+        for e in edge_levels[1:]:
+            visited_edges = visited_edges.unionByName(e)
+        visited_edges = visited_edges.dropDuplicates(["id"])
+    else:
+        visited_edges = g.edges.limit(0)
+    return visited_df, visited_edges
 
 
 def induced_subgraph(g: PropertyGraph, vertex_ids: DataFrame) -> PropertyGraph:

@@ -31,7 +31,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     (deterministic survivor, SURVEY §5.5 discipline)."""
     h = F.md5(normalized_text(text_col)).alias("content_hash")
     return (
-        docs.select(F.col(id_col).alias("doc_id"), h)
+        _spread(docs).select(F.col(id_col).alias("doc_id"), h)
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
@@ -53,8 +53,16 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(survivors, on=id_col, how="left_semi")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition before CPU-heavy per-row expressions: a small table read
+    from one parquet file is a single input split, which would serialize
+    interpreted higher-order-function work onto one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(text_col), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -74,7 +82,7 @@ def token_jaccard_pairs(
     comparisons stay within buckets. Jaccard = |∩| / (|A|+|B|-|∩|) over
     DISTINCT shingle sets — integer sizes, double division (exact parity).
     """
-    s = docs.select(
+    s = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
         word_shingles(tokens(text_col), n).alias("shingles"),
@@ -183,6 +191,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash per document: per bit b, sign of Σ_tokens ±1 by bit b
     of xxhash64(token). Bit loop is an array transform over a constant
     mask array — JVM-side, no UDF."""
+    docs = _spread(docs)
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _POW2])

@@ -49,9 +49,30 @@ e AS (
 """
 
 
+_GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """Derive the property graph from the star schema. One pass, no UDFs;
-    edge dedup via dropDuplicates (the W2 triple-dedup semantic)."""
+    edge dedup via dropDuplicates (the W2 triple-dedup semantic).
+
+    Memoized + persisted per (session, sf_dir): the edge dedup is the one
+    real shuffle here, and every graph query would otherwise repeat it.
+    On a cluster this materialization is the bucketed-table write that
+    co-locates later frontier joins.
+    """
+    key = (id(spark), sf_dir)
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    g = _build_tpch_graph(spark, sf_dir)
+    # Lazy persist: the first query's own action materializes the dedup
+    # shuffle and caches it; subsequent graph queries read the cache.
+    g = PropertyGraph(g.vertices.persist(), g.edges.persist())
+    _GRAPH_CACHE[key] = g
+    return g
+
+
+def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     t = load_tables(spark, sf_dir)
     vertices = (
         t["customer"].select((F.col("c_custkey") * 4).alias("id"), F.lit("customer").alias("label"),
