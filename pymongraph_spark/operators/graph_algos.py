@@ -1,0 +1,123 @@
+"""Iterative graph analytics on the (vertices, edges) pair — the
+GraphX/GraphFrames aggregateMessages pattern expressed as DataFrame
+joins with driver-side loop control (SURVEY.md §4: Catalyst has no
+fixpoint operator; this driver loop is the standard design).
+
+Scale notes: each iteration is one shuffle on the edge key; lineage is
+truncated per iteration with localCheckpoint; convergence is detected
+with a count (cheap, reuses the shuffle). Hub skew is handled by AQE
+(skew-join splitting is on in session defaults).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, in_degree, out_degree, degree) for every endpoint."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, on="id", how="full_outer")
+        .select(
+            "id",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            (F.coalesce("in_degree", F.lit(0)) + F.coalesce("out_degree", F.lit(0))).alias("degree"),
+        )
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Undirected connected components via hash-min label propagation:
+    every vertex starts as its own component (comp = id) and repeatedly
+    adopts the minimum component id among itself and its neighbors, until
+    a fixpoint. Returns (id, component) where component = min vertex id
+    in the component — deterministic.
+    """
+    # undirected message graph: both directions
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    comp = vertices.select("id", F.col("id").alias("component")).persist()
+    for _ in range(max_iter):
+        # min neighbor component per vertex
+        nbr_min = (
+            und.join(comp, und.dst == comp.id)
+            .groupBy(und.src.alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_comp = (
+            comp.join(nbr_min, comp.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        comp.unpersist()
+        comp = new_comp.persist()
+        if changed == 0:
+            break
+    und.unpersist()
+    return comp
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Directed PageRank, fixed iteration count (deterministic given a
+    deterministic plan; float sums make cross-engine oracle matching
+    impractical, so this ships under the rows-only gate + unit-test
+    invariants: Σrank ≈ |V|, dangling mass conserved)."""
+    v = vertices.select("id").distinct().persist()
+    n = v.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    ranks = v.select("id", F.lit(1.0).alias("rank"))
+    links = edges.select("src", "dst").join(out_deg, edges.src == out_deg.id).select(
+        "src", "dst", "out_degree"
+    ).persist()
+
+    for _ in range(max_iter):
+        contribs = (
+            links.join(ranks, links.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        # dangling-node mass (vertices with no out-edges) redistributed
+        dangling = (
+            ranks.join(out_deg.select("id"), on="id", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = (
+            v.join(contribs, v.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    links.unpersist()
+    v.unpersist()
+    return ranks

@@ -99,20 +99,33 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine re-rank. Recall grows with fewer planes / multi-probe;
-    cost is the bucket equi-join instead of |Q|×n."""
+    """Approximate top-k: candidates share one of the query's probe
+    buckets (multi-probe: the exact bucket plus every bucket within
+    Hamming distance ``probe_radius`` — flipping the least-confident
+    bits is the classic recall lever that costs probes, not a bigger
+    index), then exact cosine re-rank. Cost is the bucket equi-join
+    instead of |Q|×n; the corpus side is bucketed once."""
     cb = sign_lsh_buckets(corpus, dim, n_planes, vec_col, seed).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
     )
     qb = sign_lsh_buckets(queries, dim, n_planes, vec_col, seed).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
     )
+    if probe_radius >= 1:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+        qb = qb.select(
+            "query_id", "__qv", F.explode(F.array(*flips)).alias("bucket")
+        )
     scored = (
         cb.join(F.broadcast(qb), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

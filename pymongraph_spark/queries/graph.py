@@ -270,3 +270,64 @@ def g35_upsert_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = upsert_vertices(g, "customer", data, key="custkey", registry=registry)
     g = upsert_vertices(g, "customer", data, key="custkey", registry=registry)  # idempotent re-import
     return g.vertices.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
+
+
+# --------------------------------------------------------------------------
+# L1 batch hydration (mongraph.py:29-44): the N+1 point-lookup loop as one
+# broadcast join against a literal id list.
+# --------------------------------------------------------------------------
+@query(
+    "g36_hydrate_vertices",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    SELECT id, label FROM v WHERE id IN (4, 8, 12, 5, 9, 6, 7)
+    """,
+)
+def g36_hydrate_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    ids = spark.createDataFrame([(i,) for i in [4, 8, 12, 5, 9, 6, 7]], "id: long")
+    return g.hydrate_vertices(ids).select("id", "label")
+
+
+# --------------------------------------------------------------------------
+# Connected components (hash-min label propagation) on the 'placed'
+# subgraph — structure is known (one component per customer with orders,
+# singletons otherwise), so the fixpoint result is SQL-checkable.
+# --------------------------------------------------------------------------
+@query(
+    "g37_connected_components_placed",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey*4 AS id,
+             LEAST(c_custkey*4, COALESCE(MIN(o_orderkey*4 + 1), c_custkey*4)) AS component
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    ords AS (
+      SELECT o_orderkey*4 + 1 AS id, cust.component
+      FROM orders JOIN cust ON cust.id = o_custkey*4
+    )
+    SELECT id, component FROM cust
+    UNION ALL
+    SELECT id, component FROM ords
+    """,
+)
+def g37_connected_components_placed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import connected_components
+
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges.filter(F.col("label") == "placed")
+    verts = g.vertices.filter(F.col("label").isin("customer", "order")).select("id")
+    return connected_components(verts, placed)
+
+
+# --------------------------------------------------------------------------
+# PageRank — iterative float sums are not oracle-matchable across engines;
+# rows-only gate + unit-test invariants (Σrank ≈ |V|).
+# --------------------------------------------------------------------------
+@query("g38_pagerank")
+def g38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import pagerank
+
+    g = tpch_graph(spark, sf_dir)
+    return pagerank(g.vertices, g.edges, max_iter=5)

@@ -350,3 +350,48 @@ def m70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(docs)
     decoded = decode_media(media, fake=True)
     return decoded.select("doc_id", "byte_len", "mean_intensity")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF text analysis built from exact relational ops (explode → tf, df,
+# smoothed idf) — no HashingTF, so it's fully oracle-checkable. ln() is
+# rounded to 9dp before use (Java Math.log vs libm can differ by 1 ulp).
+# --------------------------------------------------------------------------
+@query(
+    "t64_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS c FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * round(ln((n.c + 1.0) / (dfreq.df + 1.0)), 9), 6) AS tfidf
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3 AND doc_id < 50
+    """,
+)
+def t64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")), 9)
+    scored = tf.join(F.broadcast(dfreq), on="term").select(
+        "doc_id", "term", "tf",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+    )

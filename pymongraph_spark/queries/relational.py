@@ -550,3 +550,128 @@ def q25_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_list("l_linenumber")).alias("n_lines"),
         F.sort_array(F.collect_list("l_linenumber")).getItem(0).alias("first_line"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions from the reference importer (SURVEY §2.8 F1/F3) over
+# synthesized strings: IPv4 classification regex and "x/y" ratio parsing
+# with null-on-malformed (B8 intent).
+# --------------------------------------------------------------------------
+@query(
+    "q26_scalar_functions",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             '10.' || CAST(o_orderkey % 300 AS VARCHAR) || '.0.' || CAST(o_custkey % 260 AS VARCHAR) AS addr,
+             CAST(o_orderkey % 7 AS VARCHAR) || '/' || CAST(o_custkey % 5 AS VARCHAR) AS ratio_str
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_matches(addr, '^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])$') AS is_ip,
+           CASE WHEN regexp_matches(addr, '^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])$')
+                THEN 'ip' ELSE 'domain' END AS resource_label,
+           CASE WHEN TRY_CAST(string_split(trim(ratio_str), '/')[2] AS DOUBLE) IS NOT NULL
+                 AND TRY_CAST(string_split(trim(ratio_str), '/')[2] AS DOUBLE) <> 0
+                 AND TRY_CAST(string_split(trim(ratio_str), '/')[1] AS DOUBLE) IS NOT NULL
+                THEN TRY_CAST(string_split(trim(ratio_str), '/')[1] AS DOUBLE)
+                     / TRY_CAST(string_split(trim(ratio_str), '/')[2] AS DOUBLE)
+           END AS ratio
+    FROM s
+    """,
+)
+def q26_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.scalars import classify_resource, is_ipv4, parse_ratio
+
+    o = load_tables(spark, sf_dir)["orders"]
+    s = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("10."), (F.col("o_orderkey") % 300).cast("string"),
+            F.lit(".0."), (F.col("o_custkey") % 260).cast("string"),
+        ).alias("addr"),
+        F.concat(
+            (F.col("o_orderkey") % 7).cast("string"), F.lit("/"),
+            (F.col("o_custkey") % 5).cast("string"),
+        ).alias("ratio_str"),
+    )
+    return s.select(
+        "o_orderkey",
+        is_ipv4("addr").alias("is_ip"),
+        classify_resource("addr").alias("resource_label"),
+        parse_ratio("ratio_str").alias("ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window extras: dense_rank, ntile, and a rangeBetween moving aggregate
+# (decimal-exact inside the frame).
+# --------------------------------------------------------------------------
+@query(
+    "q27_window_extras",
+    oracle="""
+    SELECT s_suppkey,
+           DENSE_RANK() OVER (ORDER BY s_nationkey) AS nation_dense_rank,
+           NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS acctbal_quartile,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6)))
+                OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+    FROM supplier
+    """,
+)
+def q27_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_tables(spark, sf_dir)["supplier"]
+    w_rank = Window.orderBy("s_nationkey")
+    w_tile = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w_move = Window.partitionBy("s_nationkey").orderBy("s_suppkey").rowsBetween(-2, 0)
+    return s.select(
+        "s_suppkey",
+        F.dense_rank().over(w_rank).alias("nation_dense_rank"),
+        F.ntile(4).over(w_tile).alias("acctbal_quartile"),
+        F.sum(F.col("s_acctbal").cast("decimal(38,6)")).over(w_move).cast("double").alias("moving_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: order counts per month × status (fixed value list both sides).
+# --------------------------------------------------------------------------
+@query(
+    "q28_pivot_status_by_month",
+    oracle="""
+    PIVOT (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+             o_orderstatus
+      FROM orders
+    ) ON o_orderstatus IN ('O', 'F', 'P') USING COUNT(*)
+    ORDER BY order_month
+    """,
+)
+def q28_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+        )
+        .groupBy("order_month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        # empty cells: Spark pivot yields null, DuckDB PIVOT yields 0
+        .select(
+            "order_month",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["O", "F", "P"]],
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_count_distinct (HLL++): engine-specific sketches can't hash-match
+# across engines → rows-only gate; the exact-distinct twin q18 is the
+# oracle-checked sibling.
+# --------------------------------------------------------------------------
+@query("q29_approx_count_distinct")
+def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+    )

@@ -1,0 +1,94 @@
+"""Graph analytics unit tests: connected components on golden graphs,
+PageRank invariants, degrees; plus LSH recall vs brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongraph_spark.operators.graph_algos import connected_components, degrees, pagerank
+
+
+def _vng(spark, n, pairs):
+    v = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    e = spark.createDataFrame(pairs, "src: long, dst: long")
+    return v, e
+
+
+def _comp_sets(comp_df):
+    groups: dict[int, set[int]] = {}
+    for r in comp_df.collect():
+        groups.setdefault(r["component"], set()).add(r["id"])
+    return sorted(sorted(g) for g in groups.values())
+
+
+def test_cc_two_components_and_singleton(spark):
+    v, e = _vng(spark, 7, [(0, 1), (1, 2), (3, 4), (4, 5)])
+    comp = connected_components(v, e)
+    assert _comp_sets(comp) == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+def test_cc_cycle_and_chain_converges(spark):
+    # long chain exercises multi-iteration propagation
+    v, e = _vng(spark, 8, [(i, i + 1) for i in range(7)])
+    comp = connected_components(v, e)
+    assert _comp_sets(comp) == [list(range(8))]
+    # representative is the min id
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_cc_direction_irrelevant(spark):
+    v, e = _vng(spark, 4, [(3, 2), (2, 1), (1, 0)])  # edges all "backwards"
+    assert _comp_sets(connected_components(v, e)) == [[0, 1, 2, 3]]
+
+
+def test_degrees(spark):
+    v, e = _vng(spark, 4, [(0, 1), (0, 2), (2, 0)])
+    d = {r["id"]: (r["in_degree"], r["out_degree"], r["degree"]) for r in degrees(e).collect()}
+    assert d[0] == (1, 2, 3)
+    assert d[1] == (1, 0, 1)
+    assert d[2] == (1, 1, 2)
+    assert 3 not in d  # isolated vertex has no incident edges
+
+
+def test_pagerank_invariants(spark):
+    v, e = _vng(spark, 5, [(0, 1), (1, 2), (2, 0), (3, 0)])  # 4 has no edges
+    pr = pagerank(v, e, max_iter=15)
+    ranks = {r["id"]: r["rank"] for r in pr.collect()}
+    assert len(ranks) == 5
+    # total mass ≈ |V| (damping + dangling redistribution conserve it)
+    assert abs(sum(ranks.values()) - 5.0) < 1e-6
+    # a vertex inside the cycle with an extra inbound link outranks the
+    # dangling spectator
+    assert ranks[0] > ranks[4]
+    assert all(r > 0 for r in ranks.values())
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_small):
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, dim=64, k=3, n_planes=6).collect()
+    }
+    # approx pairs must be a subset of the corpus and hit a sane fraction
+    # of the exact top-k (6 planes → 64 buckets over 500 vectors)
+    assert approx, "LSH returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"suspiciously low recall {recall}"
+    # every approx result's cosine must match the exact score for that pair
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in lsh_topk(emb, queries, dim=64, k=3, n_planes=6).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact_scores and abs(exact_scores[key] - r["cosine_sim"]) < 1e-12

@@ -1,0 +1,109 @@
+"""Property-based tests (SURVEY.md §5.4) with hypothesis: random small
+graphs/reports → invariants that must hold for ANY input.
+
+Spark jobs are slow per-example, so examples are kept few and small; the
+point is structural coverage (random shapes), not volume.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pymongraph_spark.graph import PropertyGraph, vertex_id
+from pymongraph_spark.graph.traversal import k_hop
+from pymongraph_spark.graph.writes import delete_vertices, upsert_edges, upsert_vertices
+from pymongraph_spark.ingest import import_from_json
+
+REG = {"node": {"name"}}
+
+few = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=0, max_size=14
+)
+
+
+def _graph_from_pairs(spark, pairs):
+    names = [f"v{i}" for i in range(8)]
+    data = spark.createDataFrame([(n,) for n in names], "name: string")
+    g = upsert_vertices(PropertyGraph.empty(spark), "node", data, key="name", registry=REG)
+    if pairs:
+        e = spark.createDataFrame(
+            [(f"v{a}", f"v{b}") for a, b in pairs], "a: string, b: string"
+        ).select(
+            vertex_id("node", F.col("a")).alias("src"),
+            vertex_id("node", F.col("b")).alias("dst"),
+        )
+        g = upsert_edges(g, e, label="l")
+    return g
+
+
+@settings(**few)
+@given(pairs=edges_strategy)
+def test_delete_leaves_no_dangling_edges(spark, pairs):
+    g = _graph_from_pairs(spark, pairs)
+    g2 = delete_vertices(g, {"name": "v0"})
+    ids = g2.vertices.select("id")
+    dangling = (
+        g2.edges.join(ids.withColumnRenamed("id", "src"), on="src", how="left_anti")
+        .unionByName(g2.edges.join(ids.withColumnRenamed("id", "dst"), on="dst", how="left_anti"))
+    )
+    assert dangling.count() == 0
+
+
+@settings(**few)
+@given(pairs=edges_strategy, k=st.integers(1, 3))
+def test_khop_monotone_and_bounded(spark, pairs, k):
+    g = _graph_from_pairs(spark, pairs)
+    root = g.vertices.orderBy("id").limit(1).collect()[0]["id"]
+    vk, _ = k_hop(g, root, k)
+    vk1, _ = k_hop(g, root, k + 1)
+    sk = {r["id"] for r in vk.collect()}
+    sk1 = {r["id"] for r in vk1.collect()}
+    assert sk <= sk1  # monotone in k
+    assert root in sk
+    all_ids = {r["id"] for r in g.vertices.collect()}
+    assert sk1 <= all_ids
+
+
+report_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "observed-subdomains": st.lists(
+            st.fixed_dictionaries({"domain": st.sampled_from(["a.x", "b.x", "c.x"])}),
+            max_size=3,
+        ),
+        "detected-downloaded": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "hash": st.sampled_from(["h1", "h2"]),
+                    "prob": st.sampled_from(["1/2", "3/4", "junk", ""]),
+                }
+            ),
+            max_size=3,
+        ),
+        "extra": st.sampled_from(["p", "q"]),
+    },
+)
+
+
+@settings(**few)
+@given(bodies=st.lists(report_strategy, min_size=1, max_size=3))
+def test_import_idempotent(spark, bodies):
+    reports = [{f"res{i}.example": body} for i, body in enumerate(bodies)]
+    g1 = import_from_json(spark, reports)
+    g2 = import_from_json(spark, reports + reports)  # import twice
+    a = sorted(map(str, g1.vertices.select("id", "label", F.to_json("props")).collect()))
+    b = sorted(map(str, g2.vertices.select("id", "label", F.to_json("props")).collect()))
+    assert a == b
+    ae = sorted(map(str, g1.edges.select("id").collect()))
+    be = sorted(map(str, g2.edges.select("id").collect()))
+    assert ae == be
