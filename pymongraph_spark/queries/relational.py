@@ -675,3 +675,51 @@ def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# File formats (SURVEY §2.13 row 1): the same relation written to and read
+# back from CSV, JSON, and ORC must aggregate identically to the parquet
+# original — exercising spark.read/write for every format in one query.
+# --------------------------------------------------------------------------
+@query(
+    "q31_multiformat_roundtrip",
+    oracle=f"""
+    SELECT 'csv' AS fmt, l_returnflag, COUNT(*) AS n, {SUM_D.format('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'json', l_returnflag, COUNT(*), {SUM_D.format('l_quantity')}
+    FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'orc', l_returnflag, COUNT(*), {SUM_D.format('l_quantity')}
+    FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_returnflag
+    """,
+)
+def q31_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    l = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"sparkgraph_fmt_{abs(hash(sf_dir)) % 10**8}"
+    )
+    out = None
+    for fmt in ["csv", "json", "orc"]:
+        path = os.path.join(base, fmt)
+        writer = l.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true").schema(l.schema)
+        back = reader.load(path)
+        agg = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+        ).select(F.lit(fmt).alias("fmt"), "l_returnflag", "n", "sum_qty")
+        out = agg if out is None else out.unionByName(agg)
+    return out

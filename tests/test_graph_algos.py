@@ -92,3 +92,29 @@ def test_lsh_recall_vs_bruteforce(spark, sf_small):
     for r in lsh_topk(emb, queries, dim=64, k=3, n_planes=6).collect():
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact_scores and abs(exact_scores[key] - r["cosine_sim"]) < 1e-12
+
+
+def test_vectorized_cosine_matches_exact(spark, sf_small):
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in brute_force_topk_vectorized(
+            emb, queries.select("vec_id", "embedding").toPandas(), k=5
+        ).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (nid, sim) in exact.items():
+        fnid, fsim = fast[key]
+        assert fnid == nid, f"rank order diverged at {key}"
+        assert abs(fsim - sim) < 1e-9

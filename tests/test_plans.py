@@ -1,0 +1,107 @@
+"""Physical-plan hygiene audits (the .explain discipline, SURVEY.md §4):
+these tests pin the properties that make the engine scale — predicate
+pushdown reaching the parquet scan, column pruning in ReadSchema, small
+dims broadcast, no cartesian products, whole-stage codegen present —
+so a regression in plan shape fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongraph_spark.catalog import load_tables
+from pymongraph_spark.queries import QUERIES
+
+from tests.conftest import SF_SMALL
+
+
+import contextlib
+import io
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF_SMALL)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    # the shipdate predicate reaches the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q01_column_pruning(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF_SMALL)
+    plan = _formatted(df)
+    # ReadSchema must NOT include unused columns like l_comment-ish ones;
+    # our lineitem has 11 columns, the query needs 7
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q05_broadcasts_small_dims(spark):
+    df = QUERIES["q05_local_supplier_volume"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q03_no_cartesian_and_codegen(spark):
+    # codegen spans only appear in the FINAL adaptive plan — run the query
+    # first, then read the post-execution plan
+    df = QUERIES["q03_shipping_priority"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    # '*(n)' operator prefixes mark whole-stage-codegen'd spans
+    assert "*(" in plan
+
+
+def test_point_filter_pushdown_on_edges_scan(spark):
+    # the k-hop fast path predicate (src=… OR dst=…) must reach the scan
+    t = load_tables(spark, SF_SMALL)
+    df = t["lineitem"].filter((F.col("l_orderkey") == 4) | (F.col("l_suppkey") == 4))
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "Or" in plan.split("PushedFilters")[1][:250]
+
+
+def test_scalar_subquery_is_broadcast_not_cartesian(spark):
+    df = QUERIES["q19_orders_above_avg"](spark, SF_SMALL)
+    plan = _plan(df)
+    # the 1-row aggregate joins via broadcast nested loop, never a
+    # shuffled cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_joins_stay_hash_joins(spark):
+    for name in ["q16_customers_without_orders", "q17_customers_with_urgent_orders"]:
+        plan = _plan(QUERIES[name](spark, SF_SMALL))
+        assert "Join LeftAnti" in plan or "Join LeftSemi" in plan or "HashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_aggregate_has_partial_and_final(spark):
+    # map-side partial aggregation before the shuffle (2-phase hash agg)
+    df = QUERIES["q01_pricing_summary"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_s50_corpus_side_never_shuffles_before_scoring(spark):
+    df = QUERIES["s50_cosine_topk_bruteforce"](spark, SF_SMALL)
+    plan = _plan(df)
+    # queries broadcast: scoring join must be broadcast, not sort-merge
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
