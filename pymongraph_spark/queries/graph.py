@@ -331,3 +331,85 @@ def g38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = tpch_graph(spark, sf_dir)
     return pagerank(g.vertices, g.edges, max_iter=5)
+
+
+# --------------------------------------------------------------------------
+# Labeled-path motif (MATCH-style pattern compiled to joins, SURVEY §4):
+# customer X -placed→ order -supplied_by→ supplier ←supplied_by- order
+# ←placed- other customers: "customers sharing a supplier with customer 1",
+# with the shared-supplier count.
+# --------------------------------------------------------------------------
+@query(
+    "g39_shared_supplier_motif",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , my_suppliers AS (
+      SELECT DISTINCT e2.dst AS supplier_id
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e1.label = 'placed' AND e1.src = 4 AND e2.label = 'supplied_by'
+    ),
+    other AS (
+      SELECT e1.src AS customer_id, e2.dst AS supplier_id
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e1.label = 'placed' AND e1.src <> 4 AND e2.label = 'supplied_by'
+    )
+    SELECT customer_id, CAST(COUNT(DISTINCT o.supplier_id) AS BIGINT) AS shared_suppliers
+    FROM other o JOIN my_suppliers m ON o.supplier_id = m.supplier_id
+    GROUP BY customer_id
+    HAVING COUNT(DISTINCT o.supplier_id) >= 3
+    """,
+)
+def g39_shared_supplier_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges.filter(F.col("label") == "placed").select(
+        F.col("src").alias("customer_id"), F.col("dst").alias("order_id")
+    )
+    supplied = g.edges.filter(F.col("label") == "supplied_by").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("supplier_id")
+    )
+    cust_supp = placed.join(supplied, on="order_id").select("customer_id", "supplier_id")
+    mine = (
+        cust_supp.filter(F.col("customer_id") == 4)
+        .select("supplier_id")
+        .distinct()
+    )
+    return (
+        cust_supp.filter(F.col("customer_id") != 4)
+        .join(F.broadcast(mine), on="supplier_id", how="left_semi")
+        .groupBy("customer_id")
+        .agg(F.count_distinct("supplier_id").alias("shared_suppliers"))
+        .filter(F.col("shared_suppliers") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# U1 under the gate: batch property update ($set merge) on the derived
+# graph, result observable via the updated props.
+# --------------------------------------------------------------------------
+@query(
+    "g40_update_vertex_props",
+    oracle="""
+    SELECT CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'normal' END AS tier,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def g40_update_vertex_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.graph.writes import update_vertices
+
+    g = tpch_graph(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    updates = t["customer"].select(
+        (F.col("c_custkey") * 4).alias("id"),
+        F.create_map(
+            F.lit("tier"),
+            F.when(F.col("c_acctbal") >= 5000, F.lit("high")).otherwise(F.lit("normal")),
+        ).alias("props"),
+    )
+    g2 = update_vertices(g, updates)
+    return (
+        g2.vertices.filter(F.col("label") == "customer")
+        .groupBy(F.col("props")["tier"].alias("tier"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -723,3 +723,65 @@ def q31_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("fmt"), "l_returnflag", "n", "sum_qty")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --------------------------------------------------------------------------
+# HAVING + conditional aggregation (CASE WHEN inside SUM/COUNT).
+# --------------------------------------------------------------------------
+@query(
+    "q32_having_conditional_agg",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_urgent,
+           {SUM_D.format("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS filled_value
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def q32_having_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+            dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(F.lit(0.0))).alias("filled_value"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+# --------------------------------------------------------------------------
+# Date arithmetic: datediff / date_add / extract / day-of-week.
+# --------------------------------------------------------------------------
+@query(
+    "q33_date_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days_to_ship,
+           strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           CAST(EXTRACT(quarter FROM l_shipdate) AS INT) AS ship_quarter,
+           CAST(dayofweek(l_shipdate) AS INT) AS ship_dow
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q33_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_orderkey") % 50 == 0)
+    return (
+        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast("bigint").alias("days_to_ship"),
+            F.date_format(F.date_add(F.to_date("l_shipdate"), 30), "yyyy-MM-dd").alias("due_date"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.quarter("l_shipdate").alias("ship_quarter"),
+            # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday
+            (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+        )
+    )
