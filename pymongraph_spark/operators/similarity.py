@@ -185,3 +185,55 @@ def brute_force_topk_vectorized(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its best centroid (max cosine, ties → min
+    centroid id). Centroids broadcast; assignment is one narrow pass."""
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    scored = df.join(F.broadcast(c)).select(
+        df[id_col], df[vec_col],
+        F.col("__cid"), cosine(df[vec_col], F.col("__cv")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, search only the query's own cell, exact re-rank.
+
+    The scale shape: assignment is a broadcast pass; the search join is an
+    equi-join on ``cell``; recall is tuned by centroid count / multi-cell
+    probing. Centroid choice is the caller's policy — pass a deterministic
+    seed set for reproducibility, or k-means output for quality.
+    """
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    query_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell"
+    )
+    cands = (
+        corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+        )
+        .join(F.broadcast(query_cells), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

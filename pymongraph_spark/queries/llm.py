@@ -410,3 +410,47 @@ def s53_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries_pdf = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
     return brute_force_topk_vectorized(emb, queries_pdf, k=5)
+
+
+# --------------------------------------------------------------------------
+# IVF similarity search — the coarse-quantization scale path. Centroids
+# here are a deterministic seed set (vec_id < 16) so DuckDB can replicate
+# the full pipeline: assignment (argmax cosine, tie → min centroid),
+# same-cell candidate join, exact re-rank.
+# --------------------------------------------------------------------------
+@query(
+    "s54_ivf_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+    cos_assign AS (
+      SELECT c.vec_id AS vid, q.vec_id AS cid, {_SQL_COSINE} AS sim
+      FROM embeddings c, cents q
+    ),
+    assign AS (
+      SELECT vid, cid AS cell FROM (
+        SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn
+        FROM cos_assign
+      ) WHERE rn = 1
+    ),
+    cands AS (
+      SELECT qa.vid AS query_id, ca.vid AS neighbor_id, {_SQL_COSINE} AS cosine_sim
+      FROM assign qa
+        JOIN assign ca ON qa.cell = ca.cell AND ca.vid <> qa.vid
+        JOIN embeddings q ON q.vec_id = qa.vid
+        JOIN embeddings c ON c.vec_id = ca.vid
+      WHERE qa.vid < 8
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM cands
+    ) WHERE rnk <= 3
+    """,
+)
+def s54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, centroids, k=3)

@@ -785,3 +785,134 @@ def q33_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: IN-subquery over a grouped HAVING (large-quantity
+# orders), then a 3-way join for reporting.
+# --------------------------------------------------------------------------
+@query(
+    "q34_large_quantity_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           {SUM_D.format('l_quantity')} AS total_qty,
+           o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q34_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"].join(big.withColumnRenamed("l_orderkey", "__k"),
+                           F.col("l_orderkey") == F.col("__k"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select("c_custkey", "o_orderkey", "total_qty", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations per ship
+# year (multi-join + CASE-constrained nation pair + year extraction).
+# --------------------------------------------------------------------------
+@query(
+    "q35_nation_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {SUM_D.format('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q35_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join (SURVEY §2.13 "range/as-of joins"): pairs of events by the
+# same user within 5 minutes. Naive form is a per-user theta join; the
+# scalable plan buckets time into 5-minute cells and probes the three
+# neighboring cells, turning it into an equi-join on (user_id, bucket).
+# --------------------------------------------------------------------------
+@query(
+    "q36_event_pairs_within_5min",
+    oracle="""
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+           a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(date_diff('second', a.ts, b.ts)) <= 300
+    """,
+)
+def q36_event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    bucket = (F.unix_timestamp("ts") / 300).cast("long")
+    left = e.select(
+        F.col("event_id").alias("event_id_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("__bucket"),
+    )
+    right = e.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("user_id").alias("__uid"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("__bucket"),
+    )
+    gap = F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")
+    return (
+        left.join(right, (left.user_id == right.__uid) & (left.__bucket == right.__bucket))
+        .filter(F.col("event_id_a") < F.col("event_id_b"))
+        .filter(F.abs(gap) <= 300)
+        .select("event_id_a", "event_id_b", "user_id", gap.cast("bigint").alias("gap_seconds"))
+    )

@@ -1,0 +1,56 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.13 streaming row): per-user running statistics that
+survive across micro-batches — the pattern for any accumulating
+per-key state Spark's built-in aggregations can't express (e.g.
+decayed counters, model features, anomaly baselines).
+
+State is one pandas row per user: (n_events, total_value, max_value).
+Timeout: event-time with watermark — idle users' state is dropped when
+the watermark passes, bounding state size on unbounded keyspaces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
+STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "total_value": total, "max_value": mx}]
+    )
+
+
+def running_user_stats(events_stream: DataFrame) -> DataFrame:
+    """events stream (user_id, ts, value) → continuously updated per-user
+    running stats. Requires a watermark on ts upstream."""
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,97 @@
+"""Custom stateful streaming (applyInPandasWithState) and streaming dedup
+(dropDuplicatesWithinWatermark): state survives across micro-batches and
+stays bounded.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongraph_spark.streaming import deduped_event_stream, running_user_stats
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _write_batch(spark, tmp_path, src, fname, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    stage = tmp_path / "stage" / fname
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    src.mkdir(parents=True, exist_ok=True)
+    shutil.copy(part, str(src / f"{fname}.parquet"))
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    _write_batch(spark, tmp_path, src, "b1",
+                 [(1, T0, 10, 5.0), (2, T0, 10, 7.0), (3, T0, 20, 1.0)])
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA).parquet(str(src))
+            .withWatermark("ts", "1 hour")
+        )
+
+        # update-mode state output needs foreachBatch (file sinks are
+        # append-only); each micro-batch's updates append to the log
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    # batch 2 arrives later: user 10's state must CARRY OVER (n=3 total)
+    _write_batch(spark, tmp_path, src, "b2",
+                 [(4, T0 + dt.timedelta(minutes=5), 10, 3.0)])
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # append sink keeps every update; take max n per user
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            latest[r["user_id"]] = r
+    assert latest[10]["n_events"] == 3
+    assert latest[10]["total_value"] == pytest.approx(15.0)
+    assert latest[10]["max_value"] == pytest.approx(7.0)
+    assert latest[20]["n_events"] == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    # duplicate event_id 1 inside the same watermark horizon
+    _write_batch(spark, tmp_path, src, "b1",
+                 [(1, T0, 10, 5.0), (1, T0 + dt.timedelta(seconds=30), 10, 5.0),
+                  (2, T0, 20, 1.0)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        deduped_event_stream(stream, keys=["event_id"])
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]  # the duplicate collapsed
