@@ -24,14 +24,18 @@ HEADLINE = [
     "q10_top_customers_per_nation",
     "q11_running_total_events",
     "q22_json_events",
+    "q36_event_pairs_within_5min",
     # graph
     "g30_degree_by_label",
     "g32_two_hop_customer1",
+    "g37_connected_components_placed",
     # LLM pipeline
     "d40_exact_dedup",
     "d42_minhash_lsh_pairs",
     "s50_cosine_topk_bruteforce",
+    "s54_ivf_topk",
     "t61_quality_scores",
+    "t64_tfidf_top_terms",
 ]
 
 

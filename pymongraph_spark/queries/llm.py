@@ -44,22 +44,21 @@ _SQL_SHINGLES = (
 # --------------------------------------------------------------------------
 @query(
     "d40_exact_dedup",
+    # ALL content-hash groups, not just dup_count>1: the sf0.01 corpus has
+    # no exact duplicates, and a 0-row oracle match is vacuous — emitting
+    # every group checks the md5+normalization+grouping at every scale,
+    # and dup detection is the dup_count column.
     oracle="""
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
            COUNT(*) AS dup_count,
            MIN(doc_id) AS keep_id
     FROM documents
     GROUP BY 1
-    HAVING COUNT(*) > 1
     """,
 )
 def d40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return (
-        exact_dedup(docs)
-        .filter(F.col("dup_count") > 1)
-        .select("content_hash", "dup_count", "keep_id")
-    )
+    return exact_dedup(docs).select("content_hash", "dup_count", "keep_id")
 
 
 # --------------------------------------------------------------------------

@@ -317,15 +317,19 @@ def q15_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q16_customers_without_orders",
+    # anti-join against big-ticket orders (every customer has SOME order in
+    # the synthetic data, so the unfiltered variant is vacuously empty)
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def q16_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
     return t["customer"].join(
-        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 
