@@ -1,0 +1,100 @@
+"""The drop-in façade, driven exactly the way reference code drives
+MongoGraph/GraphImporter (method names, signatures, call sequences from
+/root/reference usage patterns).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pymongraph_spark.compatibility import GraphImporter, MongoGraph
+
+
+@pytest.fixture()
+def mg(spark):
+    return MongoGraph(spark=spark)
+
+
+def test_reference_crud_sequence(mg):
+    # the canonical reference flow: insert two vertices, connect, traverse
+    d = mg.insert_vertex(label="domain", identify={"name": "evil.example"},
+                         data={"name": "evil.example"})
+    ip = mg.insert_vertex(label="ip", identify={"address": "1.2.3.4"},
+                          data={"address": "1.2.3.4"})
+    # duplicate insert returns the SAME id (mongraph.py:90-94)
+    assert mg.insert_vertex("domain", {"name": "evil.example"},
+                            {"name": "evil.example"}) == d
+
+    eid = mg.insert_edge(d, ip)  # default label 'resolve' (mongraph.py:99)
+    assert mg.insert_edge(d, ip) == eid  # triple dedup (mongraph.py:120-127)
+    assert mg.insert_edge(ip, d) != eid  # direction matters
+
+    nbrs, edges = mg.find_neighbors(d)
+    assert nbrs == {d, ip}  # B7: self included
+    assert len(edges) == 2
+
+    verts, _ = mg.find_neighbors(d, get_details=True)
+    assert {v["__type"] for v in verts} == {"domain", "ip"}
+
+    out = json.loads(mg.build_graph(root_vertex=d, depth=2))
+    assert len(out["graph"]["vertices"]) == 2
+
+    # search by property (Q1) and by dict filter
+    hits = mg.search_vertex({"name": "evil.example"})
+    assert len(hits) == 1 and hits[0]["_id"] == d
+
+    # U1 $set merge
+    mg.update_vertex(d, {"rank": "9"})
+    assert mg.search_vertex({"name": "evil.example"})[0]["rank"] == "9"
+
+    # D1 cascade
+    assert mg.delete_node(d) is True
+    assert mg.search_vertex({"name": "evil.example"}) == []
+    _, edges_after = mg.find_neighbors(ip)
+    assert edges_after == []  # incident edges cascaded
+
+
+def test_insert_node_and_owner_direction(mg):
+    dom = mg.insert_vertex("domain", {"name": "x.example"}, {"name": "x.example"})
+    src, eid, dst = mg.insert_node(dom, "owner", "belongTo",
+                                   {"email": "a@x.example"},
+                                   {"email": "a@x.example", "org": "X"})
+    assert dst == dom
+    _, edges = mg.find_neighbors(dom)
+    (edge,) = edges
+    assert edge["first_node"] == src and edge["second_node"] == dom  # owner→resource
+
+
+def test_unknown_label_rejected(mg):
+    from pymongraph_spark.graph.writes import UnknownLabelError
+
+    with pytest.raises(UnknownLabelError):
+        mg.insert_vertex("nope", {"k": "v"}, {"k": "v"})
+
+
+def test_delete_by_filter_and_missing(mg):
+    mg.insert_vertex("domain", {"name": "a.example"}, {"name": "a.example"})
+    assert mg.delete_node(None, filter={"name": "a.example"}) is True
+    assert mg.delete_node(None, filter={"name": "never.example"}) is False
+
+
+def test_importer_facade(spark):
+    gi = GraphImporter(spark=spark)
+    gi.import_from_json({"bad.example": {
+        "dns-resolutions": [{"ipaddress": "9.9.9.9", "domain": "bad.example",
+                             "date": "2021-01-01"}],
+        "detected-downloaded": [{"hash": "hh", "datetime": "t", "prob": "1/2"}],
+    }})
+    assert len(gi.search_vertex({"name": "bad.example"})) == 1
+    assert len(gi.search_vertex({"address": "9.9.9.9"})) == 1
+    root = gi.search_vertex({"name": "bad.example"})[0]
+    assert root["detected_prop"] == "0.5"
+    # importing again is a no-op (idempotent upsert)
+    gi.import_from_json({"bad.example": {
+        "dns-resolutions": [{"ipaddress": "9.9.9.9", "domain": "bad.example",
+                             "date": "2021-01-01"}],
+    }})
+    out = json.loads(gi.build_graph(root_vertex=root["_id"], depth=3))
+    assert len(out["graph"]["vertices"]) == 3  # domain, ip, detection
