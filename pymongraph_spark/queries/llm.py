@@ -453,3 +453,88 @@ def s54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 16)
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, centroids, k=3)
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier detection (training-data QA): vectors unusually far
+# from their label centroid (z-score of centroid distance > 2). The
+# corpus is unit-normalized, so NORM outliers are degenerate — distance
+# to the per-label centroid is the meaningful signal. Determinism: the
+# centroid is a per-dimension decimal-exact mean; each squared deviation
+# is decimal-quantized before summing, so the distance is identical in
+# both engines regardless of summation order.
+# --------------------------------------------------------------------------
+@query(
+    "s55_embedding_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT ex.vec_id, ex.label,
+             sqrt(CAST(SUM(CAST((ex.val - cent.c) * (ex.val - cent.c) AS DECIMAL(38,12))) AS DOUBLE)) AS d
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+      GROUP BY ex.vec_id, ex.label
+    ),
+    stats AS (
+      SELECT label,
+             CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_d,
+             sqrt(greatest(
+                  CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)),
+                  0.0)) AS std_d
+      FROM dist GROUP BY label
+    )
+    SELECT n.vec_id, n.label, n.d AS centroid_dist,
+           CASE WHEN s.std_d > 0 THEN (n.d - s.mean_d) / s.std_d END AS z_score
+    FROM dist n JOIN stats s ON n.label = s.label
+    WHERE s.std_d > 0 AND abs((n.d - s.mean_d) / s.std_d) > 2.0
+    """,
+)
+def s55_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dec = "decimal(38,12)"
+    ex = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "val"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        (F.sum(F.col("val").cast(dec)).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    dist = (
+        ex.join(cent, on=["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).cast(dec))
+                .cast("double")
+            ).alias("d")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        (F.sum(F.col("d").cast(dec)).cast("double") / F.count(F.lit(1))).alias("mean_d"),
+        F.sqrt(
+            F.greatest(
+                F.sum((F.col("d") * F.col("d")).cast(dec)).cast("double") / F.count(F.lit(1))
+                - (F.sum(F.col("d").cast(dec)).cast("double") / F.count(F.lit(1)))
+                * (F.sum(F.col("d").cast(dec)).cast("double") / F.count(F.lit(1))),
+                F.lit(0.0),
+            )
+        ).alias("std_d"),
+    )
+    z = (F.col("d") - F.col("mean_d")) / F.col("std_d")
+    return (
+        dist.join(F.broadcast(stats), on="label")
+        .filter(F.col("std_d") > 0)
+        .select("vec_id", "label", F.col("d").alias("centroid_dist"), z.alias("z_score"))
+        .filter(F.abs(F.col("z_score")) > 2.0)
+    )

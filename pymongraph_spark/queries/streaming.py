@@ -141,3 +141,43 @@ def st81_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "st82_sliding_window_counts",
+    # 1h windows sliding every 30min: each event lands in exactly two
+    # windows; the oracle enumerates both via time_bucket arithmetic.
+    oracle=f"""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events, (VALUES (0), (1)) g(i)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def st82_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"slide_events_{uuid.uuid4().hex[:8]}"
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
