@@ -181,6 +181,82 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_radius: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with cosine ≥ ``threshold`` and id_a < id_b.
+
+    - ``method='exact'``: all-pairs self-join — O(n²), the oracle
+      baseline (strict left-fold dot product, bit-stable cross-engine).
+    - ``method='lsh'``: sign-LSH multi-table candidate generation (an
+      equi-join on bucket keys, O(n·L + candidates)) followed by the same
+      exact cosine verification — the 100 TB path; recall is tuned by
+      (n_planes, n_tables, probe_radius) exactly as in similarity.lsh_topk.
+    """
+    from pymongraph_spark.functions.vectors import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if method == "exact":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        from itertools import combinations
+
+        from pymongraph_spark.operators.similarity import _bucket_expr
+
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        masks = [0]
+        for r in range(1, probe_radius + 1):
+            masks.extend(
+                sum(1 << i for i in bits)
+                for bits in combinations(range(n_planes), r)
+            )
+
+        def buckets(df, out_id, probe):
+            cols = []
+            for t in range(n_tables):
+                bk = _bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
+                for m in masks if probe else [0]:
+                    cols.append(
+                        bk.bitwiseXOR(F.lit(m).cast("long"))
+                        .bitwiseOR(F.lit(t << n_planes).cast("long"))
+                    )
+            return df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.array(*cols)).alias("bucket"),
+            )
+
+        cand = (
+            buckets(_spread(emb), "id_a", probe=False)
+            .join(buckets(_spread(emb), "id_b", probe=True), on="bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(
+            a, on="id_a"
+        ).join(b, on="id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 # Bit masks 2^0..2^63 as a literal long array (2^63 wraps to long min —
 # fine, it's only a mask). Shift amounts can't be lambda Columns, so the
 # bit loop transforms over this constant array instead.

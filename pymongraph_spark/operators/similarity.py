@@ -65,16 +65,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes.tolist()
 
 
-def sign_lsh_buckets(
-    df: DataFrame,
-    dim: int,
-    n_planes: int = 12,
-    vec_col: str = "embedding",
-    seed: int = 42,
-) -> DataFrame:
-    """Append a ``bucket`` column = sign-bit key over n_planes hyperplanes.
-    Pure Column arithmetic: each bit is a dot product against a literal
-    plane (whole-stage codegen; planes are plan constants, no join)."""
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Sign-bit bucket key over n_planes seeded hyperplanes, as a pure
+    Column expression: each bit is a dot product against a literal plane
+    (whole-stage codegen; planes are plan constants, no join)."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -87,7 +81,18 @@ def sign_lsh_buckets(
         bucket = bucket.bitwiseOR(
             F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Append a ``bucket`` column = sign-bit key over n_planes hyperplanes."""
+    return df.withColumn("bucket", _bucket_expr(vec_col, dim, n_planes, seed))
 
 
 def lsh_topk(
@@ -100,27 +105,46 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     probe_radius: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's probe
-    buckets (multi-probe: the exact bucket plus every bucket within
-    Hamming distance ``probe_radius`` — flipping the least-confident
-    bits is the classic recall lever that costs probes, not a bigger
-    index), then exact cosine re-rank. Cost is the bucket equi-join
-    instead of |Q|×n; the corpus side is bucketed once."""
-    cb = sign_lsh_buckets(corpus, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
-    )
-    qb = sign_lsh_buckets(queries, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
-    )
-    if probe_radius >= 1:
-        flips = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(n_planes)
-        ]
-        qb = qb.select(
-            "query_id", "__qv", F.explode(F.array(*flips)).alias("bucket")
+    buckets, then exact cosine re-rank. Two recall levers, composable:
+
+    - multi-probe (``probe_radius``): probe the exact bucket plus every
+      bucket within that Hamming distance — more probes per query, same
+      index size;
+    - multiple hash tables (``n_tables``): L independent hyperplane sets;
+      a candidate matches if it collides in ANY table — the classic LSH
+      amplification. Index is L× larger, but for near-uniform corpora
+      (where any single table's nearest-neighbor collision probability
+      is low) it buys far more recall per candidate than deeper probing.
+
+    Cost is a bucket equi-join instead of |Q|×n; the corpus side is
+    bucketed once per table (one narrow projection, no shuffle — the
+    join key includes the table id so tables never cross-match)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        masks.extend(
+            sum(1 << i for i in bits) for bits in combinations(range(n_planes), r)
         )
+
+    def with_buckets(df, out_id, out_vec, probe):
+        cols = []
+        for t in range(n_tables):
+            b = _bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
+            keys = [b.bitwiseXOR(F.lit(m).cast("long")) for m in (masks if probe else [0])]
+            # table id packed into the high bits so tables never cross-match
+            cols.extend(k.bitwiseOR(F.lit(t << n_planes).cast("long")) for k in keys)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(F.array(*cols)).alias("bucket"),
+        )
+
+    cb = with_buckets(corpus, "neighbor_id", "__cv", probe=False)
+    qb = with_buckets(queries, "query_id", "__qv", probe=True)
     scored = (
         cb.join(F.broadcast(qb), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -147,15 +147,42 @@ def s50_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs — exact all-pairs mode is the oracle
+# baseline (strict left-fold cosine, bit-stable); the LSH candidate mode
+# is the 100 TB path, equivalence-tested in test_graph_algos.py.
+# Threshold 0.45 → 14 pairs at sf0.01 (non-vacuous; corpus max cosine
+# ≈ 0.513).
+# --------------------------------------------------------------------------
+@query(
+    "d44_embedding_near_dup",
+    oracle=f"""
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_SQL_COSINE} AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE {_SQL_COSINE} >= 0.45
+    """,
+)
+def d44_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_dup_pairs(emb, threshold=0.45, method="exact")
+
+
+# --------------------------------------------------------------------------
 # Sign-LSH approximate top-k — bucketed scale path; hyperplanes are a
 # seeded numpy constant the oracle can't reproduce → rows-only gate, with
-# recall vs s50 asserted in unit tests.
+# recall vs s50 asserted in unit tests. Config = 4 tables × 8 planes ×
+# radius-2 probing: candidate fraction 4·37/2^8 ≈ 0.58 of brute force
+# (scale-invariant — per-bucket occupancy grows linearly with n), recall
+# 32/40 on the near-uniform sf0.01 corpus.
 # --------------------------------------------------------------------------
 @query("s51_cosine_topk_lsh")
 def s51_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=10)
+    return lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=8, probe_radius=2, n_tables=4
+    )
 
 
 # --------------------------------------------------------------------------

@@ -94,6 +94,59 @@ def test_lsh_recall_vs_bruteforce(spark, sf_small):
         assert key in exact_scores and abs(exact_scores[key] - r["cosine_sim"]) < 1e-12
 
 
+def test_lsh_multi_table_improves_recall(spark, sf_small):
+    """L independent hash tables (the classic amplification) must not lose
+    recall vs a single table at the same planes/probe settings — on the
+    near-uniform synthetic corpus it roughly triples it."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(**kw):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, queries, dim=64, k=3, **kw).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    one = recall(n_planes=8, probe_radius=1, n_tables=1)
+    four = recall(n_planes=8, probe_radius=1, n_tables=4)
+    assert four >= one, f"multi-table recall regressed: {four} < {one}"
+    assert four >= 0.3, f"4-table recall suspiciously low: {four}"
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, sf_small):
+    """The LSH candidate path must verify to a subset of the exact
+    all-pairs result with identical cosines, and at generous probe
+    settings it recovers the full set (500 near-uniform vectors)."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_dup_pairs(emb, threshold=0.4, method="exact").collect()
+    }
+    assert exact, "exact mode found no pairs at 0.4 — vacuous test"
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_dup_pairs(
+            emb, threshold=0.4, method="lsh", dim=64,
+            n_planes=6, n_tables=8, probe_radius=2,
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(exact[k] - v) < 1e-12
+    assert len(lsh) / len(exact) >= 0.8, f"LSH missed too many: {len(lsh)}/{len(exact)}"
+
+
 def test_vectorized_cosine_matches_exact(spark, sf_small):
     from pymongraph_spark.catalog import load_tables
     from pymongraph_spark.operators.similarity import (
