@@ -925,3 +925,108 @@ def q36_event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(gap) <= 300)
         .select("event_id_a", "event_id_b", "user_id", gap.cast("bigint").alias("gap_seconds"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — 7-way join (part, supplier,
+# lineitem, orders, customer, nation×2, region) with a conditional-sum
+# ratio per order year. Both sums are decimal-exact, so the double
+# division is bit-identical cross-engine. nation/region are broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q37_national_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {SUM_D.format("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             / {SUM_D.format('volume')} AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def q37_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_regionkey").alias("__rk1")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("nation")
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("__rk")
+    )
+    joined = (
+        t["part"].filter(F.col("p_type") == "ECONOMY")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__nk1"))
+        .join(F.broadcast(asia), F.col("__rk1") == F.col("__rk"), "left_semi")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__nk2"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
+                / dsum("volume")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: potential part promotion — nested semi-join over a
+# grouped HAVING (suppliers who shipped > threshold of any matching part),
+# joined out to nation for reporting. The semi-join keeps the probe side
+# skinny; the grouped subquery is a two-phase hash agg.
+# --------------------------------------------------------------------------
+@query(
+    "q38_potential_part_promotion",
+    oracle=f"""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING {SUM_D.format('l_quantity')} > 120.0
+    )
+    """,
+)
+def q38_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy_suppliers = (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 120.0)
+        .select(F.col("l_suppkey").alias("__sk"))
+    )
+    return (
+        t["supplier"]
+        .join(heavy_suppliers, F.col("s_suppkey") == F.col("__sk"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -181,3 +181,39 @@ def st82_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "st83_streaming_dedup",
+    # The stream is unioned with itself (every event arrives twice);
+    # dropDuplicatesWithinWatermark(event_id) must collapse the pairs, so
+    # the deduped aggregate equals the batch aggregate over the ORIGINAL
+    # events — a vacuous-proof oracle (without dedup every count doubles).
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st83_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.streaming.dedup import deduped_event_stream
+
+    doubled = (
+        _events_stream(spark, sf_dir)
+        .unionByName(_events_stream(spark, sf_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = deduped_event_stream(doubled, ["event_id"])
+    name = f"dedup_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
