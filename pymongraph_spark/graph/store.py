@@ -17,7 +17,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymongraph_spark.graph.model import EDGE_FIELDS, VERTEX_FIELDS, PropertyGraph
@@ -59,6 +59,84 @@ def load(spark: SparkSession, path: str) -> PropertyGraph | None:
         spark.read.parquet(os.path.join(vdir, "vertices")).select(VERTEX_FIELDS),
         spark.read.parquet(os.path.join(vdir, "edges")).select(EDGE_FIELDS),
     )
+
+
+def save_bucketed(
+    g: PropertyGraph, table_prefix: str, buckets: int = 64
+) -> None:
+    """Persist the graph as Spark BUCKETED tables — the at-scale layout
+    (SURVEY §4 physical design, proven shuffle-free in test_bucketing.py):
+
+    - ``{prefix}_vertices``: bucketed + sorted by ``id`` → hydration and
+      induced-subgraph joins shuffle only the (small) id-list side.
+    - ``{prefix}_adjacency``: BOTH orientations of every edge (``key`` =
+      the incident vertex, src/dst keep the original direction), bucketed
+      + sorted by ``key`` → the undirected frontier expansion — the $or
+      join the reference does per-vertex (mongraph.py:236-241) — becomes
+      a single bucket-local probe per hop: the huge edge side is never
+      shuffled, only the frontier moves.
+
+    Doubling the edge table is the standard space-for-shuffle trade: at
+    100 TB, rewriting 2× edges once beats re-shuffling them every hop of
+    every traversal.
+    """
+    g.vertices.select(VERTEX_FIELDS).write.bucketBy(buckets, "id").sortBy(
+        "id"
+    ).mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_vertices")
+    fwd = g.edges.select(F.col("src").alias("key"), *EDGE_FIELDS)
+    rev = g.edges.select(F.col("dst").alias("key"), *EDGE_FIELDS)
+    fwd.unionByName(rev).write.bucketBy(buckets, "key").sortBy("key").mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{table_prefix}_adjacency")
+
+
+def load_bucketed(spark: SparkSession, table_prefix: str):
+    """Returns (PropertyGraph over the bucketed vertices + forward-only
+    edges, adjacency DataFrame). The adjacency frame carries the bucket
+    metadata — joins on ``key`` against it are Exchange-free on its side."""
+    vertices = spark.table(f"{table_prefix}_vertices")
+    adjacency = spark.table(f"{table_prefix}_adjacency")
+    edges = adjacency.filter(F.col("key") == F.col("src")).select(EDGE_FIELDS)
+    return PropertyGraph(vertices, edges), adjacency
+
+
+def k_hop_bucketed(
+    adjacency: DataFrame, roots, depth: int
+) -> tuple["DataFrame", "DataFrame"]:
+    """k-hop BFS over the bucketed adjacency table: per hop, one
+    bucket-local semi-probe of adjacency (no shuffle of the edge side)
+    + anti-join against visited. Same semantics as traversal.k_hop.
+    """
+    spark = adjacency.sparkSession
+    if isinstance(roots, DataFrame):
+        frontier = roots.select("id").distinct()
+    else:
+        ids = [int(roots)] if not isinstance(roots, (list, tuple, set)) else [int(r) for r in roots]
+        frontier = spark.createDataFrame([(i,) for i in ids], "id: long")
+    visited = frontier.localCheckpoint(eager=True)
+    edge_levels: list[DataFrame] = []
+    for _ in range(depth):
+        e = adjacency.join(
+            frontier.withColumnRenamed("id", "key"), on="key", how="left_semi"
+        )
+        edge_levels.append(e.localCheckpoint(eager=True))
+        endpoints = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        frontier = endpoints.join(visited, on="id", how="left_anti").localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).distinct().localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    if edge_levels:
+        edges = edge_levels[0]
+        for e in edge_levels[1:]:
+            edges = edges.unionByName(e)
+        edges = edges.select(EDGE_FIELDS).dropDuplicates(["id"])
+    else:
+        edges = adjacency.select(EDGE_FIELDS).limit(0)
+    return visited, edges
 
 
 def merge_into(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGraph:

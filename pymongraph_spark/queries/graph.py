@@ -413,3 +413,44 @@ def g40_update_vertex_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("props")["tier"].alias("tier"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed-store traversal — the at-scale storage layout end-to-end:
+# save the derived graph as bucketed tables (vertices by id, adjacency by
+# incident vertex), then k-hop over the bucketed adjacency (the edge side
+# is never shuffled per hop — proven in test_bucketing.py). Same oracle
+# as g32: the layout must not change the answer.
+# --------------------------------------------------------------------------
+@query(
+    "g41_bucketed_two_hop",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , hop1 AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e WHERE src = 4 OR dst = 4
+        UNION ALL SELECT dst FROM e WHERE src = 4 OR dst = 4
+        UNION ALL SELECT 4
+      )
+    ),
+    hop2 AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e WHERE src IN (SELECT id FROM hop1) OR dst IN (SELECT id FROM hop1)
+        UNION ALL
+        SELECT dst FROM e WHERE src IN (SELECT id FROM hop1) OR dst IN (SELECT id FROM hop1)
+        UNION ALL SELECT id FROM hop1
+      )
+    )
+    SELECT h.id, v.label FROM hop2 h JOIN v ON h.id = v.id
+    """,
+)
+def g41_bucketed_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.graph.store import k_hop_bucketed, load_bucketed, save_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    prefix = f"g41_graph_{abs(hash(sf_dir)) % 10**8}"
+    g = tpch_graph(spark, sf_dir)
+    save_bucketed(g, prefix, buckets=8)
+    gb, adjacency = load_bucketed(spark, prefix)
+    visited, _edges = k_hop_bucketed(adjacency, 4, depth=2)
+    return visited.join(gb.vertices, on="id", how="inner").select("id", "label")

@@ -51,3 +51,58 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path, sf_small):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.sql("DROP TABLE IF EXISTS bk_vertices")
     spark.sql("DROP TABLE IF EXISTS bk_edges")
+
+
+def test_bucketed_store_khop_matches_generic(spark, sf_small):
+    """save_bucketed/load_bucketed/k_hop_bucketed: same visited set and
+    edge set as the generic traversal, and the per-hop adjacency probe
+    never shuffles the adjacency side (the only Exchange is the frontier)."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.graph.model import PropertyGraph
+    from pymongraph_spark.graph.store import k_hop_bucketed, load_bucketed, save_bucketed
+    from pymongraph_spark.graph.traversal import k_hop
+
+    t = load_tables(spark, sf_small)
+    vertices = (
+        t["customer"].select((F.col("c_custkey") * 4).alias("id"))
+        .unionByName(t["orders"].select((F.col("o_orderkey") * 4 + 1).alias("id")))
+        .withColumn("label", F.lit("v"))
+        .withColumn("props", F.create_map().cast("map<string,string>"))
+    )
+    edges = t["orders"].select(
+        (F.col("o_orderkey") * 2).alias("id"),
+        (F.col("o_custkey") * 4).alias("src"),
+        (F.col("o_orderkey") * 4 + 1).alias("dst"),
+        F.lit("placed").alias("label"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    g = PropertyGraph(vertices, edges)
+    root = vertices.select(F.min("id")).first()[0]
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    save_bucketed(g, "bk_store", buckets=8)
+    try:
+        gb, adjacency = load_bucketed(spark, "bk_store")
+
+        # plan hygiene: semi-probe of adjacency must not shuffle adjacency
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # narrow-filter frontier (a limit would add its own single-partition
+        # Exchange and muddy the count)
+        frontier = vertices.select("id").filter(F.col("id") <= root + 40)
+        probe = adjacency.join(
+            frontier.withColumnRenamed("id", "key"), on="key", how="left_semi"
+        )
+        plan = _plan(probe)
+        assert plan.count("Exchange") == 1, plan[:2000]  # frontier side only
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+        vb, eb = k_hop_bucketed(adjacency, root, depth=2)
+        vg, eg = k_hop(g, root, depth=2)
+        assert {r["id"] for r in vb.collect()} == {r["id"] for r in vg.collect()}
+        assert {r["id"] for r in eb.collect()} == {r["id"] for r in eg.collect()}
+        # orientation preserved: bucketed edges equal the original rows
+        orig = {(r["id"], r["src"], r["dst"]) for r in edges.collect()}
+        assert {(r["id"], r["src"], r["dst"]) for r in eb.collect()} <= orig
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_store_vertices")
+        spark.sql("DROP TABLE IF EXISTS bk_store_adjacency")
