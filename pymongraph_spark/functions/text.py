@@ -50,6 +50,24 @@ def char_shingles(c: Column | str, n: int = 5) -> Column:
     return F.when(F.length(norm) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+# GPT-2-style pre-tokenizer approximation: contraction suffixes, then
+# space-prefixed letter runs, digit runs, punctuation runs. No lookarounds,
+# so the same pattern runs under Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_ish_tokens(c: Column | str) -> Column:
+    """Subword-boundary token pieces under the BPE-ish pre-tokenizer —
+    the standard 'how many tokens will the model see' estimator shape
+    (whitespace token_count underestimates punctuation-heavy text)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(c)).cast("bigint")
+
+
 def normalized_text(c: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, collapsed whitespace."""
     c = F.col(c) if isinstance(c, str) else c

@@ -19,6 +19,8 @@ verification all stay JVM-side; there is no Python in the per-row path.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,6 +174,101 @@ def minhash_lsh_pairs(
     verified = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"), on="doc_id_a")
         .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"), on="doc_id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        verified.select("doc_id_a", "doc_id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# Engine-neutral MinHash machinery: Spark's murmur3/xxhash64 cannot be
+# reproduced in SQL, so the oracle-checkable variant hashes tokens through
+# md5 (both engines agree bit-for-bit) and permutes with a seeded affine
+# family (a*h + b) mod p over the Mersenne prime 2^31-1. All operands stay
+# < 2^62, so 64-bit integer arithmetic never overflows in either engine.
+MINHASH_P = (1 << 31) - 1
+_MINHASH_SEED = 0x5EED
+_rng = random.Random(_MINHASH_SEED)
+MINHASH_AB: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(64)
+]
+del _rng
+
+
+def _md5_hash48(c) -> "F.Column":
+    """First 12 md5 hex digits as a 48-bit integer, reduced mod P —
+    deterministic and identical across Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long") % F.lit(MINHASH_P)
+    )
+
+
+def minhash_lsh_pairs_neutral(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_lsh_pairs with the engine-neutral hash family, so the FULL
+    pipeline (signatures → banding → candidate join → exact-Jaccard
+    verification) is reproducible in ANSI SQL and sits under the oracle
+    gate. Same plan shape as the murmur3 variant: one codegen'd signature
+    pass, an equi-join on (band, key), verification join.
+    """
+    assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
+    rows = num_hashes // bands
+    s = shingled(docs, text_col, id_col, n)
+    hashes = F.transform(F.col("shingles"), _md5_hash48)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in MINHASH_AB[:num_hashes]
+        ]
+    )
+    sig = F.transform(
+        ab,
+        lambda st: F.array_min(
+            F.transform(hashes, lambda h: (st["a"] * h + st["b"]) % F.lit(MINHASH_P))
+        ),
+    )
+    sigd = s.withColumn("signature", sig).persist()
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.cast("int").alias("band"),
+                    F.concat_ws(",", F.slice("signature", bi * rows + 1, rows)).alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+
+    left = banded.select("band", "key", F.col("doc_id").alias("doc_id_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("doc_id_b"))
+    candidates = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sh = sigd.select("doc_id", "shingles")
+    verified = (
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"),
+            on="doc_id_a",
+        ).join(
+            sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"),
+            on="doc_id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter

@@ -77,3 +77,58 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+FRAME_BYTES = 16
+
+SAMPLED_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_mean double"
+
+
+def attach_fake_video(
+    docs: DataFrame, n_frames: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic multi-frame binary payload: frame i is the 16 md5
+    bytes of ``text#i``, concatenated — distinct per frame, so sampling
+    is observable. Stands in for a real video blob column."""
+    payload = F.unhex(
+        F.concat(
+            *[
+                F.md5(F.concat(F.col(text_col), F.lit(f"#{i}")))
+                for i in range(n_frames)
+            ]
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("video/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("bigint").alias("byte_len"),
+        F.lit(n_frames).cast("int").alias("n_frames"),
+    )
+
+
+def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Sample every k-th fixed-size frame from the payload via
+    mapInPandas — one Arrow pass, one output row per sampled frame
+    (doc_id, frame_idx, frame_mean). The real frame decoder (av) plugs
+    into the marked slice; partitioning/batching/schema are the
+    production shape.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_mean = [], [], []
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                p = bytes(payload)
+                for i in range(0, int(n_frames), every_k):
+                    frame = p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]  # <- real decode here
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_mean.append(sum(frame) / len(frame) / 255.0)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_mean": out_mean}
+            )
+
+    return media.mapInPandas(batches, schema=SAMPLED_FRAME_SCHEMA)

@@ -110,6 +110,68 @@ def d43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Engine-neutral MinHash LSH — the SAME banded pipeline as d42 but with an
+# md5-derived token hash + seeded affine permutations mod 2^31-1, which
+# ANSI SQL can reproduce exactly. This puts the full MinHash path
+# (signatures → banding → candidate join → Jaccard verify) under the
+# hash-match gate instead of rows-only.
+# --------------------------------------------------------------------------
+def _d45_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    from pymongraph_spark.operators.dedup import MINHASH_AB, MINHASH_P
+
+    rows = num_hashes // bands
+    ab_sql = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in MINHASH_AB[:num_hashes]) + "]"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_reduce([CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 12)],
+                         (acc, x) -> acc * 16 + x) % {MINHASH_P} AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ),
+    perm AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             MIN(({ab_sql}[i + 1].a * h + {ab_sql}[i + 1].b) % {MINHASH_P}) AS v
+      FROM tok, perm
+      GROUP BY doc_id, i
+    ),
+    band AS (
+      SELECT doc_id, i // {rows} AS band,
+             string_agg(v, ',' ORDER BY i) AS key
+      FROM sig GROUP BY doc_id, i // {rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+             AS jaccard
+    FROM cand JOIN sh sa ON cand.doc_id_a = sa.doc_id
+              JOIN sh sb ON cand.doc_id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+          >= {threshold}
+    """
+
+
+@query("d45_minhash_lsh_oracle", oracle=_d45_oracle())
+def d45_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs_neutral(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k similarity search (exact baseline).
 # DuckDB oracle recomputes the identical left-fold dot product.
 # --------------------------------------------------------------------------
@@ -379,6 +441,32 @@ def m70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Video frame sampling: multi-frame binary payload (frame i = md5 bytes of
+# text#i) → mapInPandas samples every 2nd frame. The oracle recomputes
+# each sampled frame's byte mean from the md5 hex pairs, proving the
+# Arrow-side slicing/sampling math, not just row counts.
+# --------------------------------------------------------------------------
+@query(
+    "m71_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(list_reduce(
+                 [ (strpos('0123456789abcdef', substr(md5(text || '#' || i), 2*j-1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(text || '#' || i), 2*j, 1)) - 1)
+                   for j in generate_series(1, 16) ],
+                 (a, b) -> a + b) AS DOUBLE) / 16 / 255.0 AS frame_mean
+    FROM documents, (VALUES (0), (2), (4), (6)) g(i)
+    """,
+)
+def m71_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_fake_video, frame_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = attach_fake_video(docs, n_frames=8)
+    return frame_sample(media, every_k=2)
+
+
+# --------------------------------------------------------------------------
 # TF-IDF text analysis built from exact relational ops (explode → tf, df,
 # smoothed idf) — no HashingTF, so it's fully oracle-checkable. ln() is
 # rounded to 9dp before use (Java Math.log vs libm can differ by 1 ulp).
@@ -420,6 +508,42 @@ def t64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting — subword-boundary pre-tokenizer (contractions,
+# space-prefixed letter/digit/punct runs), the "tokens the model will see"
+# estimator. Same lookaround-free regex under Java regex and RE2.
+# --------------------------------------------------------------------------
+@query(
+    "t65_bpe_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+           )) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+           )) AS DOUBLE)
+             / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')), 1)
+             AS fertility
+    FROM documents
+    """,
+)
+def t65_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.text import bpe_ish_token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bpe = bpe_ish_token_count("text")
+    ws = token_count("text")
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        (bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double")).alias("fertility"),
     )
 
 

@@ -184,6 +184,45 @@ def st82_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st84_stateful_user_stats",
+    # applyInPandasWithState accumulates on the same 1e-6 decimal grid as
+    # SUM_D, so the custom stateful operator's final state equals the
+    # batch aggregate bit-for-bit.
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st84_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.streaming.stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    name = f"state_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per micro-batch; the final state
+    # is the row with the largest n_events (cumulative count is monotone
+    # even when values are negative)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_value")
+    )
+
+
+@query(
     "st83_streaming_dedup",
     # The stream is unioned with itself (every event arrives twice);
     # dropDuplicatesWithinWatermark(event_id) must collapse the pairs, so

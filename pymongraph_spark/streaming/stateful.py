@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
-STATE_SCHEMA = "n bigint, total double, mx double"
+STATE_SCHEMA = "n bigint, total_micros bigint, mx double"
 
 
 def _update(
@@ -30,14 +30,22 @@ def _update(
     if state.hasTimedOut:
         state.remove()
         return
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    n, total_micros, mx = state.get if state.exists else (0, 0, float("-inf"))
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # exact integer accumulation on the 1e-6 decimal grid (same
+        # round-half-even quantization as compat.dsum) — a float running
+        # sum would be arrival-order-dependent and break oracle parity
+        total_micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
         mx = max(mx, float(pdf["value"].max()))
-    state.update((n, total, mx))
+    state.update((n, total_micros, mx))
     yield pd.DataFrame(
-        [{"user_id": user_id, "n_events": n, "total_value": total, "max_value": mx}]
+        [{
+            "user_id": user_id,
+            "n_events": n,
+            "total_value": total_micros / 1_000_000,
+            "max_value": mx,
+        }]
     )
 
 

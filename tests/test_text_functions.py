@@ -1,0 +1,72 @@
+"""Text-function unit tests for branches the synthetic corpus never
+exercises (it is punctuation-free word salad): the BPE-ish pre-tokenizer's
+contraction / digit-run / punctuation-run splits, cross-checked against
+DuckDB's RE2 so the t65 oracle stays honest on hostile input.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pymongraph_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    bpe_ish_tokens,
+    token_count,
+)
+
+HOSTILE = [
+    "it's a test",                      # contraction suffix
+    "we'll we've I'm you're they'd",    # all contraction forms
+    "foo123bar",                        # letter/digit boundary
+    "hello, world!!  (parens) [x]",     # punctuation runs + double space
+    "3.14159 costs $1,000.00",          # digits with punctuation
+    "",                                 # empty
+    "   ",                              # whitespace only
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_df(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(HOSTILE)], "id int, text string")
+
+
+def test_bpe_tokens_exact(spark, hostile_df):
+    rows = {r["id"]: r["toks"] for r in hostile_df.select("id", bpe_ish_tokens("text").alias("toks")).collect()}
+    assert rows[0] == ["it", "'s", " a", " test"]
+    assert rows[2] == ["foo", "123", "bar"]
+    assert rows[3] == ["hello", ",", " world", "!!", " (", "parens", ")", " [", "x", "]"]
+    assert rows[5] == []
+    assert rows[6] == []
+
+
+def test_bpe_count_exceeds_ws_on_punctuation(spark, hostile_df):
+    got = hostile_df.select(
+        "id",
+        bpe_ish_token_count("text").alias("bpe"),
+        token_count("text").alias("ws"),
+    ).collect()
+    by_id = {r["id"]: (r["bpe"], r["ws"]) for r in got}
+    # punctuation-heavy strings fragment into MORE pieces than ws tokens
+    assert by_id[3][0] > by_id[3][1]
+    assert by_id[4][0] > by_id[4][1]
+    # contraction splits add exactly one piece each
+    assert by_id[0] == (4, 3)
+
+
+def test_bpe_pattern_matches_duckdb_re2(spark, hostile_df):
+    """The t65 oracle escapes this pattern into DuckDB SQL; prove both
+    engines tokenize hostile input identically (not just the corpus)."""
+    con = duckdb.connect()
+    spark_counts = {
+        r["id"]: r["n"]
+        for r in hostile_df.select("id", bpe_ish_token_count("text").alias("n")).collect()
+    }
+    sql_pat = BPE_ISH_PATTERN.replace("'", "''")
+    for i, s in enumerate(HOSTILE):
+        (n,) = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{sql_pat}'))", [s]
+        ).fetchone()
+        assert n == spark_counts[i], f"engine disagreement on {s!r}: duckdb {n} vs spark {spark_counts[i]}"
