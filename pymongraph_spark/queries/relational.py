@@ -1030,3 +1030,128 @@ def q38_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive OR-of-ANDs join predicate (brand/size/
+# quantity bands). Catalyst extracts the common l_partkey = p_partkey
+# equi-condition so the join stays a hash join with the disjunction as a
+# post-join filter — the classic Q19 optimizer test.
+# --------------------------------------------------------------------------
+@query(
+    "q39_disjunctive_predicates",
+    oracle=f"""
+    SELECT {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q39_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who were the ONLY problem supplier of a
+# multi-supplier order — EXISTS (another supplier in the order) and
+# NOT EXISTS (another problem supplier) over the same table, i.e. a
+# semi-join and an anti-join against two differently-filtered self-views.
+# 'Problem' is l_returnflag = 'R' (the schema has no receipt dates).
+# --------------------------------------------------------------------------
+@query(
+    "q42_sole_problem_supplier",
+    oracle="""
+    WITH probl AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    allsupp AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT p.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+    FROM probl p
+    WHERE EXISTS (SELECT 1 FROM allsupp a
+                  WHERE a.l_orderkey = p.l_orderkey AND a.l_suppkey <> p.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM probl p2
+                      WHERE p2.l_orderkey = p.l_orderkey AND p2.l_suppkey <> p.l_suppkey)
+    GROUP BY p.l_suppkey
+    """,
+)
+def q42_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_tables(spark, sf_dir)["lineitem"]
+    probl = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    allsupp = l.select("l_orderkey", "l_suppkey").distinct()
+    p = probl.alias("p")
+    other_any = allsupp.alias("a")
+    other_probl = probl.alias("p2")
+    exists_other = p.join(
+        other_any,
+        (F.col("p.l_orderkey") == F.col("a.l_orderkey"))
+        & (F.col("p.l_suppkey") != F.col("a.l_suppkey")),
+        "left_semi",
+    )
+    sole = exists_other.alias("p").join(
+        other_probl,
+        (F.col("p.l_orderkey") == F.col("p2.l_orderkey"))
+        & (F.col("p.l_suppkey") != F.col("p2.l_suppkey")),
+        "left_anti",
+    )
+    return sole.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: positive-balance customers above the (decimal-exact)
+# global average with no RECENT orders (every sf0.01 customer has some
+# order, so plain NOT EXISTS would be vacuous) — scalar subquery +
+# filtered anti-join, grouped by nation. The average is quantized
+# identically in both engines so the boundary comparison can't flake.
+# --------------------------------------------------------------------------
+@query(
+    "q43_dormant_rich_customers",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           {SUM_D.format('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT {AVG_D.format('c_acctbal', 'c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q43_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal").alias("v")).first()["v"]
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(recent, on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
