@@ -1155,3 +1155,61 @@ def q43_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles per group — data-quality staple. Spark's
+# percentile() and DuckDB's quantile_cont() both sort the exact multiset
+# and interpolate identically, so this is hash-exact with no quantization.
+# (percentile_approx is the at-scale variant; it is sketch-based and
+# engine-specific, so the exact form carries the oracle.)
+# --------------------------------------------------------------------------
+@query(
+    "q44_event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q44_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram binning: width_bucket over [0, 500) in 20 bins per event type.
+# DuckDB has no width_bucket — the oracle emulates it with the same
+# floor-division arithmetic (identical doubles → identical bins).
+# --------------------------------------------------------------------------
+@query(
+    "q45_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 500.0 THEN 21
+                ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q45_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.select(
+            "event_type",
+            F.expr("width_bucket(value, 0.0, 500.0, 20)").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
