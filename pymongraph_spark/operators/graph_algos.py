@@ -44,7 +44,7 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
 
-    comp = vertices.select("id", F.col("id").alias("component")).persist()
+    comp = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # min neighbor component per vertex
         nbr_min = (
@@ -52,24 +52,23 @@ def connected_components(
             .groupBy(und.src.alias("id2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_comp = (
+        # the changed flag rides along in the same select, so convergence
+        # detection is a scan of the checkpointed result — not a second
+        # join of new vs old components (one fewer shuffle per iteration)
+        new_col = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+        )
+        flagged = (
             comp.join(nbr_min, comp.id == F.col("id2"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+                new_col.alias("new_component"),
+                (new_col < F.col("component")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        comp.unpersist()
-        comp = new_comp.persist()
+        changed = flagged.filter(F.col("__changed")).count()
+        comp = flagged.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     und.unpersist()
