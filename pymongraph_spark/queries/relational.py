@@ -1213,3 +1213,231 @@ def q45_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part. The reduced schema has no
+# partsupp, so unit cost is derived as MIN(l_extendedprice / l_quantity)
+# per (part, supplier) — elementwise double division is bit-identical
+# across engines, and MIN selects (never recombines) doubles, so the
+# correlated "= global min for the part" equality is exact. The per-part
+# min is a broadcastable aggregate joined back, not a correlated rescan.
+# --------------------------------------------------------------------------
+@query(
+    "q46_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal, unit_cost
+    FROM cost
+      JOIN best ON cost.l_partkey = best.l_partkey AND cost.unit_cost = best.min_cost
+      JOIN part ON p_partkey = cost.l_partkey
+      JOIN supplier ON s_suppkey = cost.l_suppkey
+    WHERE p_size = 15
+    """,
+)
+def q46_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = t["part"].filter(F.col("p_size") == 15)
+    return (
+        cost.join(best, on="l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(t["supplier"]), cost.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_cost")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority checking. Count orders in a quarter that
+# have at least one late-shipped lineitem (semi-join EXISTS; the reduced
+# schema has no commit/receipt dates, so "late" = shipped >60 days after
+# the order date). Both engines compare against the same shifted midnight
+# timestamp.
+# --------------------------------------------------------------------------
+@query(
+    "q41_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q41_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by nation and year. partsupp's
+# supplycost is proxied by p_retailprice * l_quantity * 0.1; the profit
+# expression is elementwise double arithmetic quantized by dsum. Part is
+# the only filtered dim (LIKE on name) and broadcasts; the l⋈o join
+# shuffles on orderkey.
+# --------------------------------------------------------------------------
+@query(
+    "q47_profit_by_nation_year",
+    oracle=f"""
+    SELECT s_nationkey AS nationkey,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           {SUM_D.format('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')} AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q47_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping-delay priority split. For lineitems shipped
+# >60 days after order date in 1997, count high-priority (1-URGENT/2-HIGH)
+# vs lower orders per return flag — the CASE-sum conditional-count idiom.
+# --------------------------------------------------------------------------
+@query(
+    "q48_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q48_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join so
+# zero-order customers land in the c_count=0 bucket (the filter excludes
+# URGENT orders, making the outer side non-vacuous), then a second
+# aggregation over the counts — the agg-of-agg histogram idiom.
+# --------------------------------------------------------------------------
+@query(
+    "q49_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q49_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by quarterly revenue — aggregate view +
+# scalar-subquery max + equality join back. Revenue goes through the
+# decimal grid on both sides, so the max-equality is over identical
+# doubles and cannot flake.
+# --------------------------------------------------------------------------
+@query(
+    "q30_top_revenue_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q30_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m")).first()["m"]
+    return (
+        revenue.filter(F.col("total_revenue") == F.lit(max_rev))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
