@@ -120,3 +120,102 @@ def pagerank(
     links.unpersist()
     v.unpersist()
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_depth: int = 3, undirected: bool = True
+) -> DataFrame:
+    """Minimum hop distance from ``source`` to every vertex reachable in
+    ≤ max_depth hops: (id, distance). Classic frontier BFS — the visited
+    anti-join guarantees each vertex is assigned its first (= minimum)
+    depth, so no per-vertex min aggregation is needed.
+
+    Scale: the frontier is the only growing state; each hop is one join
+    shuffle + anti-join against the accumulated distances, with
+    localCheckpoint truncating lineage. The reference's recursive
+    _explode_node (mongraph.py:252-274) re-expands shared neighbors
+    exponentially; this loop touches each vertex once.
+    """
+    adj = edges.select("src", "dst")
+    if undirected:
+        adj = adj.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = adj.distinct().persist()
+
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id: long, distance: long").localCheckpoint(
+        eager=True
+    )
+    frontier = dist.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            # no explicit broadcast: the frontier is checkpointed, so AQE
+            # sees its true size and broadcasts only while it is small
+            adj.join(frontier, adj.src == frontier.id, "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, on="id", how="left_anti")
+            .withColumn("distance", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    adj.unpersist()
+    return dist
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected simple graph:
+    (id, n_triangles) for vertices in ≥1 triangle.
+
+    Edges are canonicalized to unordered pairs, then ORIENTED from the
+    (degree, id)-smaller endpoint to the larger one before the wedge
+    join — the node-iterator++ trick: every wedge is enumerated at its
+    lowest-degree vertex, bounding per-vertex join fan-out by O(sqrt(E))
+    on skewed (power-law) graphs instead of O(max_degree). Each triangle
+    is found exactly once, then exploded to credit all three corners.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionByName(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient edge toward the (deg, id)-larger endpoint
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    with_deg = canon.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).persist()
+
+    # wedges centered at the low endpoint; closing edge looked up in
+    # canonical (unordered) form
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = w1.join(w2, on="x").filter(F.col("y") < F.col("z"))
+    closing = canon.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    triangles = wedges.join(closing, on=["y", "z"], how="left_semi")
+
+    corners = (
+        triangles.select(F.col("x").alias("id"))
+        .unionByName(triangles.select(F.col("y").alias("id")))
+        .unionByName(triangles.select(F.col("z").alias("id")))
+    )
+    result = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return result

@@ -454,3 +454,81 @@ def g41_bucketed_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb, adjacency = load_bucketed(spark, prefix)
     visited, _edges = k_hop_bucketed(adjacency, 4, depth=2)
     return visited.join(gb.vertices, on="id", how="inner").select("id", "label")
+
+
+# --------------------------------------------------------------------------
+# BFS minimum hop distances — distinct from k_hop (which returns the
+# visited SET): every vertex within 3 undirected hops of customer 1 gets
+# its first-reached depth. Oracle: bounded recursive CTE + MIN(dist).
+# --------------------------------------------------------------------------
+@query(
+    "g42_bfs_distances",
+    oracle=ORACLE_GRAPH_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , und AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    bfs AS (
+      SELECT CAST(4 AS BIGINT) AS id, 0 AS dist
+      UNION
+      SELECT und.dst AS id, bfs.dist + 1 AS dist
+      FROM bfs JOIN und ON und.src = bfs.id
+      WHERE bfs.dist < 3
+    )
+    SELECT id, CAST(MIN(dist) AS BIGINT) AS distance
+    FROM bfs GROUP BY id
+    """,
+)
+def g42_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import bfs_distances
+
+    g = tpch_graph(spark, sf_dir)
+    return bfs_distances(g.edges, source=4, max_depth=3, undirected=True)
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — per-vertex counts over the part co-occurrence
+# projection (parts appearing together in ≥2 distinct orders; the derived
+# property graph itself is tripartite and triangle-free). The Spark
+# operator orients edges by degree before the wedge join (node-iterator++,
+# skew-bounded); the oracle is the naive a<b<c three-way join — different
+# algorithms, identical triangle set.
+# --------------------------------------------------------------------------
+@query(
+    "g43_triangle_counts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    eg AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
+    tri AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      FROM eg e1 JOIN eg e2 ON e1.p2 = e2.p1
+                 JOIN eg e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT id, COUNT(*) AS n_triangles FROM (
+      SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ) GROUP BY id
+    """,
+)
+def g43_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(co)

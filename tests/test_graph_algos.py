@@ -171,3 +171,42 @@ def test_vectorized_cosine_matches_exact(spark, sf_small):
         fnid, fsim = fast[key]
         assert fnid == nid, f"rank order diverged at {key}"
         assert abs(fsim - sim) < 1e-9
+
+
+def test_bfs_distances_chain_with_shortcut(spark):
+    # 0-1-2-3-4 chain plus shortcut 0-3: distance(3) must be 1, not 3
+    _, e = _vng(spark, 5, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)])
+    from pymongraph_spark.operators.graph_algos import bfs_distances
+
+    d = {r["id"]: r["distance"] for r in bfs_distances(e, source=0, max_depth=4).collect()}
+    assert d == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_bfs_distances_depth_bound_and_direction(spark):
+    _, e = _vng(spark, 4, [(1, 0), (2, 1), (3, 2)])  # edges point TOWARD 0
+    from pymongraph_spark.operators.graph_algos import bfs_distances
+
+    und = {r["id"]: r["distance"] for r in bfs_distances(e, 0, max_depth=2).collect()}
+    assert und == {0: 0, 1: 1, 2: 2}  # 3 is beyond the bound
+    directed = {r["id"]: r["distance"] for r in bfs_distances(e, 0, 3, undirected=False).collect()}
+    assert directed == {0: 0}  # nothing reachable following edge direction
+
+
+def test_triangle_count_known_graph(spark):
+    # triangle 0-1-2, square 3-4-5-6 (no triangle), pendant 2-7,
+    # plus K4 on 8-11 (4 triangles, 3 per corner)
+    k4 = [(a, b) for a in range(8, 12) for b in range(a + 1, 12)]
+    _, e = _vng(spark, 12, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 6), (6, 3), (2, 7)] + k4)
+    from pymongraph_spark.operators.graph_algos import triangle_count
+
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 8: 3, 9: 3, 10: 3, 11: 3}
+
+
+def test_triangle_count_ignores_duplicates_and_direction(spark):
+    # both orientations + repeats of the same triangle edges
+    _, e = _vng(spark, 3, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 1)])
+    from pymongraph_spark.operators.graph_algos import triangle_count
+
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
