@@ -423,3 +423,70 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_neutral(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash with the engine-neutral md5 token hash (first 12 md5
+    hex digits = 48 independent bits), so the whole fingerprint is
+    reproducible in ANSI SQL. Same plan shape as the xxhash64 variant:
+    one codegen'd pass, bit loop as an array transform, no UDFs."""
+    docs = _spread(docs)
+    toks = F.array_distinct(tokens(text_col))
+    # full 48-bit value (no mod-P reduction — bits must stay independent)
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(48)])
+    bit_counts = F.transform(
+        masks,
+        lambda m: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_counts,
+            masks,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_pairs_neutral(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """simhash_pairs over the engine-neutral 48-bit fingerprint: 4 chunks
+    of 12 bits (pigeonhole covers Hamming ≤ 3), candidate equi-join on
+    (chunk, value), exact Hamming verify. Returns
+    (doc_id_a, doc_id_b, hamming)."""
+    sh = simhash_neutral(docs, text_col, id_col).persist()
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned("simhash", i * 12)
+                .bitwiseAND(F.lit(0xFFF).cast("long"))
+                .alias("chunk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    chunks = sh.select("doc_id", "simhash", F.explode(chunk_structs).alias("cc")).select(
+        "doc_id", "simhash", "cc.chunk", "cc.chunk_val"
+    )
+    a = chunks.select("chunk", "chunk_val", F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk", "chunk_val", F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on=["chunk", "chunk_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -689,3 +689,61 @@ def s55_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("d").alias("centroid_dist"), z.alias("z_score"))
         .filter(F.abs(F.col("z_score")) > 2.0)
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-neutral SimHash — same idea as d45: the xxhash64 fingerprint of
+# d43 stays rows-only, but a 48-bit simhash built from md5 token hashes is
+# reproducible in ANSI SQL, putting the full fingerprint → chunk-banding →
+# Hamming-verify pipeline under the hash-match gate. The sf0.01 corpus has
+# no Hamming≤3 pair, so the gate emits every pair that shares a 12-bit
+# chunk with its exact Hamming distance — non-vacuous at every scale, and
+# the ≤3 near-dup decision is just a filter on the emitted column.
+# --------------------------------------------------------------------------
+_D46_MAX_HAMMING = 48  # emit all chunk-sharing pairs; see comment above
+
+
+def _d46_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 12)],
+                         (acc, x) -> acc * 16 + x) AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d WHERE len(toks) >= 1)
+    ),
+    bits AS (SELECT unnest(generate_series(0, 47)) AS b),
+    cnt AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, bits GROUP BY doc_id, b
+    ),
+    sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+      FROM cnt GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, i AS chunk,
+             (simhash // (CAST(1 AS BIGINT) << (12 * i))) % 4096 AS chunk_val
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS i) t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    """
+
+
+@query("d46_simhash_oracle", oracle=_d46_oracle())
+def d46_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import simhash_pairs_neutral
+    from pymongraph_spark.functions.text import tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs = docs.filter(F.size(tokens("text")) >= 1)
+    pairs = simhash_pairs_neutral(docs, max_hamming=_D46_MAX_HAMMING)
+    return pairs.select("doc_id_a", "doc_id_b", F.col("hamming").cast("bigint").alias("hamming"))

@@ -70,3 +70,26 @@ def test_bpe_pattern_matches_duckdb_re2(spark, hostile_df):
             f"SELECT len(regexp_extract_all(?, '{sql_pat}'))", [s]
         ).fetchone()
         assert n == spark_counts[i], f"engine disagreement on {s!r}: duckdb {n} vs spark {spark_counts[i]}"
+
+
+def test_simhash_neutral_locality(spark):
+    """Identical docs → Hamming 0; one-word perturbation → small distance;
+    unrelated text → large distance. (The full pipeline is oracle-gated in
+    d46; this pins the locality property the fingerprint exists for.)"""
+    from pymongraph_spark.operators.dedup import simhash_neutral
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("river", "ocean")),
+            (4, "completely unrelated text about spark shuffle partitions and joins"),
+        ],
+        "doc_id: long, text: string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_neutral(docs).collect()}
+    ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")
+    assert ham(1, 2) == 0
+    assert 0 < ham(1, 3) <= 12
+    assert ham(1, 4) > 12
