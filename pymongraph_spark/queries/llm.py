@@ -5,7 +5,7 @@ north-star extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pymongraph_spark.catalog import load_tables
@@ -747,3 +747,83 @@ def d46_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.filter(F.size(tokens("text")) >= 1)
     pairs = simhash_pairs_neutral(docs, max_hamming=_D46_MAX_HAMMING)
     return pairs.select("doc_id_a", "doc_id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — the concat-and-chunk idiom of LLM pretraining: within
+# each language shard, documents are laid out in doc_id order and chopped
+# into fixed 4096-token context bins by exclusive-cumsum division. The
+# window is per-lang (the shard key), so packing parallelizes across
+# shards at scale instead of forcing a global sort. All-integer → exact.
+# --------------------------------------------------------------------------
+@query(
+    "t66_sequence_packing",
+    oracle=f"""
+    WITH tc AS (
+      SELECT lang, doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS offset_tokens
+      FROM tc
+    )
+    SELECT lang, offset_tokens // 4096 AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM placed GROUP BY lang, bin
+    """,
+)
+def t66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    placed = docs.select(
+        "lang", "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    ).withColumn("offset_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        placed.groupBy("lang", (F.col("offset_tokens") / 4096).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split — hash-based (never random()): bucket
+# = first 8 md5 hex digits of the doc id, mod 100 → 80/10/10. Rerunning on
+# a grown corpus keeps every previously-assigned document in its split,
+# which is what makes hash splits (not row_number ranges) the correct
+# at-scale design. md5 keeps the assignment engine-neutral.
+# --------------------------------------------------------------------------
+@query(
+    "t67_deterministic_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             list_reduce([CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 8)],
+                         (acc, x) -> acc * 16 + x) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def t67_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1441,3 +1441,62 @@ def q30_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization — the lag/flag/cumsum window idiom (the batch twin
+# of st81's streaming session_window). Timestamps are floored to epoch
+# seconds (identical in both engines regardless of the parquet NANOS
+# physical type) and ordering is (second, event_id), so session boundaries
+# are bit-deterministic. The corpus spans 30 days with ~11 h between a
+# user's events on average; a 4 h inactivity threshold yields ~6.9k
+# sessions at sf0.01 with both merged and split boundaries exercised.
+# --------------------------------------------------------------------------
+@query(
+    "q50_batch_sessionization",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN sec - lag(sec) OVER w > 14400 OR lag(sec) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, sec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+           MAX(sec) - MIN(sec) AS duration_sec
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def q50_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = e.select("user_id", "event_id", sec.alias("sec")).withColumn(
+        "is_new",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 14400)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
