@@ -770,9 +770,9 @@ def d46_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
                       0) AS offset_tokens
       FROM tc
     )
-    SELECT lang, offset_tokens // 4096 AS bin,
+    SELECT lang, CAST(offset_tokens // 4096 AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc
     FROM placed GROUP BY lang, bin
     """,

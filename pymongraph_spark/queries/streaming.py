@@ -256,3 +256,38 @@ def st83_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     )
+
+
+@query(
+    "st85_stream_static_enrichment",
+    # Stream-static join: the streaming events are enriched against the
+    # static customer dim (re-read per micro-batch in Spark's semantics —
+    # deterministic here because the dim is immutable), then aggregated
+    # per market segment. At scale the static side is a broadcast join
+    # per micro-batch; no state store is involved at all.
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def st85_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.catalog import load_tables
+
+    customers = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
+    stream = _events_stream(spark, sf_dir).join(
+        customers, F.col("user_id") == F.col("c_custkey"), "inner"
+    )
+    agg = stream.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    name = f"enrich_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -105,3 +105,53 @@ def test_s50_corpus_side_never_shuffles_before_scoring(spark):
     plan = _plan(df)
     # queries broadcast: scoring join must be broadcast, not sort-merge
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q47_dims_broadcast_no_cartesian(spark):
+    """Q9 shape: filtered part and supplier are broadcast; the only
+    shuffle join is lineitem⋈orders on orderkey."""
+    df = QUERIES["q47_profit_by_nation_year"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q46_min_cost_uses_pushdown_and_hash_joins(spark):
+    """Q2 shape: p_size predicate reaches the part scan; the min-cost
+    equality join back stays a hash join."""
+    df = QUERIES["q46_min_cost_supplier"](spark, SF_SMALL)
+    fmt = _formatted(df)
+    assert "PushedFilters" in fmt and "p_size" in fmt
+    assert "CartesianProduct" not in _plan(df)
+
+
+def test_q50_sessionization_single_window_exchange(spark):
+    """Sessionization shuffles once on user_id; the lag and cumsum windows
+    reuse the same partitioning rather than re-exchanging."""
+    df = QUERIES["q50_batch_sessionization"](spark, SF_SMALL)
+    plan = _plan(df)
+    # exchanges: one hashpartitioning(user_id) for the windows + the final
+    # agg's partial/final pair may reuse it; what we pin is that adding the
+    # second window fn did NOT add a second user_id exchange
+    assert plan.count("hashpartitioning(user_id") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_no_cartesian(spark):
+    """Triangle counting: wedge join + closing-edge semi-join must all be
+    equi hash joins, never nested-loop."""
+    df = QUERIES["g43_triangle_counts"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t66_packing_windows_partition_by_shard(spark):
+    """Sequence packing must window per lang shard (parallel), not over a
+    single global partition."""
+    df = QUERIES["t66_sequence_packing"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "hashpartitioning(lang" in plan
+    # a global (empty-partition-spec) window would show SinglePartition
+    assert "SinglePartition" not in plan
