@@ -219,3 +219,63 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     result = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     return result
+
+
+def shortest_paths_weighted(
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    max_hops: int = 4,
+    undirected: bool = False,
+) -> DataFrame:
+    """Minimum-cost path (≤ max_hops edges) from ``source``: (id, cost).
+    Hop-bounded Bellman-Ford: each round relaxes every edge once via a
+    join on the current tentative costs, keeping the per-vertex min. With
+    integer weights the min-fold is exact, so results are engine-portable.
+
+    Scale: state is one (id, cost) row per reached vertex; each round is
+    one join + min-aggregate shuffle pair, lineage cut per round. Rounds
+    are bounded by max_hops, not |V| — the right contract for "cost
+    within k hops" queries on 100 TB graphs (a full Bellman-Ford fixpoint
+    over a long-diameter graph belongs in GraphFrames/Pregel, not here).
+    """
+    adj = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    if undirected:
+        adj = adj.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col(weight_col).alias("w")
+            )
+        )
+    # parallel edges: only the cheapest matters
+    adj = adj.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+
+    spark = edges.sparkSession
+    best = spark.createDataFrame([(source, 0)], "id: long, cost: long").localCheckpoint(eager=True)
+    # frontier = vertices whose cost improved last round (only they can
+    # propagate improvements, so relaxation work shrinks as costs settle)
+    frontier = best
+    for _ in range(max_hops):
+        candidates = (
+            adj.join(frontier, adj.src == frontier.id)
+            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        merged = (
+            best.unionByName(candidates)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.alias("m")
+            .join(best.alias("b"), on="id", how="left")
+            .filter(F.col("b.cost").isNull() | (F.col("m.cost") < F.col("b.cost")))
+            .select("id", F.col("m.cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            best = merged
+            break
+        best = merged
+        frontier = improved
+    adj.unpersist()
+    return best

@@ -532,3 +532,49 @@ def g43_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(co)
+
+
+# --------------------------------------------------------------------------
+# Hop-bounded weighted shortest paths (Bellman-Ford relaxation) — min COST
+# within ≤3 hops of customer 1, with integer per-label edge weights
+# (placed=1, contains=2, supplied_by=3) so the min-fold is exact in both
+# engines. The oracle enumerates all ≤3-hop paths in a bounded recursive
+# CTE and takes the per-vertex min; BFS (g42) would give hop counts, not
+# costs — a path of two cheap edges can beat one expensive edge here.
+# --------------------------------------------------------------------------
+_G44_WEIGHT = "CASE label WHEN 'placed' THEN 1 WHEN 'contains' THEN 2 ELSE 3 END"
+
+
+@query(
+    "g44_weighted_shortest_paths",
+    oracle=ORACLE_GRAPH_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + f"""
+    , und AS (
+      SELECT src, dst, {_G44_WEIGHT} AS w FROM e
+      UNION ALL
+      SELECT dst, src, {_G44_WEIGHT} AS w FROM e
+    ),
+    walk AS (
+      SELECT CAST(4 AS BIGINT) AS id, CAST(0 AS BIGINT) AS cost, 0 AS hops
+      UNION
+      SELECT und.dst, walk.cost + und.w, walk.hops + 1
+      FROM walk JOIN und ON und.src = walk.id
+      WHERE walk.hops < 3
+    )
+    SELECT id, MIN(cost) AS cost FROM walk GROUP BY id
+    """,
+)
+def g44_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import shortest_paths_weighted
+
+    g = tpch_graph(spark, sf_dir)
+    weighted = g.edges.select(
+        "src",
+        "dst",
+        F.when(F.col("label") == "placed", 1)
+        .when(F.col("label") == "contains", 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("weight"),
+    )
+    return shortest_paths_weighted(weighted, source=4, max_hops=3, undirected=True)

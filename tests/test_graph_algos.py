@@ -210,3 +210,34 @@ def test_triangle_count_ignores_duplicates_and_direction(spark):
 
     got = {r["id"]: r["n_triangles"] for r in triangle_count(e).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_weighted_shortest_paths_two_cheap_beat_one_expensive(spark):
+    from pymongraph_spark.operators.graph_algos import shortest_paths_weighted
+
+    e = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src: long, dst: long, weight: long",
+    )
+    got = {r["id"]: r["cost"] for r in shortest_paths_weighted(e, 0, max_hops=3).collect()}
+    # direct 0→2 costs 10 but 0→1→2 costs 2; vertex 4 is only reachable
+    # within 3 hops THROUGH the expensive edge (0→2→3→4 = 12) — the cheap
+    # route needs 4 hops, so the hop bound forces the pricier path
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 12}
+    # with only 1 hop allowed, the expensive direct edge is the best known
+    got1 = {r["id"]: r["cost"] for r in shortest_paths_weighted(e, 0, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 2: 10}
+
+
+def test_weighted_shortest_paths_parallel_edges_and_undirected(spark):
+    from pymongraph_spark.operators.graph_algos import shortest_paths_weighted
+
+    e = spark.createDataFrame(
+        [(0, 1, 5), (0, 1, 2), (2, 0, 7)],
+        "src: long, dst: long, weight: long",
+    )
+    got = {
+        r["id"]: r["cost"]
+        for r in shortest_paths_weighted(e, 0, max_hops=2, undirected=True).collect()
+    }
+    assert got == {0: 0, 1: 2, 2: 7}  # min parallel edge wins; reverse edge usable
