@@ -827,3 +827,54 @@ def t67_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return docs.groupBy("lang", split.alias("split")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function surface): sentence segmentation as
+# a lateral join — each document row expands to (sentence_idx, sentence,
+# n_chars) rows. UDTFs are row-at-a-time Python (the slow path — fine for
+# API parity; the vectorized twin of this shape is mapInPandas, m70/m71).
+# Trim charset is pinned to ASCII whitespace so the oracle's trim()
+# matches Python's strip() exactly.
+# --------------------------------------------------------------------------
+@query(
+    "t68_sentence_split_udtf",
+    oracle="""
+    WITH fl AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                        s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                         s -> s <> '') AS sentences
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(sentences, 1) - 1 AS INT) AS sentence_idx,
+           unnest(sentences) AS sentence
+    FROM fl
+    """,
+)
+def t68_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for seg in _re.split(r"[.!?]+", text):
+                seg = seg.strip(" \t\n\r")
+                if seg:
+                    yield idx, seg
+                    idx += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("__docs_t68")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM __docs_t68 d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -1500,3 +1500,63 @@ def q50_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("end_sec"),
         (F.max("sec") - F.min("sec")).alias("duration_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF surface, SURVEY §2.13): exact
+# median and IQR per return flag via Arrow-batched numpy. Median/quantile
+# are order-statistic SELECTIONS with one midpoint interpolation — exact
+# doubles, so the Python-side result hash-matches DuckDB's quantile_cont
+# with no decimal grid. (Built-in percentile() covers q44; this query
+# pins the pandas_udf GROUPED_AGG code path itself.)
+# --------------------------------------------------------------------------
+@query(
+    "q51_grouped_agg_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqr_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q51_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _qcont(a: "np.ndarray", q: float) -> float:
+        # DuckDB quantile_cont arithmetic, verbatim: p = q*(n-1),
+        # result = lo*(1-frac) + hi*frac. numpy.percentile's lerp rounds
+        # differently in the last ulp, so we interpolate by hand.
+        p = q * (len(a) - 1)
+        lo = math.floor(p)
+        frac = p - lo
+        if frac == 0.0:
+            return float(a[lo])
+        return float(a[lo] * (1 - frac) + a[lo + 1] * frac)
+
+    # explicit GROUPED_AGG eval type: the module-wide `from __future__
+    # import annotations` turns hints into strings, breaking inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return _qcont(np.sort(v.to_numpy()), 0.5)
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def iqr_udaf(v):
+        a = np.sort(v.to_numpy())
+        return _qcont(a, 0.75) - _qcont(a, 0.25)
+
+    # Spark disallows mixing pandas UDAFs with JVM aggregates in one agg,
+    # so the row count is a pandas UDAF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        median_udaf("l_extendedprice").alias("median_price"),
+        iqr_udaf("l_extendedprice").alias("iqr_price"),
+        count_udaf("l_extendedprice").alias("n"),
+    )
