@@ -31,9 +31,25 @@ def _current_version(path: str) -> str | None:
         return fh.read().strip()
 
 
-def save(g: PropertyGraph, path: str) -> str:
-    """Write a new version and swap the pointer. Returns the version dir."""
+def versions(path: str) -> list[str]:
+    """Retained version ids, oldest → newest (the Delta history analogue)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit())
+
+
+def save(g: PropertyGraph, path: str, keep_versions: int = 2) -> str:
+    """Write a new version and swap the pointer. Returns the version dir.
+
+    ``keep_versions`` retains that many versions INCLUDING the new one, so
+    older snapshots stay readable via ``load(path, version=...)`` — poor
+    man's time travel, same contract as Delta's VERSION AS OF within the
+    retention window. Retention is a count here rather than a timestamp
+    because the version id is itself the commit timestamp.
+    """
     version = f"v{int(time.time() * 1000)}"
+    while os.path.isdir(os.path.join(path, version)):  # same-ms save
+        version = f"v{int(version[1:]) + 1}"
     vdir = os.path.join(path, version)
     g.vertices.select(VERTEX_FIELDS).write.partitionBy("label").parquet(
         os.path.join(vdir, "vertices")
@@ -43,16 +59,18 @@ def save(g: PropertyGraph, path: str) -> str:
     tmp = os.path.join(path, "_CURRENT.tmp")
     with open(tmp, "w") as fh:
         fh.write(version)
-    prev = _current_version(path)
     os.replace(tmp, os.path.join(path, "_CURRENT"))  # atomic pointer swap
-    if prev and prev != version:
-        shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
+    for stale in versions(path)[: -max(keep_versions, 1)]:
+        shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
     return vdir
 
 
-def load(spark: SparkSession, path: str) -> PropertyGraph | None:
-    version = _current_version(path)
-    if version is None:
+def load(
+    spark: SparkSession, path: str, version: str | None = None
+) -> PropertyGraph | None:
+    """Load the current version, or a retained older one (time travel)."""
+    version = version or _current_version(path)
+    if version is None or not os.path.isdir(os.path.join(path, version)):
         return None
     vdir = os.path.join(path, version)
     return PropertyGraph(

@@ -22,6 +22,9 @@ driver's hash-match gate.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -578,3 +581,50 @@ def g44_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weight"),
     )
     return shortest_paths_weighted(weighted, source=4, max_hops=3, undirected=True)
+
+
+# --------------------------------------------------------------------------
+# Versioned-store time travel — the mutation story end-to-end under the
+# gate: persist the graph (v1), cascade-delete the BUILDING-segment
+# customers and persist again (v2), then read BOTH versions back by id.
+# The v1 row proves deletes don't destroy history within the retention
+# window (Delta VERSION AS OF semantics on the parquet version-swap
+# store); the v2 row re-proves the D1 cascade on the post-rollback read.
+# --------------------------------------------------------------------------
+@query(
+    "g45_store_time_travel",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , doomed AS (SELECT c_custkey*4 AS id FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'v1' AS snapshot,
+           (SELECT COUNT(*) FROM v) AS n_vertices,
+           (SELECT COUNT(*) FROM e) AS n_edges
+    UNION ALL
+    SELECT 'v2',
+           (SELECT COUNT(*) FROM v WHERE id NOT IN (SELECT id FROM doomed)),
+           (SELECT COUNT(*) FROM e WHERE src NOT IN (SELECT id FROM doomed)
+                                     AND dst NOT IN (SELECT id FROM doomed))
+    """,
+)
+def g45_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pymongraph_spark.graph import store
+
+    g = tpch_graph(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"g45_store_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store.save(g, path)
+    v1 = store.versions(path)[-1]
+    doomed = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 4).alias("id")
+    )
+    store.save(delete_vertices(g, doomed), path)
+    rows = []
+    for tag, ver in (("v1", v1), ("v2", None)):
+        snap = store.load(spark, path, version=ver)
+        rows.append((tag, snap.vertices.count(), snap.edges.count()))
+    return spark.createDataFrame(rows, "snapshot: string, n_vertices: long, n_edges: long")

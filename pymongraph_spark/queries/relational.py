@@ -1560,3 +1560,46 @@ def q51_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         iqr_udaf("l_extendedprice").alias("iqr_price"),
         count_udaf("l_extendedprice").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue impact of small-quantity orders — correlated
+# average subquery (qty < 0.2 * that part's avg qty), decorrelated into a
+# per-part aggregate joined back. Both engines compute 0.2*avg on the
+# decimal grid so the boundary comparison is exact; the final sum is
+# decimal-quantized as usual.
+# --------------------------------------------------------------------------
+@query(
+    "q52_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * {AVG_D.format('l_quantity', 'l_quantity')} AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           {SUM_D.format('l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem
+      JOIN pa ON pa.l_partkey = lineitem.l_partkey
+      JOIN part ON p_partkey = lineitem.l_partkey
+    WHERE l_quantity < qty_limit AND p_size <= 5
+    GROUP BY p_brand
+    """,
+)
+def q52_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_limit")
+    )
+    p = t["part"].filter(F.col("p_size") <= 5).select("p_partkey", "p_brand")
+    return (
+        l.join(pa, l.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )

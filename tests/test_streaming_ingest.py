@@ -62,3 +62,33 @@ def test_incremental_arrival_and_replay_idempotency(spark, tmp_path):
         if (r["props"] or {}).get("name") == "evil.example"
     }
     assert props["domain"]["asn"] == "65001"
+
+
+def test_store_time_travel_and_retention(spark, tmp_path):
+    from pymongraph_spark.graph import store
+    from pymongraph_spark.graph.model import PropertyGraph
+
+    def mkgraph(n):
+        v = spark.createDataFrame(
+            [(i, "thing", None) for i in range(n)], "id: long, label: string, props: map<string,string>"
+        )
+        e = spark.createDataFrame(
+            [(i, i, i + 1, "next", None) for i in range(n - 1)],
+            "id: long, src: long, dst: long, label: string, props: map<string,string>",
+        )
+        return PropertyGraph(v, e)
+
+    path = str(tmp_path / "g")
+    store.save(mkgraph(3), path)
+    v1 = store.versions(path)[-1]
+    store.save(mkgraph(5), path)
+    # old version still readable by explicit id (time travel)...
+    assert store.load(spark, path, version=v1).vertices.count() == 3
+    # ...current load sees the newest
+    assert store.load(spark, path).vertices.count() == 5
+    # retention: a third save evicts v1
+    store.save(mkgraph(7), path)
+    assert v1 not in store.versions(path)
+    assert len(store.versions(path)) == 2
+    assert store.load(spark, path, version=v1) is None
+    assert store.load(spark, path).vertices.count() == 7
