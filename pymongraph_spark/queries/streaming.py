@@ -291,3 +291,71 @@ def st85_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "st86_stream_stream_interval_join",
+    # Stream-stream inner join with an event-time range condition — same
+    # semantics as the batch q36 (pairs of a user's events within 5 min),
+    # so it shares that oracle shape. Both sides carry watermarks; the
+    # range condition lets Spark evict join state older than watermark -
+    # 5 min, which is what makes the join runnable on an unbounded stream.
+    oracle="""
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+           a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(date_diff('second', a.ts, b.ts)) <= 300
+    """,
+)
+def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("event_id_a"),
+            F.col("user_id").alias("user_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("event_id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    # ONLY the equi-key and time-range conjuncts may reach the streaming
+    # join condition: StreamingJoinHelper derives the state-eviction bound
+    # (watermark - 5 min) from them, and any extra predicate — even added
+    # as a .filter(), which Catalyst pushes back into the join — breaks
+    # that extraction and leaves join state unbounded. So the stream emits
+    # both orientations of each pair and the canonical a<b ordering is
+    # applied batch-side on the sink table.
+    joined = left.join(
+        right,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    name = f"ssjoin_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # the gap is floor-second arithmetic, same as the oracle's date_diff
+    return (
+        spark.table(name)
+        .filter(F.col("event_id_a") < F.col("event_id_b"))
+        .select(
+            "event_id_a",
+            "event_id_b",
+            F.col("user_a").alias("user_id"),
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).cast("bigint").alias("gap_seconds"),
+        )
+    )
