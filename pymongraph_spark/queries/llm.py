@@ -878,3 +878,41 @@ def t68_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_t68 d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# --------------------------------------------------------------------------
+# applyInPandas grouped-map (the Arrow-batched per-group transform under
+# the gate; the vectorized twin of the t68 UDTF). Each language shard
+# arrives as one pandas frame; outputs are exact integers so the result
+# hash-matches SQL. At scale the shard is the parallelism unit — same
+# partitioning story as t66.
+# --------------------------------------------------------------------------
+@query(
+    "t69_grouped_map_doc_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX_BY(doc_id, n_chars * 4294967296 - doc_id) AS BIGINT) AS longest_doc_id
+    FROM documents GROUP BY lang
+    """,
+)
+def t69_grouped_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # longest doc, min doc_id on ties — deterministic
+        top = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True]).iloc[0]
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "longest_doc_id": [int(top["doc_id"])],
+            }
+        )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("lang").applyInPandas(
+        stats, "lang string, n_docs long, total_chars long, longest_doc_id long"
+    )

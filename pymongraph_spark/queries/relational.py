@@ -1603,3 +1603,53 @@ def q52_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# from_json with a DECLARED schema (vs q22's path-extraction): the parsed
+# struct is a real typed column — filterable, groupable, prunable — which
+# is the at-scale way to handle JSON payload columns (parse once, not one
+# get_json_object tree-walk per path).
+# --------------------------------------------------------------------------
+@query(
+    "q53_from_json_typed",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 20
+    GROUP BY 1, 2
+    """,
+)
+def q53_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    parsed = e.withColumn("p", F.from_json("props", "struct<k:bigint>"))
+    return (
+        parsed.filter(F.col("p.k") >= 20)
+        .groupBy("event_type", (F.floor(F.col("p.k") / 10)).cast("bigint").alias("k_decile"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# The SQL front door: TPC-H Q6 shape expressed ENTIRELY as spark.sql text
+# over registered views — same engine surface a SQL-only user gets. The
+# decimal-grid sum expression is literally identical SQL in Spark and
+# DuckDB, so the oracle is the same string over the same table names.
+# --------------------------------------------------------------------------
+_Q54_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM {lineitem}
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
+@query("q54_sql_api_forecast_revenue", oracle=_Q54_SQL.format(lineitem="lineitem"))
+def q54_sql_api_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView("__q54_lineitem")
+    return spark.sql(_Q54_SQL.format(lineitem="__q54_lineitem"))
