@@ -628,3 +628,53 @@ def g45_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap = store.load(spark, path, version=ver)
         rows.append((tag, snap.vertices.count(), snap.edges.count()))
     return spark.createDataFrame(rows, "snapshot: string, n_vertices: long, n_edges: long")
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE IN SPARK SQL (4.x): the g42 BFS expressed as WITH
+# RECURSIVE over the derived graph's edge view — the SQL-recursion front
+# door, cross-checking the imperative frontier loop against the engine's
+# own fixpoint operator. Same oracle as g42. Spark's recursion supports
+# only UNION ALL, so termination comes from the hop bound and the final
+# MIN dedups walks; the imperative bfs_distances (g42) with its visited
+# anti-join is therefore the at-scale path — this query documents the
+# SQL surface and its walk-enumeration cost, not a replacement.
+# --------------------------------------------------------------------------
+@query(
+    "g46_bfs_recursive_sql",
+    oracle=ORACLE_GRAPH_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , und AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    bfs AS (
+      SELECT CAST(4 AS BIGINT) AS id, 0 AS dist
+      UNION
+      SELECT und.dst AS id, bfs.dist + 1 AS dist
+      FROM bfs JOIN und ON und.src = bfs.id
+      WHERE bfs.dist < 3
+    )
+    SELECT id, CAST(MIN(dist) AS BIGINT) AS distance
+    FROM bfs GROUP BY id
+    """,
+)
+def g46_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    view = f"__g46_edges_{abs(hash(sf_dir)) % 10**8}"
+    g.edges.select("src", "dst").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bfs AS (
+          SELECT CAST(4 AS BIGINT) AS id, 0 AS dist
+          UNION ALL
+          SELECT u.dst AS id, bfs.dist + 1 AS dist
+          FROM bfs
+          JOIN (SELECT src, dst FROM {view}
+                UNION SELECT dst, src FROM {view}) u
+            ON u.src = bfs.id
+          WHERE bfs.dist < 3
+        )
+        SELECT id, CAST(MIN(dist) AS BIGINT) AS distance
+        FROM bfs GROUP BY id
+        """
+    )
