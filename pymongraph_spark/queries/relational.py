@@ -1653,3 +1653,62 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 def q54_sql_api_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView("__q54_lineitem")
     return spark.sql(_Q54_SQL.format(lineitem="__q54_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join with both-side-only rows: positive-balance customers vs
+# big orders. Customers with no big order populate the left-only side;
+# big orders whose customer has a non-positive balance populate the
+# right-only side — all three match classes are non-empty, which is what
+# makes this a real full-outer test rather than an inner join in costume.
+# --------------------------------------------------------------------------
+@query(
+    "q55_full_outer_match_classes",
+    oracle="""
+    WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0.0),
+    o AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 250000.0)
+    SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_orderkey IS NULL THEN 'customer_only'
+                ELSE 'matched' END AS match_class,
+           COUNT(*) AS n
+    FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def q55_full_outer_match_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_acctbal") > 0.0).select("c_custkey")
+    o = t["orders"].filter(F.col("o_totalprice") > 250000.0).select("o_custkey", "o_orderkey")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    match_class = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(match_class.alias("match_class")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Explicit CROSS JOIN (the one join type the engine should only produce
+# when literally asked): the nation × region grid with a membership flag.
+# Bounded 25×5 — the plan may broadcast-nested-loop, which is exactly
+# right for an intentional cartesian of two tiny dims.
+# --------------------------------------------------------------------------
+@query(
+    "q56_nation_region_grid",
+    oracle="""
+    SELECT n_nationkey, r_regionkey,
+           CAST(n_regionkey = r_regionkey AS BIGINT) AS is_home
+    FROM nation CROSS JOIN region
+    """,
+)
+def q56_nation_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"].crossJoin(t["region"])
+        .select(
+            "n_nationkey",
+            "r_regionkey",
+            (F.col("n_regionkey") == F.col("r_regionkey")).cast("bigint").alias("is_home"),
+        )
+    )
