@@ -132,3 +132,91 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=SAMPLED_FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, "
+    "new_width int, new_height int, out_bytes bigint, resized binary"
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 32, fake: bool = True) -> DataFrame:
+    """Resize payloads so the longer side becomes ``max_side`` (aspect
+    preserved, never upscaled) via mapInPandas. Dimension math is pure
+    integer arithmetic — floor-scaled, min 1 — so the metadata is exact
+    and cross-engine checkable; the pixel resample itself is the stubbed
+    step (a real PIL/cv2 call plugs in at the marked line), standing in
+    with a truncate/pad to the computed byte budget so a REAL binary
+    column flows out with the production schema.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires PIL/cv2, not present in this "
+            "container; pass fake=True to run the deterministic stub"
+        )
+
+    # dimensions come from metadata columns when the frame carries them
+    # (the production case: dims are stored alongside the blob at ingest,
+    # so resize planning never needs a decode); the stub decoder is the
+    # fallback for bare (doc_id, payload) frames.
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            has_dims = {"width", "height", "n_channels"}.issubset(pdf.columns)
+            rows = []
+            for j, (doc_id, payload) in enumerate(zip(pdf["doc_id"], pdf["payload"])):
+                p = bytes(payload)
+                if has_dims:
+                    w = int(pdf["width"].iloc[j])
+                    h = int(pdf["height"].iloc[j])
+                    c = int(pdf["n_channels"].iloc[j])
+                else:
+                    w, h, c, _ = _fake_decode(p)
+                longest = max(w, h)
+                if longest <= max_side:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, (w * max_side) // longest)
+                    nh = max(1, (h * max_side) // longest)
+                out_bytes = nw * nh * c
+                resized = (p * (out_bytes // max(len(p), 1) + 1))[:out_bytes]  # <- real resample here
+                rows.append((doc_id, w, h, c, nw, nh, out_bytes, resized))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "new_width", "new_height", "out_bytes", "resized",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, bin int, value double"
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Byte-histogram feature extraction: each payload → ``n_bins``
+    normalized bins in LONG format (doc_id, bin, value) — the layout that
+    avoids nested arrays in outputs and joins/aggregates cleanly. A real
+    embedding model replaces the histogram at the marked line; the Arrow
+    batching, long-format explosion and exact count/len division are the
+    production shape.
+    """
+    shift = 8 - (n_bins - 1).bit_length()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bins, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                counts = [0] * n_bins
+                for b in p:  # <- real feature extractor here
+                    counts[b >> shift] += 1
+                n = max(len(p), 1)
+                for i, cnt in enumerate(counts):
+                    ids.append(doc_id)
+                    bins.append(i)
+                    vals.append(cnt / n)
+            yield pd.DataFrame({"doc_id": ids, "bin": bins, "value": vals})
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -916,3 +916,84 @@ def t69_grouped_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         stats, "lang string, n_docs long, total_chars long, longest_doc_id long"
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize plumbing — dims ride as metadata columns next to the
+# blob (the production layout: resize planning never decodes), derived
+# here from md5(text) hex bytes so the oracle can recompute them; the
+# integer floor-scale aspect math is exact in both engines. The payload
+# transform itself runs in mapInPandas (stub resample, real binary out);
+# the gate compares the metadata plane.
+# --------------------------------------------------------------------------
+_M72_HEXB = (
+    "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+)
+
+
+@query(
+    "m72_resize_metadata",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + ({_M72_HEXB.format(p=1, p1=2)}) % 64 AS width,
+             16 + ({_M72_HEXB.format(p=3, p1=4)}) % 64 AS height,
+             1 + ({_M72_HEXB.format(p=5, p1=6)}) % 3 AS n_channels
+      FROM documents
+    )
+    SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(CASE WHEN greatest(width, height) <= 32 THEN width
+                     ELSE greatest(1, (width * 32) // greatest(width, height)) END AS INT) AS new_width,
+           CAST(CASE WHEN greatest(width, height) <= 32 THEN height
+                     ELSE greatest(1, (height * 32) // greatest(width, height)) END AS INT) AS new_height,
+           CAST((CASE WHEN greatest(width, height) <= 32 THEN width
+                      ELSE greatest(1, (width * 32) // greatest(width, height)) END)
+                * (CASE WHEN greatest(width, height) <= 32 THEN height
+                        ELSE greatest(1, (height * 32) // greatest(width, height)) END)
+                * n_channels AS BIGINT) AS out_bytes
+    FROM dims
+    """,
+)
+def m72_resize_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_fake_media, resize_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    hexb = lambda p: (
+        F.conv(F.substring(F.md5("text"), p, 2), 16, 10).cast("int")
+    )
+    media = attach_fake_media(docs).join(
+        docs.select(
+            "doc_id",
+            (16 + hexb(1) % 64).alias("width"),
+            (16 + hexb(3) % 64).alias("height"),
+            (1 + hexb(5) % 3).alias("n_channels"),
+        ),
+        on="doc_id",
+    )
+    resized = resize_media(media, max_side=32)
+    return resized.select("doc_id", "width", "height", "new_width", "new_height", "out_bytes")
+
+
+# --------------------------------------------------------------------------
+# Multimodal feature extraction — byte-histogram features in long format
+# (doc_id, bin, value), the nested-array-free layout. The fake payload is
+# repeat(md5-bytes, 4), so each bin's count is 4× the count of md5 hex
+# digits at odd positions equal to the bin id — fully SQL-recomputable,
+# proving the mapInPandas batch shape end to end.
+# --------------------------------------------------------------------------
+@query(
+    "m73_byte_histogram_features",
+    oracle="""
+    SELECT doc_id, CAST(b AS INT) AS bin,
+           CAST(4 * len(list_filter([strpos('0123456789abcdef', substr(md5(text), 2*j - 1, 1)) - 1
+                                     for j in generate_series(1, 16)],
+                                    d -> d = b)) AS DOUBLE) / 64 AS value
+    FROM documents, (SELECT unnest(generate_series(0, 15)) AS b) bins
+    """,
+)
+def m73_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_fake_media, extract_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return extract_features(attach_fake_media(docs), n_bins=16)
