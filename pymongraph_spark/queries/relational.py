@@ -1712,3 +1712,58 @@ def q56_nation_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_regionkey") == F.col("r_regionkey")).cast("bigint").alias("is_home"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar-spine gap filling — the dense time series idiom: generate every
+# hour in the observed range (sequence + explode = DuckDB generate_series),
+# cross with the event-type dim, left-join the hourly aggregates, zero-
+# fill the holes. The spine is tiny (hours × types) and broadcast; the
+# event aggregation is the only real shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q57_dense_hourly_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n, {SUM_D.format('value')} AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           types.event_type,
+           COALESCE(agg.n, 0) AS n_events,
+           COALESCE(agg.total_value, 0.0) AS total_value
+    FROM spine CROSS JOIN types
+    LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+    """,
+)
+def q57_dense_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    return (
+        F.broadcast(spine).crossJoin(F.broadcast(types))
+        .join(agg, on=["h", "event_type"], how="left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
