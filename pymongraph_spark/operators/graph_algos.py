@@ -45,32 +45,30 @@ def connected_components(
     ).distinct().persist()
 
     comp = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    # Each iteration is ONE join + ONE min-aggregate: neighbor messages
+    # unioned with the self message collapse the least()/coalesce join of
+    # the classic formulation. Convergence detection exploits that
+    # hash-min components are monotonically non-increasing: the total
+    # Σcomponent strictly decreases on any change, so a plain aggregate
+    # over the checkpointed result — no new-vs-old comparison join —
+    # detects the fixpoint.
+    prev_sum = None
     for _ in range(max_iter):
-        # min neighbor component per vertex
-        nbr_min = (
-            und.join(comp, und.dst == comp.id)
-            .groupBy(und.src.alias("id2"))
-            .agg(F.min("component").alias("nbr_component"))
+        msgs = und.join(comp, und.dst == comp.id).select(
+            und.src.alias("id"), F.col("component")
         )
-        # the changed flag rides along in the same select, so convergence
-        # detection is a scan of the checkpointed result — not a second
-        # join of new vs old components (one fewer shuffle per iteration)
-        new_col = F.least(
-            F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-        )
-        flagged = (
-            comp.join(nbr_min, comp.id == F.col("id2"), "left")
-            .select(
-                "id",
-                new_col.alias("new_component"),
-                (new_col < F.col("component")).alias("__changed"),
-            )
+        comp = (
+            msgs.unionByName(comp)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = flagged.filter(F.col("__changed")).count()
-        comp = flagged.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
+        # decimal sum: exact for full-range 64-bit hash ids (a wrapped
+        # long sum could in principle collide across iterations)
+        cur_sum = comp.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     und.unpersist()
     return comp
 
