@@ -214,19 +214,28 @@ def brute_force_topk_vectorized(
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its best centroid (max cosine, ties → min
-    centroid id). Centroids broadcast; assignment is one narrow pass."""
+    centroid id). Centroids broadcast against the corpus (codegen'd
+    scoring, no literal mega-expression — a C·dim literal argmax falls
+    out of whole-stage codegen and runs interpreted), then a max_by
+    aggregate picks the cell: partial aggregation collapses each vector's
+    C scored rows map-side, so the exchange carries n rows — unlike a
+    row_number window, which would sort-shuffle all n×C."""
     c = centroids.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
     )
-    scored = df.join(F.broadcast(c)).select(
-        df[id_col], df[vec_col],
-        F.col("__cid"), cosine(df[vec_col], F.col("__cv")).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+    order = F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("nc"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("__cid").alias("cell"))
+        df.join(F.broadcast(c))
+        .select(
+            df[id_col], df[vec_col],
+            F.col("__cid"), cosine(df[vec_col], F.col("__cv")).alias("__sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(F.col("__cid"), order).alias("cell"),
+            F.max_by(F.col(vec_col), order).alias(vec_col),
+        )
+        .select(id_col, vec_col, "cell")
     )
 
 
