@@ -155,3 +155,29 @@ def test_t66_packing_windows_partition_by_shard(spark):
     assert "hashpartitioning(lang" in plan
     # a global (empty-partition-spec) window would show SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_ivf_assign_partial_aggregate_no_window_sort(spark):
+    """ivf_assign must be broadcast scoring + combinable max_by: partial
+    HashAggregate before the exchange, no window sort of n×C rows."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import ivf_assign
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    df = ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    # partial + final aggregation (SortAggregate: max_by carries the
+    # array-typed vector, which hash-agg buffers don't support — the
+    # map-side partial still collapses n×C rows to n before the exchange)
+    assert plan.count("Aggregate(") >= 2
+
+
+def test_q57_spine_broadcast_single_shuffle(spark):
+    """Gap-fill: the hourly spine and type dim broadcast; the only
+    exchange is the event aggregation."""
+    df = QUERIES["q57_dense_hourly_gapfill"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
