@@ -277,3 +277,48 @@ def shortest_paths_weighted(
         frontier = improved
     adj.unpersist()
     return best
+
+
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    degree ≥ k (undirected, parallel edges collapsed). Classic iterative
+    peeling — drop sub-k vertices, recompute degrees on the induced
+    subgraph, repeat to fixpoint.
+
+    Iterative deletion is not monotone in any SQL-recursion sense, so
+    there is no DuckDB oracle (rows-only gate); correctness is pinned by
+    unit tests on known graphs. Scale shape: state is the surviving edge
+    set (shrinks every round); each round is one degree aggregate + two
+    semi-joins, lineage cut per round. Rounds are bounded by the peeling
+    depth (the graph's degeneracy ordering), usually far below max_iter.
+    """
+    live = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            live.select(F.col("u").alias("id"))
+            .unionByName(live.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=True)
+        pruned = (
+            live.join(keep, live.u == keep.id, "left_semi")
+            .join(keep, live.v == keep.id, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == live.count():
+            live = pruned
+            break
+        live = pruned
+    return (
+        live.select(F.col("u").alias("id"))
+        .unionByName(live.select(F.col("v").alias("id")))
+        .distinct()
+    )

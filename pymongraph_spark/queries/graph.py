@@ -678,3 +678,30 @@ def g46_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bfs GROUP BY id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition — iterative peeling is not expressible in SQL
+# recursion (deletion is non-monotone), so this ships rows-only with
+# golden-graph unit tests; run over the part co-occurrence projection
+# (same substrate as g43).
+# --------------------------------------------------------------------------
+@query("g47_kcore_parts")
+def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import k_core
+
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(co, k=3)

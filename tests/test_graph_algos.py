@@ -241,3 +241,25 @@ def test_weighted_shortest_paths_parallel_edges_and_undirected(spark):
         for r in shortest_paths_weighted(e, 0, max_hops=2, undirected=True).collect()
     }
     assert got == {0: 0, 1: 2, 2: 7}  # min parallel edge wins; reverse edge usable
+
+
+def test_k_core_peels_chain_and_keeps_clique(spark):
+    from pymongraph_spark.operators.graph_algos import k_core
+
+    # K4 on 0-3, a chain 4-5-6 hanging off vertex 0, and a triangle 7-8-9
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    _, e = _vng(spark, 10, k4 + [(0, 4), (4, 5), (5, 6), (7, 8), (8, 9), (9, 7)])
+    core2 = {r["id"] for r in k_core(e, k=2).collect()}
+    assert core2 == {0, 1, 2, 3, 7, 8, 9}  # chain fully peeled (cascading)
+    core3 = {r["id"] for r in k_core(e, k=3).collect()}
+    assert core3 == {0, 1, 2, 3}  # only K4 survives
+    assert k_core(e, k=4).count() == 0
+
+
+def test_k_core_cascading_removal(spark):
+    from pymongraph_spark.operators.graph_algos import k_core
+
+    # star: hub 0 with 5 leaves — every vertex dies at k=2 even though
+    # the hub starts with degree 5 (leaves peel first, then the hub)
+    _, e = _vng(spark, 6, [(0, i) for i in range(1, 6)])
+    assert k_core(e, k=2).count() == 0
