@@ -23,8 +23,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered non-relational-first (graph / dedup / similarity / text /
+    multimodal / streaming, then the relational q*): round 1's driver
+    gate recorded exactly the first 50 registry entries, so the queries
+    that still need a driver-verified CORRECTNESS row lead the dict.
+    """
+    ordered = sorted(QUERIES, key=lambda k: (k.startswith("q"), k))
+    return {k: QUERIES[k] for k in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -76,13 +76,29 @@ class MongoGraph:
     # -- writes -----------------------------------------------------------
     def insert_vertex(self, label: str = "domain", identify: dict | None = None,
                       data: dict | None = None) -> int:
-        """W1 (mongraph.py:71-97): validate, dedup by identify, return id."""
+        """W1 (mongraph.py:71-97): validate, dedup by identify, return id.
+
+        The reference treats ``identify`` as a lookup-only filter; our ids
+        are natural-key hashes, so the identify key/value is merged into
+        the stored row (the key must exist as a column for the upsert).
+        Keyless inserts (no identify, empty data) collapse to one
+        deterministic vertex per label — documented divergence from the
+        reference's always-fresh ObjectIds.
+        """
         data = dict(data or {})
+        # validate BEFORE key selection: empty data must raise the typed
+        # dependency error (mongraph.py:84-85), not StopIteration
+        writes._validate_label(label, set(data), self._type_dependency)
         if identify:
             key_field, key_value = next(iter(identify.items()))
-        else:
+            # identify's value wins so the stored row's id (hash of the key
+            # column) always equals the id this method returns
+            data[key_field] = key_value
+        elif data:
             key_field, key_value = next(iter(data.items()))
-        writes._validate_label(label, set(data), self._type_dependency)
+        else:
+            key_field, key_value = "__key", ""
+            data[key_field] = key_value
         df = self._spark.createDataFrame(
             [tuple(str(v) for v in data.values())],
             ", ".join(f"`{k}` string" for k in data),
@@ -120,10 +136,12 @@ class MongoGraph:
             )
         return int(row[0][0])
 
-    def insert_node(self, destination: int, vertex_label: str, edge_label: str,
-                    vertex_identify: dict, vertex_data: dict,
+    def insert_node(self, destination: int, vertex_label: str = "domain",
+                    edge_label: str = "resolve", vertex_identify: dict | None = None,
+                    vertex_data: dict | None = None,
                     edge_data: dict | None = None) -> tuple[int, int, int]:
-        """W3 (mongraph.py:132-151): new vertex is the edge SOURCE."""
+        """W3 (mongraph.py:132-151): new vertex is the edge SOURCE.
+        Defaults match the reference signature exactly."""
         src = self.insert_vertex(vertex_label, vertex_identify, vertex_data)
         eid = self.insert_edge(src, destination, edge_label, edge_data)
         return src, eid, destination

@@ -42,7 +42,11 @@ def flatten_indexed(prefix: str, arr: Column) -> Column:
     """F5 — list property → {field_0: v0, field_1: v1, ...} map
     (graph_importer.py:155-161). Kept for parity; ArrayType columns are the
     preferred native representation."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(arr) - 1)
     keys = F.transform(idx, lambda i: F.concat(F.lit(prefix + "_"), i.cast("string")))
     vals = F.transform(arr, lambda x: x.cast("string"))
-    return F.map_from_arrays(keys, vals)
+    # sequence(0, -1) would yield the descending [0, -1] for empty arrays,
+    # mismatching the 0-length values array — return an empty map instead.
+    return F.when(F.size(arr) > 0, F.map_from_arrays(keys, vals)).otherwise(
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    )

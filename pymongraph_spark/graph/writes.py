@@ -215,5 +215,8 @@ def delete_edges(g: PropertyGraph, target) -> PropertyGraph:
         edges = g.edges.join(doomed, on="id", how="left_anti")
     else:
         pred = _as_predicate(target)
-        edges = g.edges.filter(~pred)
+        # NULL-evaluating rows (e.g. dict predicate on a props key the edge
+        # lacks) do NOT match the delete target, so keep them: ~NULL is NULL
+        # and filter drops it, silently deleting non-matching edges.
+        edges = g.edges.filter(~F.coalesce(pred, F.lit(False)))
     return PropertyGraph(g.vertices, edges.select(EDGE_FIELDS))

@@ -91,12 +91,14 @@ def st80_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "st81_session_windows",
     # Session windows (30 min gap) per user — the oracle reproduces Spark's
-    # merge semantics with a classic gaps-and-islands window query.
+    # merge semantics with a classic gaps-and-islands window query. Spark's
+    # session window is [t, t+30): an event exactly 30 min after the
+    # previous one starts a NEW session, hence >= (not >) below.
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
