@@ -321,17 +321,28 @@ def embedding_dup_pairs(
             )
 
         def buckets(df, out_id, probe):
-            cols = []
-            for t in range(n_tables):
-                bk = _bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
-                for m in masks if probe else [0]:
-                    cols.append(
-                        bk.bitwiseXOR(F.lit(m).cast("long"))
-                        .bitwiseOR(F.lit(t << n_planes).cast("long"))
-                    )
-            return df.select(
+            # one bucket expression per table, probe masks applied to the
+            # computed COLUMN post-explode (see similarity.lsh_topk: a
+            # column per mask would copy the literal hyperplane tree
+            # masks× times and blow up codegen/driver memory)
+            raw = df.select(
                 F.col(id_col).alias(out_id),
-                F.explode(F.array(*cols)).alias("bucket"),
+                F.explode(
+                    F.array(*[
+                        _bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
+                        .bitwiseOR(F.lit(t << n_planes).cast("long"))
+                        for t in range(n_tables)
+                    ])
+                ).alias("__raw"),
+            )
+            if not probe or masks == [0]:
+                return raw.withColumnRenamed("__raw", "bucket")
+            mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+            return raw.select(
+                out_id,
+                F.explode(
+                    F.transform(mask_arr, lambda m: F.col("__raw").bitwiseXOR(m))
+                ).alias("bucket"),
             )
 
         cand = (

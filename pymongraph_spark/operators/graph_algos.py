@@ -11,8 +11,31 @@ with a count (cheap, reuses the shuffle). Hub skew is handled by AQE
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Iterations beyond this depth switch from executor-local lineage cuts to
+# reliable storage checkpoints: localCheckpoint blocks live on executors,
+# so on a real cluster an executor loss deep in a long loop would force
+# recomputing the whole chain. Shallow loops (the common case) keep the
+# cheap local path. Tests may lower this to exercise the reliable path.
+RELIABLE_CHECKPOINT_DEPTH = 8
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if not sc.getCheckpointDir():
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="sparkgraph-ckpt-"))
+
+
+def _cut_lineage(df: DataFrame, iteration: int) -> DataFrame:
+    """Truncate plan lineage between fixpoint iterations."""
+    if iteration < RELIABLE_CHECKPOINT_DEPTH:
+        return df.localCheckpoint(eager=True)
+    _ensure_checkpoint_dir(df.sparkSession)
+    return df.checkpoint(eager=True)
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -53,15 +76,15 @@ def connected_components(
     # over the checkpointed result — no new-vs-old comparison join —
     # detects the fixpoint.
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = und.join(comp, und.dst == comp.id).select(
             und.src.alias("id"), F.col("component")
         )
-        comp = (
+        comp = _cut_lineage(
             msgs.unionByName(comp)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            it,
         )
         # decimal sum: exact for full-range 64-bit hash ids (a wrapped
         # long sum could in principle collide across iterations)
@@ -91,29 +114,33 @@ def pagerank(
         "src", "dst", "out_degree"
     ).persist()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contribs = (
             links.join(ranks, links.src == ranks.id)
             .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        # dangling-node mass (vertices with no out-edges) redistributed
-        dangling = (
+        # dangling-node mass (vertices with no out-edges) redistributed —
+        # computed as a 1-row DataFrame broadcast into the update instead
+        # of a per-iteration driver collect(): one Spark job per iteration
+        # (the eager lineage cut), not two.
+        dangling_share = (
             ranks.join(out_deg.select("id"), on="id", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("__dangling_share"))
         )
-        ranks = (
+        ranks = _cut_lineage(
             v.join(contribs, v.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling_share))
             .select(
                 "id",
                 (
                     F.lit(1.0 - damping)
-                    + F.lit(damping) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dangling_share"))
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            it,
         )
     links.unpersist()
     v.unpersist()
@@ -147,19 +174,19 @@ def bfs_distances(
     )
     frontier = dist.select("id")
     for depth in range(1, max_depth + 1):
-        nxt = (
+        nxt = _cut_lineage(
             # no explicit broadcast: the frontier is checkpointed, so AQE
             # sees its true size and broadcasts only while it is small
             adj.join(frontier, adj.src == frontier.id, "left_semi")
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(dist, on="id", how="left_anti")
-            .withColumn("distance", F.lit(depth).cast("long"))
-            .localCheckpoint(eager=True)
+            .withColumn("distance", F.lit(depth).cast("long")),
+            depth,
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = _cut_lineage(dist.unionByName(nxt), depth)
         frontier = nxt.select("id")
     adj.unpersist()
     return dist
@@ -252,23 +279,23 @@ def shortest_paths_weighted(
     # frontier = vertices whose cost improved last round (only they can
     # propagate improvements, so relaxation work shrinks as costs settle)
     frontier = best
-    for _ in range(max_hops):
+    for hop in range(max_hops):
         candidates = (
             adj.join(frontier, adj.src == frontier.id)
             .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
         )
-        merged = (
+        merged = _cut_lineage(
             best.unionByName(candidates)
             .groupBy("id")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("cost").alias("cost")),
+            hop,
         )
-        improved = (
+        improved = _cut_lineage(
             merged.alias("m")
             .join(best.alias("b"), on="id", how="left")
             .filter(F.col("b.cost").isNull() | (F.col("m.cost") < F.col("b.cost")))
-            .select("id", F.col("m.cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            .select("id", F.col("m.cost").alias("cost")),
+            hop,
         )
         if improved.isEmpty():
             best = merged
@@ -300,18 +327,18 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         deg = (
             live.select(F.col("u").alias("id"))
             .unionByName(live.select(F.col("v").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=True)
-        pruned = (
+        keep = _cut_lineage(deg.filter(F.col("deg") >= k).select("id"), it)
+        pruned = _cut_lineage(
             live.join(keep, live.u == keep.id, "left_semi")
-            .join(keep, live.v == keep.id, "left_semi")
-            .localCheckpoint(eager=True)
+            .join(keep, live.v == keep.id, "left_semi"),
+            it,
         )
         if pruned.count() == live.count():
             live = pruned

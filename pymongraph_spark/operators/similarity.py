@@ -131,16 +131,32 @@ def lsh_topk(
         )
 
     def with_buckets(df, out_id, out_vec, probe):
-        cols = []
-        for t in range(n_tables):
-            b = _bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
-            keys = [b.bitwiseXOR(F.lit(m).cast("long")) for m in (masks if probe else [0])]
-            # table id packed into the high bits so tables never cross-match
-            cols.extend(k.bitwiseOR(F.lit(t << n_planes).cast("long")) for k in keys)
-        return df.select(
+        # ONE bucket expression per table (the hyperplane dot products are
+        # n_planes×dim literal trees — building a column per probe mask
+        # would copy that tree masks× times and blow up codegen), then the
+        # probe masks XOR the computed bucket COLUMN after the explode.
+        # Masks are < 2^n_planes so they never touch the packed table id
+        # in the high bits.
+        raw = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            F.explode(F.array(*cols)).alias("bucket"),
+            F.explode(
+                F.array(*[
+                    _bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
+                    .bitwiseOR(F.lit(t << n_planes).cast("long"))
+                    for t in range(n_tables)
+                ])
+            ).alias("__raw"),
+        )
+        if not probe or masks == [0]:
+            return raw.withColumnRenamed("__raw", "bucket")
+        mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+        return raw.select(
+            out_id,
+            out_vec,
+            F.explode(
+                F.transform(mask_arr, lambda m: F.col("__raw").bitwiseXOR(m))
+            ).alias("bucket"),
         )
 
     cb = with_buckets(corpus, "neighbor_id", "__cv", probe=False)

@@ -231,6 +231,32 @@ def d44_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Same near-dup semantics through the SCALE path: sign-LSH banded candidate
+# generation (equi-join on bucket keys, O(n·tables + candidates)) + exact
+# cosine verification. Config 4 planes × 16 tables × radius-2 probing is
+# recall-complete here by a wide margin (per-pair miss ~1e-14 at cosine
+# 0.45), so it hash-matches the SAME all-pairs oracle as d44 — the gate
+# proves the bucketed plan, not just the O(n²) baseline.
+# --------------------------------------------------------------------------
+@query(
+    "d47_embedding_near_dup_lsh",
+    oracle=f"""
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_SQL_COSINE} AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE {_SQL_COSINE} >= 0.45
+    """,
+)
+def d47_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_dup_pairs(
+        emb, threshold=0.45, method="lsh", dim=64,
+        n_planes=4, n_tables=16, probe_radius=2,
+    )
+
+
+# --------------------------------------------------------------------------
 # Sign-LSH approximate top-k — bucketed scale path; hyperplanes are a
 # seeded numpy constant the oracle can't reproduce → rows-only gate, with
 # recall vs s50 asserted in unit tests. Config = 4 tables × 8 planes ×

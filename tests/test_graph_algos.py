@@ -263,3 +263,18 @@ def test_k_core_cascading_removal(spark):
     # the hub starts with degree 5 (leaves peel first, then the hub)
     _, e = _vng(spark, 6, [(0, i) for i in range(1, 6)])
     assert k_core(e, k=2).count() == 0
+
+
+def test_reliable_checkpoint_path_same_result(spark, monkeypatch):
+    # depth 0 forces every iteration through checkpoint()-to-storage — the
+    # path a deep loop takes on a real cluster (localCheckpoint blocks die
+    # with their executor; SCALE.md names this debt)
+    from pymongraph_spark.operators import graph_algos
+
+    v, e = _vng(spark, 8, [(i, i + 1) for i in range(7)])
+    expected = _comp_sets(connected_components(v, e))
+    monkeypatch.setattr(graph_algos, "RELIABLE_CHECKPOINT_DEPTH", 0)
+    assert _comp_sets(connected_components(v, e)) == expected
+    assert spark.sparkContext.getCheckpointDir()  # dir was set lazily
+    pr = pagerank(v, e, max_iter=3)
+    assert abs(sum(r["rank"] for r in pr.collect()) - 8.0) < 1e-6
