@@ -78,12 +78,16 @@ class MongoGraph:
                       data: dict | None = None) -> int:
         """W1 (mongraph.py:71-97): validate, dedup by identify, return id.
 
-        The reference treats ``identify`` as a lookup-only filter; our ids
-        are natural-key hashes, so the identify key/value is merged into
-        the stored row (the key must exist as a column for the upsert).
-        Keyless inserts (no identify, empty data) collapse to one
-        deterministic vertex per label — documented divergence from the
-        reference's always-fresh ObjectIds.
+        The reference treats ``identify`` as a lookup-only filter and
+        stores ``data`` as given (mongraph.py:90-96), so when both carry
+        the same key, DATA's value is what lands in the stored row; our
+        ids are natural-key hashes of the stored key column, so data's
+        value also feeds the id hash (returned id == stored row's id).
+        identify's value is used only when the key is absent from data
+        (the key must exist as a column for the upsert). Keyless inserts
+        (no identify, empty data) collapse to one deterministic vertex
+        per label — documented divergence from the reference's
+        always-fresh ObjectIds.
         """
         data = dict(data or {})
         # validate BEFORE key selection: empty data must raise the typed
@@ -91,8 +95,9 @@ class MongoGraph:
         writes._validate_label(label, set(data), self._type_dependency)
         if identify:
             key_field, key_value = next(iter(identify.items()))
-            # identify's value wins so the stored row's id (hash of the key
-            # column) always equals the id this method returns
+            # reference stores data's value on key collision; keep id
+            # hashing consistent with what is stored
+            key_value = data.get(key_field, key_value)
             data[key_field] = key_value
         elif data:
             key_field, key_value = next(iter(data.items()))

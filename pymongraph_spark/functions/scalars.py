@@ -47,6 +47,12 @@ def flatten_indexed(prefix: str, arr: Column) -> Column:
     vals = F.transform(arr, lambda x: x.cast("string"))
     # sequence(0, -1) would yield the descending [0, -1] for empty arrays,
     # mismatching the 0-length values array — return an empty map instead.
-    return F.when(F.size(arr) > 0, F.map_from_arrays(keys, vals)).otherwise(
-        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    # NULL input stays NULL (the reference importer never writes the
+    # property at all for a missing list; NULL-in/NULL-out mirrors that).
+    return (
+        F.when(arr.isNull(), F.lit(None).cast("map<string,string>"))
+        .when(F.size(arr) > 0, F.map_from_arrays(keys, vals))
+        .otherwise(
+            F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+        )
     )

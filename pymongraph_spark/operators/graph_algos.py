@@ -11,9 +11,7 @@ with a count (cheap, reuses the shuffle). Hub skew is handled by AQE
 
 from __future__ import annotations
 
-import tempfile
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Iterations beyond this depth switch from executor-local lineage cuts to
@@ -24,18 +22,22 @@ from pyspark.sql import functions as F
 RELIABLE_CHECKPOINT_DEPTH = 8
 
 
-def _ensure_checkpoint_dir(spark: SparkSession) -> None:
-    sc = spark.sparkContext
-    if not sc.getCheckpointDir():
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="sparkgraph-ckpt-"))
-
-
 def _cut_lineage(df: DataFrame, iteration: int) -> DataFrame:
-    """Truncate plan lineage between fixpoint iterations."""
+    """Truncate plan lineage between fixpoint iterations.
+
+    Deep iterations upgrade to reliable checkpoint() ONLY when the user
+    has configured a checkpoint dir (which on a real cluster must be a
+    shared filesystem — HDFS/S3). A driver-local tempdir fallback would
+    be worse than localCheckpoint: each executor would write partition
+    files to its own node's copy of the path and cross-executor reads
+    would fail. Without a configured dir we stay on localCheckpoint and
+    deep-loop executor-loss tolerance is the user's opt-in.
+    """
     if iteration < RELIABLE_CHECKPOINT_DEPTH:
         return df.localCheckpoint(eager=True)
-    _ensure_checkpoint_dir(df.sparkSession)
-    return df.checkpoint(eager=True)
+    if df.sparkSession.sparkContext.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def degrees(edges: DataFrame) -> DataFrame:

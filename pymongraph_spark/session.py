@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # GC reliable-checkpoint files once their RDDs go out of scope
+        # (deep iterative loops checkpoint when a checkpoint dir is set)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

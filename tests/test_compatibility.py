@@ -98,3 +98,16 @@ def test_importer_facade(spark):
     }})
     out = json.loads(gi.build_graph(root_vertex=root["_id"], depth=3))
     assert len(out["graph"]["vertices"]) == 3  # domain, ip, detection
+
+
+def test_insert_vertex_data_wins_over_identify(mg):
+    # reference stores data's value when identify and data share a key
+    # (mongraph.py:90-96: identify is a lookup filter, data is the document)
+    vid = mg.insert_vertex("domain", identify={"name": "lookup.example"},
+                           data={"name": "stored.example"})
+    assert mg.search_vertex({"name": "stored.example"})[0]["_id"] == vid
+    assert mg.search_vertex({"name": "lookup.example"}) == []
+    # identify still supplies the key column's value when data lacks it
+    vid2 = mg.insert_vertex("domain", identify={"alias": "only-id.example"},
+                            data={"name": "real.example"})
+    assert mg.search_vertex({"alias": "only-id.example"})[0]["_id"] == vid2

@@ -265,16 +265,23 @@ def test_k_core_cascading_removal(spark):
     assert k_core(e, k=2).count() == 0
 
 
-def test_reliable_checkpoint_path_same_result(spark, monkeypatch):
-    # depth 0 forces every iteration through checkpoint()-to-storage — the
-    # path a deep loop takes on a real cluster (localCheckpoint blocks die
-    # with their executor; SCALE.md names this debt)
+def test_reliable_checkpoint_path_same_result(spark, monkeypatch, tmp_path):
+    # depth 0 sends every iteration through the "deep loop" branch. Without
+    # a user-configured checkpoint dir it must STAY on localCheckpoint (a
+    # driver-local tempdir fallback would break cross-executor reads on a
+    # real cluster); with one configured it upgrades to reliable
+    # checkpoint()-to-storage.
     from pymongraph_spark.operators import graph_algos
 
     v, e = _vng(spark, 8, [(i, i + 1) for i in range(7)])
     expected = _comp_sets(connected_components(v, e))
     monkeypatch.setattr(graph_algos, "RELIABLE_CHECKPOINT_DEPTH", 0)
+    if not spark.sparkContext.getCheckpointDir():
+        # no-dir leg: deep iterations fall back to localCheckpoint, never
+        # invent a driver-local dir behind the user's back
+        assert _comp_sets(connected_components(v, e)) == expected
+        assert not spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     assert _comp_sets(connected_components(v, e)) == expected
-    assert spark.sparkContext.getCheckpointDir()  # dir was set lazily
     pr = pagerank(v, e, max_iter=3)
     assert abs(sum(r["rank"] for r in pr.collect()) - 8.0) < 1e-6

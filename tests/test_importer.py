@@ -165,3 +165,18 @@ def test_idempotency_import_twice(spark, graph):
     a = sorted(map(str, graph.vertices.select("id", "label", F.to_json("props")).collect()))
     b = sorted(map(str, g2.vertices.select("id", "label", F.to_json("props")).collect()))
     assert a == b
+
+
+def test_flatten_indexed_null_empty_and_values(spark):
+    # F5 direct contract: values → indexed map, [] → empty map, NULL → NULL
+    # (the reference importer never writes the property for a missing list,
+    # so NULL must propagate, not become an empty map)
+    from pymongraph_spark.functions.scalars import flatten_indexed
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", []), ("c", None)], "k string, vals array<string>"
+    ).select("k", flatten_indexed("vals", F.col("vals")).alias("m"))
+    out = {r["k"]: r["m"] for r in df.collect()}
+    assert out["a"] == {"vals_0": "x", "vals_1": "y"}
+    assert out["b"] == {}
+    assert out["c"] is None
