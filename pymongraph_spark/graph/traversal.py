@@ -70,7 +70,7 @@ def k_hop(
     g: PropertyGraph,
     roots,
     depth: int,
-    small_frontier_threshold: int = 20_000,
+    small_frontier_threshold: int = 4_000,
 ) -> tuple[DataFrame, DataFrame]:
     """G2 (_explode_node intent, mongraph.py:252-274): k-hop ego network.
 
@@ -86,6 +86,13 @@ def k_hop(
     falls back to the distributed plan: union-of-equi-joins + anti-join
     visited + localCheckpoint lineage truncation. Edge dedup across
     levels is deferred to one final dropDuplicates.
+
+    The threshold is 4k, not "whatever fits in driver memory": each id
+    becomes an ``isin()`` literal duplicated across the src and dst
+    predicates, and tens of thousands of literals stress expression
+    compilation and the scan's pushdown machinery long before memory is
+    a concern. Past 4k the distributed plan's one broadcast-semi-join
+    shuffle is the cheaper evil.
     """
     spark = g.vertices.sparkSession
 

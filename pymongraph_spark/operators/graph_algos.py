@@ -149,6 +149,57 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 4,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration PageRank in scaled-integer arithmetic: rank 1.0 is
+    ``scale``; every update is floor division on 64-bit ints, so the
+    result is bit-identical across engines (the cross-engine oracle
+    anchor for the float ``pagerank``, whose summation order is
+    engine-specific). Simplified model: no dangling-mass redistribution —
+    per-iteration update is
+
+        rank' = (15*scale)//100 + (85 * Σ_in floor(rank/outdeg)) // 100
+
+    Same join/aggregate shape per iteration as ``pagerank`` (one edge
+    join + one sum shuffle), so it scales identically; integer headroom
+    is ~1e9 vertices at scale=1e9 before the 85× product nears int64.
+    """
+    v = vertices.select("id").distinct()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    links = edges.select("src", "dst").join(
+        out_deg, edges.src == out_deg.id
+    ).select("src", "dst", "outdeg").persist()
+
+    base = 15 * scale // 100
+    ranks = v.select("id", F.lit(scale).cast("long").alias("rank"))
+    for it in range(max_iter):
+        contribs = (
+            links.join(ranks, links.src == ranks.id)
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = _cut_lineage(
+            v.join(contribs, v.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            ),
+            it,
+        )
+    links.unpersist()
+    return ranks
+
+
 def bfs_distances(
     edges: DataFrame, source: int, max_depth: int = 3, undirected: bool = True
 ) -> DataFrame:

@@ -337,6 +337,46 @@ def g38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PageRank, exact tier: g38's anchor. Scaled-integer arithmetic (floor
+# division only) makes the fixpoint bit-identical across engines; the
+# oracle unrolls the fixed iteration count as chained CTEs (pr0..prN) —
+# no recursive-CTE reference restrictions, same update rule verbatim.
+# --------------------------------------------------------------------------
+_G48_ITERS = 4
+_G48_SCALE = 10**9
+
+
+def _g48_oracle(iters: int = _G48_ITERS, scale: int = _G48_SCALE) -> str:
+    base = 15 * scale // 100
+    parts = [
+        ORACLE_GRAPH_CTE,
+        ", od AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f", pr0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    , pr{k} AS (
+      SELECT v.id,
+             CAST({base} + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank // od.outdeg) AS inflow
+        FROM pr{k - 1} p JOIN e ON p.id = e.src JOIN od ON od.id = e.src
+        GROUP BY e.dst
+      ) c ON v.id = c.id
+    )""")
+    parts.append(f"SELECT id, rank FROM pr{iters}")
+    return "".join(parts)
+
+
+@query("g48_pagerank_exact", oracle=_g48_oracle())
+def g48_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import pagerank_exact
+
+    g = tpch_graph(spark, sf_dir)
+    return pagerank_exact(g.vertices, g.edges, max_iter=_G48_ITERS, scale=_G48_SCALE)
+
+
+# --------------------------------------------------------------------------
 # Labeled-path motif (MATCH-style pattern compiled to joins, SURVEY §4):
 # customer X -placed→ order -supplied_by→ supplier ←supplied_by- order
 # ←placed- other customers: "customers sharing a supplier with customer 1",

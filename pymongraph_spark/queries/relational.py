@@ -109,6 +109,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-way join through the whole star: TPC-H Q5 shape. region and nation
 # are broadcast (small dims); customer⋈orders⋈lineitem⋈supplier shuffle on
 # their keys; AQE handles skew.
+#
+# The region restriction is applied EARLY: customer and supplier are
+# broadcast-semi-joined against the ASIA nation keys before any fact-table
+# join. Catalyst will not reorder inner joins this way without CBO stats,
+# and without it customer⋈orders⋈lineitem⋈supplier shuffles the full fact
+# volume before 4/5 of nations are discarded at the final dim join — at
+# 100× scale that is ~5× needless shuffle.
 # --------------------------------------------------------------------------
 @query(
     "q05_local_supplier_volume",
@@ -129,22 +136,36 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    asia_nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    # restrict both nation-keyed tables BEFORE the fact joins: a broadcast
+    # semi-join is evaluated at the scan, so 4/5 of customers/suppliers
+    # (and transitively their orders and lineitems) never enter a shuffle
+    c = t["customer"].join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"), "left_semi",
+    )
+    s = t["supplier"].join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"), "left_semi",
+    )
     o = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return (
-        t["customer"]
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            t["supplier"],
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
-              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -674,8 +695,9 @@ def q28_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # approx_count_distinct (HLL++): engine-specific sketches can't hash-match
-# across engines → rows-only gate; the exact-distinct twin q18 is the
-# oracle-checked sibling.
+# across engines → rows-only gate; q58 runs the EXACT count_distinct over
+# the identical grouping as the oracle-checked anchor (the HLL estimate at
+# rsd=0.01 must land within ~3% of q58's exact counts).
 # --------------------------------------------------------------------------
 @query("q29_approx_count_distinct")
 def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +705,27 @@ def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+    )
+
+
+@query(
+    "q58_exact_distinct_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q58_exact_distinct_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q29's exact twin: same grouping, exact distinct counts, full oracle.
+    Expands to a 2-phase distinct aggregation (partial per partition key,
+    then final) — the exact-tier plan; q29's HLL sketch is the scale tier."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_suppliers"),
     )
 
 

@@ -203,3 +203,32 @@ def test_g3_build_graph_json_export(spark):
     assert len(out["graph"]["edges"]) == 2
     # ids are JSON-safe strings (B4 intent)
     assert all(isinstance(v["id"], str) for v in out["graph"]["vertices"])
+
+
+def test_g2_hub_promotes_to_distributed_and_matches(spark, monkeypatch):
+    """Hub explosion: when a level's endpoint set exceeds
+    small_frontier_threshold, the loop must promote from driver-side
+    isin() literals to the distributed semi-join plan mid-traversal and
+    still produce the identical visited/edge sets."""
+    import pymongraph_spark.graph.traversal as trav
+
+    # hub h with 40 leaves, one leaf chains on to a tail vertex
+    pairs = [("h", f"leaf{i}") for i in range(40)] + [("leaf0", "tail")]
+    g = _mk_graph(spark, pairs)
+    root = _id_of(g, "h")
+    expected_v, expected_e = k_hop(g, root, 2)  # default threshold: driver mode
+    expected_names = _names_of(g, expected_v)
+    assert "tail" in expected_names and len(expected_names) == 42
+
+    promoted = {"flag": False}
+    orig = trav.incident_edges
+
+    def spy(graph, frontier):
+        promoted["flag"] = True
+        return orig(graph, frontier)
+
+    monkeypatch.setattr(trav, "incident_edges", spy)
+    got_v, got_e = k_hop(g, root, 2, small_frontier_threshold=10)
+    assert promoted["flag"], "distributed promotion never triggered"
+    assert _names_of(g, got_v) == expected_names
+    assert got_e.count() == expected_e.count()

@@ -78,3 +78,22 @@ def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_SMALL)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_q29_hll_anchored_by_q58_exact(spark):
+    """q29 (HLL, rows-only gate) is anchored by q58: identical grouping,
+    exact count_distinct, full oracle. At rsd=0.01 the estimate must land
+    well within 3% of exact."""
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_suppliers"])
+        for r in QUERIES["q29_approx_count_distinct"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["exact_parts"], r["exact_suppliers"])
+        for r in QUERIES["q58_exact_distinct_by_returnflag"](spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (ap, asu) in approx.items():
+        ep, esu = exact[flag]
+        assert abs(ap - ep) <= max(3, 0.03 * ep), (flag, ap, ep)
+        assert abs(asu - esu) <= max(3, 0.03 * esu), (flag, asu, esu)

@@ -57,6 +57,19 @@ def test_q05_broadcasts_small_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q05_region_restriction_before_fact_joins(spark):
+    """The ASIA restriction must reach customer AND supplier as broadcast
+    semi-joins below the fact joins (Catalyst won't reorder this without
+    CBO stats), so non-ASIA rows never enter the lineitem shuffle."""
+    df = QUERIES["q05_local_supplier_volume"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("LeftSemi") >= 2
+    # each semi-join keys on the nation key — the pruning predicate
+    semi_sections = plan.split("LeftSemi")
+    assert any("c_nationkey" in s[-400:] for s in semi_sections[:-1])
+    assert any("s_nationkey" in s[-400:] for s in semi_sections[:-1])
+
+
 def test_q03_no_cartesian_and_codegen(spark):
     # codegen spans only appear in the FINAL adaptive plan — run the query
     # first, then read the post-execution plan
