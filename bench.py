@@ -53,18 +53,27 @@ def main() -> None:
     # not session bootstrap.
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
-    # Best of 2 runs per query: shared-host load and first-plan codegen
-    # otherwise inject ±2× noise into single-shot numbers.
+    # Median of 3 runs per query: shared-host load and first-plan codegen
+    # inject ±2× noise into single-shot numbers (BASELINE.md documents the
+    # swing); the median is the honest central estimate, and the per-query
+    # spread (max-min) is reported so regressions can be told from noise.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best, rows = None, 0
-        for _ in range(2):
+        samples, rows = [], 0
+        for _ in range(runs_per_query):
             t0 = time.perf_counter()
             rows = QUERIES[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"spread {spreads[name]:.3f}s ({rows} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,6 +84,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": runs_per_query,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
