@@ -1,25 +1,104 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libs are not in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder (bytes → pseudo width/height/channel
-stats derived from the payload hash) exercises the real Spark plumbing —
-schema, batching, partitioning — end to end.
+Real codecs plug in through a per-media-type registry
+(``register_decoder`` / ``register_resizer``, longest-prefix match on the
+``media_type`` column, e.g. ``"image/"`` or ``"image/png"``). At import,
+``_probe_default_codecs`` auto-registers PIL-backed callables when PIL is
+importable — so ``fake=False`` works the moment the codec libs exist,
+with zero engine-code changes. In this container no codec libs are
+present: with an empty registry ``fake=False`` raises NotImplementedError
+and ``fake=True`` runs a deterministic fake decoder (bytes → pseudo
+width/height/channel stats derived from the payload hash) that exercises
+the real Spark plumbing — schema, batching, partitioning — end to end.
 
 At 100 TB the pattern matters more than the codec: binary payloads ride in
 parquet alongside metadata, ``mapInPandas`` streams Arrow batches through
 Python once, and all filtering/joining happens JVM-side before decode.
+Registered callables are captured into the mapInPandas closure by
+cloudpickle, so plain functions, lambdas, and bound methods all ship to
+executors without any registration step on the cluster side.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# decoder: (payload, media_type) -> (width, height, n_channels, mean_intensity)
+DecoderFn = Callable[[bytes, str], tuple[int, int, int, float]]
+# resizer: (payload, w, h, c, new_w, new_h) -> resized payload bytes
+ResizerFn = Callable[[bytes, int, int, int, int, int], bytes]
+
+_DECODERS: dict[str, DecoderFn] = {}
+_RESIZERS: dict[str, ResizerFn] = {}
+
+
+def register_decoder(media_type_prefix: str, fn: DecoderFn) -> None:
+    """Register a decoder for media types starting with ``media_type_prefix``
+    (longest registered prefix wins at decode time)."""
+    _DECODERS[media_type_prefix] = fn
+
+
+def register_resizer(media_type_prefix: str, fn: ResizerFn) -> None:
+    _RESIZERS[media_type_prefix] = fn
+
+
+def unregister_codec(media_type_prefix: str) -> None:
+    _DECODERS.pop(media_type_prefix, None)
+    _RESIZERS.pop(media_type_prefix, None)
+
+
+def available_codecs() -> dict[str, list[str]]:
+    return {"decoders": sorted(_DECODERS), "resizers": sorted(_RESIZERS)}
+
+
+def _resolve(registry: dict[str, Callable], media_type: str) -> Callable | None:
+    best_prefix, best_fn = None, None
+    for prefix, fn in registry.items():
+        if media_type.startswith(prefix) and (
+            best_prefix is None or len(prefix) > len(best_prefix)
+        ):
+            best_prefix, best_fn = prefix, fn
+    return best_fn
+
+
+def _pil_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(payload))
+    stat = ImageStat.Stat(img)
+    mean = sum(stat.mean) / len(stat.mean) / 255.0
+    return img.width, img.height, len(img.getbands()), mean
+
+
+def _pil_resize(payload: bytes, w: int, h: int, c: int, nw: int, nh: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload)).resize((nw, nh)).tobytes()
+
+
+def _probe_default_codecs() -> None:
+    """Auto-register codec-lib-backed callables for whatever is importable.
+    Called at import; safe to re-run (idempotent) after installing libs."""
+    try:
+        import PIL  # noqa: F401
+
+        _DECODERS.setdefault("image/", _pil_decode)
+        _RESIZERS.setdefault("image/", _pil_resize)
+    except ImportError:
+        pass
+
+
+_probe_default_codecs()
 
 MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, payload binary, byte_len bigint"
@@ -56,18 +135,34 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode binary payloads to typed metadata via mapInPandas.
 
-    Real decoders (PIL / torchaudio / av) plug in at the marked point;
-    they are not available in this container, so only ``fake=True`` runs.
+    ``fake=False`` resolves a registered decoder per row's ``media_type``
+    (register via ``register_decoder``; PIL auto-registers for ``image/``
+    when importable). The registry is snapshotted driver-side into the
+    closure, so executors need no registration step.
     """
     if not fake:
-        raise NotImplementedError(
-            "real image/audio decode requires PIL/av, not present in this "
-            "container; pass fake=True to run the deterministic stub"
-        )
+        decoders = dict(_DECODERS)
+        if not decoders:
+            raise NotImplementedError(
+                "no decoders registered (codec libs like PIL are not in this "
+                "container); register_decoder() one, or pass fake=True for "
+                "the deterministic stub"
+            )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            if fake:
+                decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            else:
+                decoded = []
+                for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                    fn = _resolve(decoders, mt)
+                    if fn is None:
+                        raise ValueError(
+                            f"no decoder registered for media_type {mt!r}; "
+                            f"registered prefixes: {sorted(decoders)}"
+                        )
+                    decoded.append(fn(bytes(p), mt))
             out = pd.DataFrame(
                 decoded, columns=["width", "height", "n_channels", "mean_intensity"]
             )
@@ -144,16 +239,20 @@ def resize_media(media: DataFrame, max_side: int = 32, fake: bool = True) -> Dat
     """Resize payloads so the longer side becomes ``max_side`` (aspect
     preserved, never upscaled) via mapInPandas. Dimension math is pure
     integer arithmetic — floor-scaled, min 1 — so the metadata is exact
-    and cross-engine checkable; the pixel resample itself is the stubbed
-    step (a real PIL/cv2 call plugs in at the marked line), standing in
-    with a truncate/pad to the computed byte budget so a REAL binary
-    column flows out with the production schema.
+    and cross-engine checkable. ``fake=False`` resolves a registered
+    resizer per row's ``media_type`` (register via ``register_resizer``;
+    PIL auto-registers for ``image/`` when importable); ``fake=True``
+    stands in with a truncate/pad to the computed byte budget so a REAL
+    binary column flows out with the production schema either way.
     """
     if not fake:
-        raise NotImplementedError(
-            "real image resize requires PIL/cv2, not present in this "
-            "container; pass fake=True to run the deterministic stub"
-        )
+        resizers = dict(_RESIZERS)
+        if not resizers:
+            raise NotImplementedError(
+                "no resizers registered (codec libs like PIL are not in this "
+                "container); register_resizer() one, or pass fake=True for "
+                "the deterministic stub"
+            )
 
     # dimensions come from metadata columns when the frame carries them
     # (the production case: dims are stored alongside the blob at ingest,
@@ -177,8 +276,19 @@ def resize_media(media: DataFrame, max_side: int = 32, fake: bool = True) -> Dat
                 else:
                     nw = max(1, (w * max_side) // longest)
                     nh = max(1, (h * max_side) // longest)
-                out_bytes = nw * nh * c
-                resized = (p * (out_bytes // max(len(p), 1) + 1))[:out_bytes]  # <- real resample here
+                if fake:
+                    out_bytes = nw * nh * c
+                    resized = (p * (out_bytes // max(len(p), 1) + 1))[:out_bytes]
+                else:
+                    mt = str(pdf["media_type"].iloc[j]) if "media_type" in pdf.columns else ""
+                    fn = _resolve(resizers, mt)
+                    if fn is None:
+                        raise ValueError(
+                            f"no resizer registered for media_type {mt!r}; "
+                            f"registered prefixes: {sorted(resizers)}"
+                        )
+                    resized = fn(p, w, h, c, nw, nh)
+                    out_bytes = len(resized)
                 rows.append((doc_id, w, h, c, nw, nh, out_bytes, resized))
             yield pd.DataFrame(
                 rows,

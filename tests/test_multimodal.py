@@ -63,3 +63,56 @@ def test_feature_histogram_sums_to_one(spark):
     # 64 payload bytes, each in exactly one bin → fractions sum to 1
     for total in by_doc.values():
         assert abs(total - 1.0) < 1e-12
+
+
+def test_codec_registry_injects_real_decoder(spark):
+    """A decoder registered for a media_type prefix makes fake=False work
+    end-to-end through the same mapInPandas plumbing — the seam a user
+    with PIL/av plugs into."""
+    from pymongraph_spark.operators import multimodal as mm
+
+    def toy_decode(payload, media_type):
+        return len(payload) % 100, 7, 2, 0.5
+
+    def toy_resize(payload, w, h, c, nw, nh):
+        return bytes([1, 2, 3]) * nw * nh
+
+    mm.register_decoder("image/", toy_decode)
+    mm.register_resizer("image/", toy_resize)
+    try:
+        media = attach_fake_media(_docs(spark))  # media_type 'image/fake'
+        got = {r["doc_id"]: r for r in mm.decode_media(media, fake=False).collect()}
+        assert got[1]["width"] == 64 % 100 and got[1]["height"] == 7
+        assert got[1]["n_channels"] == 2 and got[1]["mean_intensity"] == 0.5
+
+        rr = {r["doc_id"]: r for r in mm.resize_media(media, fake=False).collect()}
+        for r in rr.values():
+            assert bytes(r["resized"])[:3] == bytes([1, 2, 3])
+            assert r["out_bytes"] == len(bytes(r["resized"]))
+    finally:
+        mm.unregister_codec("image/")
+    # gate restored once the codec is gone
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(attach_fake_media(_docs(spark)), fake=False)
+
+
+def test_codec_registry_longest_prefix_and_missing_type(spark):
+    from pymongraph_spark.operators import multimodal as mm
+
+    generic = lambda p, mt: (1, 1, 1, 0.0)  # noqa: E731
+    specific = lambda p, mt: (9, 9, 9, 0.9)  # noqa: E731
+    mm.register_decoder("image/", generic)
+    mm.register_decoder("image/fake", specific)
+    try:
+        assert mm._resolve(dict(mm._DECODERS), "image/fake") is specific
+        assert mm._resolve(dict(mm._DECODERS), "image/png") is generic
+        assert mm._resolve(dict(mm._DECODERS), "audio/wav") is None
+        # an unregistered media_type fails loudly inside the batch fn
+        media = attach_fake_media(_docs(spark)).withColumn(
+            "media_type", F.lit("audio/wav")
+        )
+        with pytest.raises(Exception, match="no decoder registered"):
+            mm.decode_media(media, fake=False).collect()
+    finally:
+        mm.unregister_codec("image/")
+        mm.unregister_codec("image/fake")
