@@ -24,14 +24,21 @@ def stream_import(
     store_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for text files (one JSON report per line) and
     continuously upsert them into the graph store at ``store_path``.
 
     ``available_now=True`` drains what exists and stops (deterministic for
     tests/backfills); False runs a continuous micro-batch stream.
+    ``max_files_per_trigger`` caps files per micro-batch — with
+    availableNow this slices a backfill into several idempotent merges
+    (the replay/convergence story under test in st87).
     """
-    lines = spark.readStream.text(input_dir)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
         reports = batch_df.filter(F.length(F.trim("value")) > 0).select(

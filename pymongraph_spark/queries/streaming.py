@@ -296,6 +296,91 @@ def st85_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "st87_streaming_graph_ingest",
+    # End-to-end streaming GRAPH ingest: JSON threat-report lines derived
+    # deterministically from the customer table are replayed through
+    # stream_import (file stream → foreachBatch → idempotent store merge,
+    # sliced into ≥4 micro-batches, with one shard duplicated so replay
+    # convergence is actually exercised), then the final store is read
+    # back and joined domain→assign→ip. The oracle recomputes the whole
+    # graph from customer directly — if any micro-batch merge dropped,
+    # duplicated, or mis-keyed a vertex/edge, rows or values diverge.
+    oracle="""
+    SELECT 'c' || c_custkey || '.example' AS domain_name,
+           c_mktsegment AS segment,
+           '10.' || c_nationkey || '.' || (c_custkey // 250) || '.' || (c_custkey % 250) AS ip,
+           '0.0' AS detected_prop
+    FROM customer
+    WHERE c_custkey <= 2000
+    """,
+)
+def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.graph import store
+    from pymongraph_spark.ingest.streaming import stream_import
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"st87_ingest_{abs(hash(sf_dir)) % 10**8}"
+    )
+    input_dir = os.path.join(base, "in")
+    store_path = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+
+    # fixture: one JSON report line per customer, derived 1:1 from the
+    # table so DuckDB can recompute the expected graph exactly
+    line = F.format_string(
+        '{"c%s.example": {"dns-resolutions": [{"ipaddress": "10.%s.%s.%s", '
+        '"domain": "c%s.example", "date": "2020-01-01"}], "segment": "%s"}}',
+        "c_custkey",
+        "c_nationkey",
+        F.expr("c_custkey div 250"),
+        F.expr("c_custkey % 250"),
+        "c_custkey",
+        "c_mktsegment",
+    )
+    reports = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 2000)
+        .select(line.alias("value"), "c_custkey")
+    )
+    reports.repartitionByRange(4, "c_custkey").select("value").write.text(input_dir)
+    # duplicate one shard → those reports arrive twice; the idempotent
+    # merge must converge to the same graph
+    a_part = sorted(
+        f for f in os.listdir(input_dir) if f.startswith("part-")
+    )[0]
+    shutil.copy(
+        os.path.join(input_dir, a_part), os.path.join(input_dir, "replay-dup.txt")
+    )
+
+    q = stream_import(
+        spark, input_dir, store_path, ckpt,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    g = store.load(spark, store_path)
+    domains = g.vertices.filter(F.col("label") == "domain").select(
+        F.col("id").alias("did"),
+        F.col("props")["name"].alias("domain_name"),
+        F.col("props")["segment"].alias("segment"),
+        F.col("props")["detected_prop"].alias("detected_prop"),
+    )
+    ips = g.vertices.filter(F.col("label") == "ip").select(
+        F.col("id").alias("iid"), F.col("props")["address"].alias("ip")
+    )
+    assign = g.edges.filter(F.col("label") == "assign").select("src", "dst")
+    return (
+        domains.join(assign, domains.did == assign.src)
+        .join(ips, assign.dst == ips.iid)
+        .select("domain_name", "segment", "ip", "detected_prop")
+    )
+
+
+@query(
     "st86_stream_stream_interval_join",
     # Stream-stream inner join with an event-time range condition — same
     # semantics as the batch q36 (pairs of a user's events within 5 min),
