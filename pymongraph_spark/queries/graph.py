@@ -55,21 +55,51 @@ e AS (
 _GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
 
 
+def _graph_table_prefix(sf_dir: str) -> str:
+    import hashlib
+
+    # hash() is salted per interpreter — md5 keys the tables stably so a
+    # SECOND session can find the first session's materialization
+    return f"tpch_graph_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """Derive the property graph from the star schema. One pass, no UDFs;
     edge dedup via dropDuplicates (the W2 triple-dedup semantic).
 
-    Memoized + persisted per (session, sf_dir): the edge dedup is the one
-    real shuffle here, and every graph query would otherwise repeat it.
-    On a cluster this materialization is the bucketed-table write that
-    co-locates later frontier joins.
+    Materialization: the edge dedup is the one real shuffle here, and
+    every graph query would otherwise repeat it. First build per sf_dir
+    writes the graph ONCE as bucketed tables under the warehouse dir
+    (save_bucketed — the layout that also co-locates frontier joins);
+    any later session load-if-exists's them, so its first graph query
+    skips the lineitem dedup shuffle entirely. In-memory memo per
+    (session, sf_dir) on top. Cross-process reuse additionally needs a
+    persistent metastore (the in-memory catalog forgets table names at
+    JVM exit); without one the build just reruns — a cache, not a
+    correctness dependency.
     """
     key = (id(spark), sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
-    g = _build_tpch_graph(spark, sf_dir)
-    # Lazy persist: the first query's own action materializes the dedup
-    # shuffle and caches it; subsequent graph queries read the cache.
+    from pymongraph_spark.graph.store import load_bucketed, save_bucketed
+
+    prefix = _graph_table_prefix(sf_dir)
+    g = None
+    try:
+        if spark.catalog.tableExists(f"{prefix}_vertices") and spark.catalog.tableExists(
+            f"{prefix}_adjacency"
+        ):
+            g, _ = load_bucketed(spark, prefix)
+    except Exception:
+        g = None
+    if g is None:
+        g = _build_tpch_graph(spark, sf_dir)
+        try:
+            save_bucketed(g, prefix, buckets=16)
+            g, _ = load_bucketed(spark, prefix)
+        except Exception:
+            # read-only warehouse etc. — fall back to session-local persist
+            pass
     g = PropertyGraph(g.vertices.persist(), g.edges.persist())
     _GRAPH_CACHE[key] = g
     return g

@@ -106,3 +106,20 @@ def test_bucketed_store_khop_matches_generic(spark, sf_small):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_store_vertices")
         spark.sql("DROP TABLE IF EXISTS bk_store_adjacency")
+
+
+def test_tpch_graph_persisted_across_sessions(spark, sf_small):
+    """A second session must find the first session's bucketed graph
+    tables and skip the derive-from-TPC-H rebuild: no lineitem scan in
+    its edge plan, identical graph."""
+    from pymongraph_spark.queries.graph import _graph_table_prefix, tpch_graph
+
+    g1 = tpch_graph(spark, sf_small)
+    n_edges = g1.edges.count()
+
+    s2 = spark.newSession()  # fresh session, shared catalog
+    g2 = tpch_graph(s2, sf_small)
+    plan = g2.edges._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    assert _graph_table_prefix(sf_small) in plan  # reads the bucketed table
+    assert g2.edges.count() == n_edges
