@@ -10,11 +10,16 @@ relational, graph, LLM-pipeline, and streaming queries.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pymongraph_spark.queries import ORACLES, QUERIES
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,15 +27,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _last_gated_round() -> dict[str, int]:
+    """query name -> most recent round with a recorded CORRECTNESS row."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            rows = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered non-relational-first (graph / dedup / similarity / text /
-    multimodal / streaming, then the relational q*): round 1's driver
-    gate recorded exactly the first 50 registry entries, so the queries
-    that still need a driver-verified CORRECTNESS row lead the dict.
+    The driver's correctness gate records only the first 50 registry
+    entries per round, so the order rotates by verification staleness:
+    queries that have never received a driver row lead, then those whose
+    last recorded row is oldest (round ascending), name as tie-break.
+    Each round the 50 stalest queries get fresh driver evidence, so the
+    whole registry cycles through the gate every ceil(N/50) rounds.
     """
-    ordered = sorted(QUERIES, key=lambda k: (k.startswith("q"), k))
+    last = _last_gated_round()
+    ordered = sorted(QUERIES, key=lambda k: (last.get(k, 0), k))
     return {k: QUERIES[k] for k in ordered}
 
 
