@@ -27,17 +27,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _row_passed(row: object) -> bool:
+    """True only for rows that actually verified: full hash-match, or the
+    rows-only tier the driver records for queries without an oracle
+    (err == "no_oracle" with a materialized spark row count). Failed or
+    errored rows do NOT count, so those queries keep sorting to the front
+    of the 50-entry gate until they pass."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is None:
+        return bool(
+            row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+        )
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
 def _last_gated_round() -> dict[str, int]:
-    """query name -> most recent round with a recorded CORRECTNESS row."""
+    """query name -> most recent round with a PASSING CORRECTNESS row."""
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
         try:
             rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-            rows = json.load(open(path))
+            with open(path) as f:
+                rows = json.load(f)
         except (ValueError, OSError, json.JSONDecodeError):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if _row_passed(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

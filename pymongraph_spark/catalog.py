@@ -31,17 +31,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default. Read nanos as long, then convert to a microsecond
-        # timestamp with integer division (the data is µs-precision; ns
-        # longs exceed 2^53 so float division would corrupt them).
-        # DuckDB reads the same column as µs TIMESTAMP, so both engines
-        # see identical instants.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # generations and TIMESTAMP(MICROS) in others, so adapt to what the
+        # footer actually says instead of assuming one encoding:
+        #   * NANOS  — Spark rejects it unless read as long (nanosAsLong),
+        #     then integer-divide to µs (ns longs exceed 2^53, so float
+        #     division would corrupt them) and rebuild a timestamp.
+        #   * MICROS (isAdjustedToUTC=false) — Spark reads TIMESTAMP_NTZ;
+        #     cast to TIMESTAMP, which under our UTC session timezone
+        #     (session.RUNTIME_CONF) is instant-preserving.
+        # DuckDB reads either encoding as a µs TIMESTAMP, so both engines
+        # see identical instants and downstream queries always get a plain
+        # TimestampType "ts" column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

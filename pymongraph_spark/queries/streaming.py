@@ -32,15 +32,21 @@ def _stream_dir(sf_dir: str, name: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over events with the same ts normalization as the
-    batch catalog (nanos-long → µs timestamp)."""
+    """Streaming source over events with the same dtype-adaptive ts
+    normalization as the batch catalog (catalog.table): nanos-long →
+    µs timestamp, TIMESTAMP_NTZ → TIMESTAMP (instant-preserving under
+    the UTC session timezone), µs TIMESTAMP passthrough."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(_stream_dir(sf_dir, "events"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(_stream_dir(sf_dir, "events"))
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
