@@ -79,6 +79,55 @@ def load(
     )
 
 
+# Column DDL + bucket column per bucketed table suffix — single source of
+# truth shared by save_bucketed (writer) and register_bucketed_external
+# (re-attaching an earlier process's files to a fresh in-memory catalog).
+_BUCKETED_SPECS = {
+    "vertices": ("id BIGINT, label STRING, props MAP<STRING,STRING>", "id"),
+    "adjacency": (
+        "key BIGINT, id BIGINT, src BIGINT, dst BIGINT, label STRING, "
+        "props MAP<STRING,STRING>",
+        "key",
+    ),
+}
+
+
+def _warehouse_path(spark: SparkSession, table_name: str) -> str:
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return os.path.join(urlparse(wh).path or wh, table_name.lower())
+
+
+def register_bucketed_external(
+    spark: SparkSession, table_prefix: str, buckets: int = 64
+) -> bool:
+    """Attach bucketed table FILES written by an earlier process to this
+    session's catalog.
+
+    The default in-memory catalog forgets table definitions at JVM exit
+    while the managed files stay under the warehouse dir, so a fresh
+    session can neither ``spark.table()`` them nor saveAsTable over them
+    (LOCATION_ALREADY_EXISTS). Re-declaring the same schema + bucketing
+    over the existing location restores shuffle-free bucketed reads
+    without rewriting a byte. Returns False when the files aren't there
+    (or are from an interrupted write — no _SUCCESS marker)."""
+    locs = {}
+    for suffix in _BUCKETED_SPECS:
+        loc = _warehouse_path(spark, f"{table_prefix}_{suffix}")
+        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+            return False
+        locs[suffix] = loc
+    for suffix, (ddl, bucket_col) in _BUCKETED_SPECS.items():
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table_prefix}_{suffix} ({ddl}) "
+            f"USING parquet CLUSTERED BY ({bucket_col}) "
+            f"SORTED BY ({bucket_col}) INTO {buckets} BUCKETS "
+            f"LOCATION '{locs[suffix]}'"
+        )
+    return True
+
+
 def save_bucketed(
     g: PropertyGraph, table_prefix: str, buckets: int = 64
 ) -> None:
@@ -98,6 +147,15 @@ def save_bucketed(
     100 TB, rewriting 2× edges once beats re-shuffling them every hop of
     every traversal.
     """
+    spark = g.vertices.sparkSession
+    for suffix in _BUCKETED_SPECS:
+        name = f"{table_prefix}_{suffix}"
+        if not spark.catalog.tableExists(name):
+            # Orphaned files from a previous JVM (catalog entry died with
+            # it) make saveAsTable raise LOCATION_ALREADY_EXISTS; anything
+            # reusable was already re-attached by register_bucketed_external
+            # before the caller chose to rebuild, so clear the location.
+            shutil.rmtree(_warehouse_path(spark, name), ignore_errors=True)
     g.vertices.select(VERTEX_FIELDS).write.bucketBy(buckets, "id").sortBy(
         "id"
     ).mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_vertices")

@@ -59,8 +59,18 @@ def _graph_table_prefix(sf_dir: str) -> str:
     import hashlib
 
     # hash() is salted per interpreter — md5 keys the tables stably so a
-    # SECOND session can find the first session's materialization
-    return f"tpch_graph_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # SECOND session (or process) can find the first one's materialization.
+    # The source tables' mtime+size are folded in so a regenerated testdata
+    # directory (the driver rewrites it between rounds) gets a NEW prefix
+    # and can never silently reuse a stale derived graph.
+    h = hashlib.md5(sf_dir.encode())
+    for t in ("customer", "orders", "part", "supplier", "lineitem"):
+        try:
+            st = os.stat(f"{sf_dir}/{t}.parquet")
+            h.update(f"{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            pass
+    return f"tpch_graph_{h.hexdigest()[:8]}"
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
@@ -81,14 +91,21 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     key = (id(spark), sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
-    from pymongraph_spark.graph.store import load_bucketed, save_bucketed
+    from pymongraph_spark.graph.store import (
+        load_bucketed,
+        register_bucketed_external,
+        save_bucketed,
+    )
 
     prefix = _graph_table_prefix(sf_dir)
     g = None
     try:
-        if spark.catalog.tableExists(f"{prefix}_vertices") and spark.catalog.tableExists(
+        known = spark.catalog.tableExists(f"{prefix}_vertices") and spark.catalog.tableExists(
             f"{prefix}_adjacency"
-        ):
+        )
+        # A fresh process's in-memory catalog has forgotten the tables even
+        # though the files survived — re-attach them instead of rebuilding.
+        if known or register_bucketed_external(spark, prefix, buckets=16):
             g, _ = load_bucketed(spark, prefix)
     except Exception:
         g = None
@@ -97,12 +114,35 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         try:
             save_bucketed(g, prefix, buckets=16)
             g, _ = load_bucketed(spark, prefix)
+            _drop_stale_graph_caches(spark, keep_prefix=prefix)
         except Exception:
             # read-only warehouse etc. — fall back to session-local persist
             pass
     g = PropertyGraph(g.vertices.persist(), g.edges.persist())
     _GRAPH_CACHE[key] = g
     return g
+
+
+def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
+    """Remove warehouse dirs of derived graphs whose source-data
+    fingerprint no longer matches (regenerated testdata) — they can never
+    be loaded again, only block future saves."""
+    from pymongraph_spark.graph.store import _warehouse_path
+
+    wh_root = os.path.dirname(_warehouse_path(spark, "x"))
+    if not os.path.isdir(wh_root):
+        return
+    keep_hash = keep_prefix.rsplit("_", 1)[-1]
+    for d in os.listdir(wh_root):
+        if (
+            (d.startswith("tpch_graph_") or d.startswith("g41_graph_"))
+            and keep_hash not in d
+        ):
+            try:
+                if not spark.catalog.tableExists(d):
+                    shutil.rmtree(os.path.join(wh_root, d), ignore_errors=True)
+            except Exception:
+                pass
 
 
 def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
@@ -221,7 +261,12 @@ def g31_neighbors_of_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g32_two_hop_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
     visited, _edges = k_hop(g, 4, depth=2)
-    return visited.join(g.vertices, on="id", how="inner").select("id", "label")
+    # Broadcast the ~100-row visited set, not the full vertex table: the
+    # label-lookup join must stream vertices past the tiny build side.
+    return (
+        g.vertices.join(F.broadcast(visited.select("id")), on="id", how="inner")
+        .select("id", "label")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -521,12 +566,18 @@ def g41_bucketed_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.graph.store import k_hop_bucketed, load_bucketed, save_bucketed
 
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    prefix = f"g41_graph_{abs(hash(sf_dir)) % 10**8}"
+    # Stable (fingerprinted) name so a rerun overwrites rather than
+    # accumulating one orphaned warehouse dir per process (hash() is
+    # salted per interpreter; _graph_table_prefix is not).
+    prefix = _graph_table_prefix(sf_dir).replace("tpch_graph_", "g41_graph_")
     g = tpch_graph(spark, sf_dir)
     save_bucketed(g, prefix, buckets=8)
     gb, adjacency = load_bucketed(spark, prefix)
     visited, _edges = k_hop_bucketed(adjacency, 4, depth=2)
-    return visited.join(gb.vertices, on="id", how="inner").select("id", "label")
+    return (
+        gb.vertices.join(F.broadcast(visited.select("id")), on="id", how="inner")
+        .select("id", "label")
+    )
 
 
 # --------------------------------------------------------------------------
