@@ -215,6 +215,69 @@ def k_hop_bucketed(
     return visited, edges
 
 
+_LAKEHOUSE: dict[int, str | None] = {}
+
+
+def lakehouse_format(spark: SparkSession) -> str | None:
+    """Probe (once per session) for a transactional table format.
+
+    Returns ``"delta"`` when the delta-spark package AND its JVM classes
+    are on this session's classpath, else ``None`` → the parquet
+    version-swap fallback below. SURVEY §7 names Delta/Iceberg MERGE as
+    the production mutation path; this container ships neither, so the
+    probe exists to route automatically the moment one is installed —
+    semantics don't change because every merge is already expressed as a
+    deterministic-key union/dropDuplicates, which is exactly the MERGE
+    condition.
+    """
+    key = id(spark)
+    if key not in _LAKEHOUSE:
+        fmt = None
+        try:
+            import delta  # noqa: F401  (delta-spark python bindings)
+
+            # classpath check: the python package without the jars still
+            # fails at write time — probe the JVM class directly.
+            spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+            fmt = "delta"
+        except Exception:
+            fmt = None
+        _LAKEHOUSE[key] = fmt
+    return _LAKEHOUSE[key]
+
+
+def _merge_into_delta(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGraph:
+    """MERGE INTO upsert via Delta (only reachable when lakehouse_format
+    returns 'delta'). Same contract as the parquet fallback: new vertex
+    props win per key, first edge writer wins."""
+    from delta.tables import DeltaTable
+
+    vpath, epath = os.path.join(path, "delta_vertices"), os.path.join(path, "delta_edges")
+    if not DeltaTable.isDeltaTable(spark, vpath):
+        new.vertices.select(VERTEX_FIELDS).write.format("delta").save(vpath)
+        new.edges.select(EDGE_FIELDS).write.format("delta").save(epath)
+    else:
+        (
+            DeltaTable.forPath(spark, vpath)
+            .alias("t")
+            .merge(new.vertices.alias("s"), "t.id = s.id AND t.label = s.label")
+            .whenMatchedUpdate(set={"props": "map_concat(map_filter(t.props, (k, v) -> NOT array_contains(map_keys(s.props), k)), s.props)"})
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        (
+            DeltaTable.forPath(spark, epath)
+            .alias("t")
+            .merge(new.edges.alias("s"), "t.id = s.id")
+            .whenNotMatchedInsertAll()  # first writer wins — no update clause
+            .execute()
+        )
+    return PropertyGraph(
+        spark.read.format("delta").load(vpath).select(VERTEX_FIELDS),
+        spark.read.format("delta").load(epath).select(EDGE_FIELDS),
+    )
+
+
 def merge_into(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGraph:
     """Upsert a batch graph into the store (the foreachBatch target).
 
@@ -223,7 +286,14 @@ def merge_into(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGr
     report's updates win, matching sequential reference imports). Replays
     are idempotent: identical batch → identical props → no visible change.
     Edges: union + dedup on id (first writer wins).
+
+    Routes through Delta MERGE INTO when the runtime is present
+    (lakehouse_format probe) — concurrent writers then get optimistic
+    transactional conflict detection instead of the single-writer
+    version-swap below.
     """
+    if lakehouse_format(spark) == "delta":
+        return _merge_into_delta(spark, path, new)
     existing = load(spark, path)
     if existing is None:
         merged = new

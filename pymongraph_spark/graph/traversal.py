@@ -70,7 +70,8 @@ def k_hop(
     g: PropertyGraph,
     roots,
     depth: int,
-    small_frontier_threshold: int = 4_000,
+    small_frontier_threshold: int = 100_000,
+    isin_literal_threshold: int = 1_000,
 ) -> tuple[DataFrame, DataFrame]:
     """G2 (_explode_node intent, mongraph.py:252-274): k-hop ego network.
 
@@ -78,21 +79,26 @@ def k_hop(
     exponential re-expansion; ours is O(depth) jobs). Returns
     (visited_vertex_ids, visited_edges). The root is included.
 
-    Adaptive frontier strategy: while the frontier + visited sets fit on
-    the driver (≤ small_frontier_threshold ids — the common case for ego
-    networks), each level is ONE scan of edges with an ``IN`` filter
-    (pushed into the scan, no shuffle, no checkpoint barrier). When a
-    level's endpoint set exceeds the threshold (hub explosion), the loop
-    falls back to the distributed plan: union-of-equi-joins + anti-join
-    visited + localCheckpoint lineage truncation. Edge dedup across
-    levels is deferred to one final dropDuplicates.
+    Three-tier frontier strategy, chosen per level by frontier size:
 
-    The threshold is 4k, not "whatever fits in driver memory": each id
-    becomes an ``isin()`` literal duplicated across the src and dst
-    predicates, and tens of thousands of literals stress expression
-    compilation and the scan's pushdown machinery long before memory is
-    a concern. Past 4k the distributed plan's one broadcast-semi-join
-    shuffle is the cheaper evil.
+    1. ≤ isin_literal_threshold ids — ONE scan of edges with an ``IN``
+       filter pushed into the scan (no shuffle, no join). Capped at 1k
+       because each id becomes a literal duplicated across the src and
+       dst predicates, and tens of thousands of literals stress
+       expression compilation long before driver memory matters.
+    2. ≤ small_frontier_threshold ids — frontier stays a driver-side set
+       (set algebra for visited/dedup is free), but expansion runs as a
+       broadcast semi-join pair (incident_edges): the edge side is never
+       shuffled and no literal expressions are built. This covers the
+       entire ego-network regime; collecting ≤100k longs per level is
+       single-digit MB on the driver.
+    3. beyond — hub explosion: promote to the fully distributed plan
+       (broadcast/shuffle semi-joins + anti-join visited + localCheckpoint
+       lineage truncation), where frontier and visited live in DataFrames
+       and nothing depends on driver memory. This is the 100 TB path;
+       the driver tiers are latency optimizations for the common case.
+
+    Edge dedup across levels is deferred to one final dropDuplicates.
     """
     spark = g.vertices.sparkSession
 
@@ -117,9 +123,15 @@ def k_hop(
         if frontier_ids is not None:
             if not frontier_ids:
                 break
-            e = g.edges.filter(
-                F.col("src").isin(frontier_ids) | F.col("dst").isin(frontier_ids)
-            ).localCheckpoint(eager=True)  # one scan; later actions reuse it
+            if len(frontier_ids) <= isin_literal_threshold:
+                e = g.edges.filter(
+                    F.col("src").isin(frontier_ids) | F.col("dst").isin(frontier_ids)
+                )
+            else:
+                e = incident_edges(
+                    g, spark.createDataFrame([(i,) for i in frontier_ids], "id: long")
+                )
+            e = e.localCheckpoint(eager=True)  # one scan; later actions reuse it
             edge_levels.append(e)
             endpoints = e.select("src", "dst").distinct().limit(
                 small_frontier_threshold + 1

@@ -232,3 +232,32 @@ def test_g2_hub_promotes_to_distributed_and_matches(spark, monkeypatch):
     assert promoted["flag"], "distributed promotion never triggered"
     assert _names_of(g, got_v) == expected_names
     assert got_e.count() == expected_e.count()
+
+
+def test_g2_midtier_broadcast_join_matches(spark, monkeypatch):
+    """Between the isin-literal cap and the driver cap, expansion must run
+    as the broadcast semi-join pair (incident_edges) with the frontier
+    still tracked driver-side — and produce identical results."""
+    import pymongraph_spark.graph.traversal as trav
+
+    pairs = [("h", f"leaf{i}") for i in range(40)] + [("leaf0", "tail")]
+    g = _mk_graph(spark, pairs)
+    root = _id_of(g, "h")
+    expected_v, _ = k_hop(g, root, 2)  # default: isin tier
+    expected_names = _names_of(g, expected_v)
+
+    used_join = {"flag": False}
+    orig = trav.incident_edges
+
+    def spy(graph, frontier):
+        used_join["flag"] = True
+        return orig(graph, frontier)
+
+    monkeypatch.setattr(trav, "incident_edges", spy)
+    # isin cap of 5 forces the broadcast tier at level 2 (frontier = 40
+    # leaves) while the driver cap of 10k keeps it out of distributed mode
+    got_v, _ = k_hop(
+        g, root, 2, small_frontier_threshold=10_000, isin_literal_threshold=5
+    )
+    assert used_join["flag"], "broadcast-join tier never used"
+    assert _names_of(g, got_v) == expected_names

@@ -92,3 +92,21 @@ def test_store_time_travel_and_retention(spark, tmp_path):
     assert len(store.versions(path)) == 2
     assert store.load(spark, path, version=v1) is None
     assert store.load(spark, path).vertices.count() == 7
+
+
+def test_lakehouse_probe_and_merge_routing(spark, tmp_path):
+    """The Delta probe must return a stable, honest answer either way, and
+    merge_into must work through whichever path the probe selects (MERGE
+    INTO when delta is installed, parquet version-swap otherwise)."""
+    fmt = store.lakehouse_format(spark)
+    assert fmt in (None, "delta")
+    assert store.lakehouse_format(spark) == fmt  # memoized, not re-probed
+
+    st = str(tmp_path / "store")
+    g1 = import_from_json(spark, [REPORT_1])
+    merged = store.merge_into(spark, st, g1)
+    v1 = merged.vertices.count()
+    # replay is idempotent through either storage backend
+    merged2 = store.merge_into(spark, st, g1)
+    assert merged2.vertices.count() == v1
+    assert merged2.edges.count() == merged.edges.count()
