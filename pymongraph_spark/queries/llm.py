@@ -117,12 +117,22 @@ def d43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-match gate instead of rows-only.
 # --------------------------------------------------------------------------
 def _d45_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    ctes, final = _d45_parts(num_hashes, bands, threshold)
+    return f"WITH {ctes} {final}"
+
+
+def _d45_parts(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> tuple[str, str]:
+    """The d45 oracle split into (CTE list, final SELECT) so composite
+    pipelines (d49 clustering) can reuse the candidate-pair CTEs under
+    their own WITH RECURSIVE prefix."""
     from pymongraph_spark.operators.dedup import MINHASH_AB, MINHASH_P
 
     rows = num_hashes // bands
     ab_sql = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in MINHASH_AB[:num_hashes]) + "]"
-    return f"""
-    WITH sh AS (
+    ctes = f"""
+    sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
       WHERE len(toks) >= 3
@@ -150,7 +160,8 @@ def _d45_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       FROM band a JOIN band b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
+    )"""
+    final = f"""
     SELECT doc_id_a, doc_id_b,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
              / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
@@ -161,6 +172,7 @@ def _d45_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -
              / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
           >= {threshold}
     """
+    return ctes, final
 
 
 @query("d45_minhash_lsh_oracle", oracle=_d45_oracle())
@@ -169,6 +181,62 @@ def d45_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return minhash_lsh_pairs_neutral(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def _d49_oracle() -> str:
+    ctes, final = _d45_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    und AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id
+    )
+    SELECT id AS doc_id,
+           MIN(root) AS cluster_id,
+           MIN(root) = id AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("d49_neardup_clusters", oracle=_d49_oracle())
+def d49_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step after pair generation that an
+    actual training-data pipeline needs: candidate pairs (engine-neutral
+    MinHash banding, same plan as d45) → undirected connected components
+    (hash-min label propagation, one shuffle per iteration) → per-cluster
+    canonical representative = min doc_id. ``is_canonical`` is the
+    keep-one decision; dropping rows where it is false IS the dedup.
+
+    At 100 TB the pair graph is tiny relative to the corpus (only docs
+    with ≥1 near-dup appear), so the CC loop runs on the reduced vertex
+    set, not the corpus. Oracle: DuckDB WITH RECURSIVE transitive
+    closure + MIN(root) per node over the identical pair set.
+    """
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
+    from pymongraph_spark.operators.graph_algos import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs_neutral(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("doc_id_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    comp = connected_components(verts, edges)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -816,6 +884,189 @@ def t66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.min("doc_id").alias("first_doc"),
         )
+    )
+
+
+_SQL_BUCKET1000 = """
+    list_reduce([CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 for i in generate_series(1, 8)],
+                (acc, x) -> acc * 16 + x) % 1000
+"""
+
+
+@query(
+    "t70_stratified_sample",
+    oracle=f"""
+    WITH freq AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_total,
+             least(1.0, sqrt(CAST((SELECT MIN(n_total) FROM freq) AS DOUBLE)
+                             / CAST(n_total AS DOUBLE))) AS rate
+      FROM freq
+    ),
+    sampled AS (
+      SELECT d.lang, COUNT(*) AS n_sampled
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE {_SQL_BUCKET1000} < r.rate * 1000
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_total, r.rate,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM rates r LEFT JOIN sampled s ON r.lang = s.lang
+    """,
+)
+def t70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (inverse-sqrt-frequency) sampling — the
+    multilingual data-mixing op: dominant languages are downsampled
+    toward sqrt(min/n), the rarest language is kept whole. Membership is
+    a pure function of doc_id (md5 bucket vs per-stratum rate), never
+    random(): reruns and incremental corpus growth keep every previous
+    decision, and any engine recomputes the same sample. One aggregate +
+    one broadcast join — no shuffle of the corpus at 100 TB.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    freq = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    mn = freq.agg(F.min("n_total").alias("min_n"))
+    rates = freq.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_total",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.col("min_n").cast("double") / F.col("n_total").cast("double")),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), on="lang")
+        .filter(bucket < F.col("rate") * 1000)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, on="lang", how="left")
+        .select(
+            "lang",
+            "n_total",
+            "rate",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+def _sql_quality_expr() -> str:
+    """The t61 composite quality score as one SQL expression over columns
+    (text, toks) — kept textually in sync with functions.text.quality_score
+    (t61's hash-match pins the equivalence)."""
+    stop = ",".join("'" + w + "'" for w in STOPWORDS)
+    return f"""
+      0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+      + 0.25 * (1.0 - least(CASE WHEN length(text) > 0
+                                 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                                      / CAST(length(text) AS DOUBLE)
+                                 ELSE 0.0 END * 5, 1.0))
+      + 0.25 * least(CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, t -> t IN ({stop}))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END * 4, 1.0)
+    """
+
+
+def _t71_oracle() -> str:
+    ctes, final = _d45_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    und AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(root) = id AS is_canonical FROM reach GROUP BY id
+    ),
+    scored AS (
+      SELECT doc_id, toks, {_sql_quality_expr()} AS quality
+      FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    kept AS (
+      SELECT s.doc_id, s.toks
+      FROM scored s LEFT JOIN clusters c ON s.doc_id = c.doc_id
+      WHERE s.quality >= 0.5 AND COALESCE(c.is_canonical, TRUE)
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT doc_id, toks,
+             list_reduce([CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 8)],
+                         (acc, x) -> acc * 16 + x) % 100 AS bucket
+      FROM kept
+    ) GROUP BY 1
+    """
+
+
+@query("t71_corpus_selection", oracle=_t71_oracle())
+def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus builder — the composition a real
+    pipeline runs nightly: quality-score every document (t61's exact
+    scorer), drop non-canonical near-duplicates (d49's MinHash→connected-
+    components keep-one), then assign deterministic train/val/test splits
+    (t67's hash buckets) and report per-split document and token budgets.
+    Every stage is a previously hash-matched primitive; this query pins
+    their composition under one oracle.
+
+    Scale shape: quality scoring and split assignment are per-row column
+    expressions (no shuffle); the dedup join touches only docs that
+    appear in a near-dup cluster (≪ corpus); the final aggregate is a
+    3-group hash-agg. Nothing materializes the corpus on the driver.
+    """
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
+    from pymongraph_spark.operators.graph_algos import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = (
+        minhash_lsh_pairs_neutral(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        pairs.select(F.col("doc_id_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    clusters = connected_components(verts, edges).select(
+        F.col("id").alias("doc_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+    kept = (
+        docs.select("doc_id", quality_score("text").alias("quality"), token_count("text").alias("n_tokens"))
+        .join(F.broadcast(clusters), on="doc_id", how="left")
+        .filter((F.col("quality") >= 0.5) & F.coalesce("is_canonical", F.lit(True)))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return kept.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
 
 
