@@ -64,10 +64,20 @@ def connected_components(
     a fixpoint. Returns (id, component) where component = min vertex id
     in the component — deterministic.
     """
-    # undirected message graph: both directions
-    und = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    # Undirected message graph: both directions. Partition by dst — the
+    # key every iteration's join uses — and dedup WITHIN that exchange
+    # (HashPartitioning(dst) satisfies the dedup's (src,dst) clustering),
+    # so the edge side is shuffled exactly once for the whole loop and
+    # each iteration exchanges only the vertex-sized comp frame. At
+    # 100 TB that is the difference between one edge shuffle total and
+    # one per iteration.
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
 
     comp = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
     # Each iteration is ONE join + ONE min-aggregate: neighbor messages
