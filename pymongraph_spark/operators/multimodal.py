@@ -5,12 +5,14 @@ Real codecs plug in through a per-media-type registry
 (``register_decoder`` / ``register_resizer``, longest-prefix match on the
 ``media_type`` column, e.g. ``"image/"`` or ``"image/png"``). At import,
 ``_probe_default_codecs`` auto-registers PIL-backed callables when PIL is
-importable — so ``fake=False`` works the moment the codec libs exist,
-with zero engine-code changes. In this container no codec libs are
-present: with an empty registry ``fake=False`` raises NotImplementedError
-and ``fake=True`` runs a deterministic fake decoder (bytes → pseudo
-width/height/channel stats derived from the payload hash) that exercises
-the real Spark plumbing — schema, batching, partitioning — end to end.
+importable — so image ``fake=False`` works the moment the codec libs
+exist, with zero engine-code changes — and ALWAYS registers a real WAV
+decoder built on the stdlib ``wave`` module (``audio/wav``), so one
+genuine container-parsing codec runs in any environment. For media types
+with no registered codec, ``fake=False`` raises and ``fake=True`` runs a
+deterministic fake decoder (bytes → pseudo width/height/channel stats
+derived from the payload hash) that exercises the real Spark plumbing —
+schema, batching, partitioning — end to end.
 
 At 100 TB the pattern matters more than the codec: binary payloads ride in
 parquet alongside metadata, ``mapInPandas`` streams Arrow batches through
@@ -86,6 +88,35 @@ def _pil_resize(payload: bytes, w: int, h: int, c: int, nw: int, nh: int) -> byt
     return Image.open(io.BytesIO(payload)).resize((nw, nh)).tobytes()
 
 
+def _wav_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    """REAL audio decoder over the stdlib ``wave`` module — parses the
+    RIFF container and PCM frames, no external codec libs needed. The
+    decoder tuple is documented per modality: for audio,
+    ``width`` = sample rate (Hz), ``height`` = frames per channel,
+    ``n_channels`` = channels, ``mean_intensity`` = mean |amplitude|
+    normalized to [0, 1] (8-bit PCM is unsigned midpoint-128; 16-bit is
+    signed little-endian)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    if sampwidth == 1:
+        amps = [abs(b - 128) / 128.0 for b in raw]
+    elif sampwidth == 2:
+        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+        amps = [abs(v) / 32768.0 for v in vals]
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    mean = sum(amps) / len(amps) if amps else 0.0
+    return rate, nframes, nch, mean
+
+
 def _probe_default_codecs() -> None:
     """Auto-register codec-lib-backed callables for whatever is importable.
     Called at import; safe to re-run (idempotent) after installing libs."""
@@ -96,6 +127,9 @@ def _probe_default_codecs() -> None:
         _RESIZERS.setdefault("image/", _pil_resize)
     except ImportError:
         pass
+    # stdlib wave is always importable — WAV decode is REAL in any env
+    _DECODERS.setdefault("audio/wav", _wav_decode)
+    _DECODERS.setdefault("audio/x-wav", _wav_decode)
 
 
 _probe_default_codecs()
@@ -120,6 +154,48 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         payload.alias("payload"),
         F.length(payload).cast("bigint").alias("byte_len"),
     )
+
+
+def attach_wav_audio(
+    docs: DataFrame,
+    n_samples: int = 64,
+    rate: int = 8000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a GENUINE RIFF/WAV payload per doc (mono 8-bit PCM at
+    ``rate`` Hz): sample i of doc d is ``(d*31 + i*7) % 256``. The bytes
+    go through the stdlib ``wave`` writer, so downstream ``fake=False``
+    decoding exercises a real container parse — while the sample formula
+    keeps every decoded statistic recomputable in ANSI SQL (each
+    |amplitude| is k/128 with k ≤ 128, so sums are exact in doubles and
+    the oracle match is bit-for-bit)."""
+    import io
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                pcm = bytes((d * 31 + i * 7) % 256 for i in range(n_samples))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+            out["byte_len"] = [len(p) for p in payloads]
+            yield out
+
+    return docs.select(F.col(id_col)).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:

@@ -1274,3 +1274,33 @@ def m73_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return extract_features(attach_fake_media(docs), n_bins=16)
+
+
+# --------------------------------------------------------------------------
+# REAL (non-fake) multimodal decode: genuine RIFF/WAV payloads parsed by
+# the stdlib-wave codec resolved through the decoder registry — the
+# fake=False path under the hash-match gate. The synth samples are
+# (doc_id*31 + i*7) % 256, so every decoded statistic is recomputable in
+# SQL; |amplitude| values are k/128 (k ≤ 128), making the mean exact in
+# doubles regardless of summation order.
+# --------------------------------------------------------------------------
+@query(
+    "m74_wav_decode_real",
+    oracle="""
+    SELECT doc_id,
+           'audio/wav' AS media_type,
+           CAST(108 AS BIGINT) AS byte_len,
+           CAST(8000 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           list_reduce([abs(((doc_id * 31 + i * 7) % 256) - 128) / 128.0
+                        for i in generate_series(0, 63)],
+                       (a, b) -> a + b) / 64 AS mean_intensity
+    FROM documents
+    """,
+)
+def m74_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_wav_audio
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return decode_media(attach_wav_audio(docs), fake=False)

@@ -47,8 +47,12 @@ def test_resize_respects_metadata_dims_over_stub(spark):
 
 def test_real_codecs_are_gated_not_silently_faked(spark):
     media = attach_fake_media(_docs(spark))
-    with pytest.raises(NotImplementedError):
-        decode_media(media, fake=False)
+    # decoders: the registry always holds the stdlib WAV codec, so the
+    # gate for an UNMATCHED media type ('image/fake') is a loud per-row
+    # failure at decode, never a silent fake fallback
+    with pytest.raises(Exception, match="no decoder registered"):
+        decode_media(media, fake=False).collect()
+    # resizers: nothing auto-registers in this container → hard gate
     with pytest.raises(NotImplementedError):
         resize_media(media, fake=False)
 
@@ -91,9 +95,10 @@ def test_codec_registry_injects_real_decoder(spark):
             assert r["out_bytes"] == len(bytes(r["resized"]))
     finally:
         mm.unregister_codec("image/")
-    # gate restored once the codec is gone
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(attach_fake_media(_docs(spark)), fake=False)
+    # gate restored once the codec is gone (the always-present WAV codec
+    # doesn't match image/*, so the failure is per-row and loud)
+    with pytest.raises(Exception, match="no decoder registered"):
+        mm.decode_media(attach_fake_media(_docs(spark)), fake=False).collect()
 
 
 def test_codec_registry_longest_prefix_and_missing_type(spark):
@@ -106,13 +111,50 @@ def test_codec_registry_longest_prefix_and_missing_type(spark):
     try:
         assert mm._resolve(dict(mm._DECODERS), "image/fake") is specific
         assert mm._resolve(dict(mm._DECODERS), "image/png") is generic
-        assert mm._resolve(dict(mm._DECODERS), "audio/wav") is None
+        assert mm._resolve(dict(mm._DECODERS), "audio/wav") is mm._wav_decode
+        assert mm._resolve(dict(mm._DECODERS), "video/mp4") is None
         # an unregistered media_type fails loudly inside the batch fn
         media = attach_fake_media(_docs(spark)).withColumn(
-            "media_type", F.lit("audio/wav")
+            "media_type", F.lit("video/mp4")
         )
         with pytest.raises(Exception, match="no decoder registered"):
             mm.decode_media(media, fake=False).collect()
     finally:
         mm.unregister_codec("image/")
         mm.unregister_codec("image/fake")
+
+
+def test_wav_decoder_is_real(spark):
+    """The stdlib-wave codec parses genuine RIFF containers: 8-bit mono
+    from attach_wav_audio end-to-end through fake=False, and 16-bit
+    stereo through the decoder directly."""
+    import io
+    import struct
+    import wave
+
+    from pymongraph_spark.operators import multimodal as mm
+
+    # end-to-end through Spark: synth → registry resolve → decode
+    audio = mm.attach_wav_audio(_docs(spark), n_samples=64, rate=8000)
+    got = {r["doc_id"]: r for r in mm.decode_media(audio, fake=False).collect()}
+    for doc_id, r in got.items():
+        assert (r["width"], r["height"], r["n_channels"]) == (8000, 64, 1)
+        exp = sum(abs(((doc_id * 31 + i * 7) % 256) - 128) / 128.0 for i in range(64)) / 64
+        assert r["mean_intensity"] == exp  # exact: k/128 sums are lossless
+        assert r["byte_len"] == 108  # 44-byte RIFF header + 64 PCM bytes
+
+    # 16-bit stereo direct: 2 channels × 3 frames of known signed samples
+    samples = [1000, -1000, 32767, -32768, 0, 16384]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<6h", *samples))
+    rate, nframes, nch, mean = mm._wav_decode(buf.getvalue(), "audio/wav")
+    assert (rate, nframes, nch) == (44100, 3, 2)
+    assert mean == sum(abs(s) / 32768.0 for s in samples) / 6
+
+    # corrupt container fails loudly, never fakes
+    with pytest.raises(Exception):
+        mm._wav_decode(b"not a riff file at all", "audio/wav")
