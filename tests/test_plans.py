@@ -194,3 +194,43 @@ def test_q57_spine_broadcast_single_shuffle(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cc_edge_frame_single_exchange(spark):
+    """Connected components: the undirected message graph must reach its
+    cache with exactly ONE Exchange (repartition-by-dst absorbs the dedup
+    clustering), so the fixpoint loop never re-shuffles the edge side."""
+    from pymongraph_spark.queries.graph import tpch_graph
+
+    g = tpch_graph(spark, SF_SMALL)
+    e = g.edges.filter(F.col("label") == "placed")
+    und = (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    assert _plan(und).count("Exchange") == 1
+
+
+def test_t70_sampling_broadcasts_rates_no_corpus_shuffle(spark):
+    """Stratified sampling: the per-stratum rate table joins the corpus
+    as a broadcast; the documents scan must never hit a shuffle exchange
+    before the final 1-row-per-lang aggregate."""
+    plan = _plan(QUERIES["t70_stratified_sample"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t71_corpus_selection_broadcasts_cluster_join(spark):
+    """Corpus selection: the near-dup cluster frame (pair-graph sized,
+    << corpus) must broadcast into the keep-one join, and no cartesian
+    product may appear anywhere in the composite plan."""
+    plan = _plan(QUERIES["t71_corpus_selection"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d49_cluster_output_no_cartesian(spark):
+    plan = _plan(QUERIES["d49_neardup_clusters"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
