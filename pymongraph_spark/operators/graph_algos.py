@@ -40,6 +40,46 @@ def _cut_lineage(df: DataFrame, iteration: int) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def graphframes_available(spark) -> bool:
+    """Probe for the optional GraphFrames accelerator (SURVEY §1.5):
+    python package importable AND its JVM classes on the classpath.
+    This container ships neither — the DataFrame loops below cover the
+    same semantics at a constant-factor cost on deep traversals."""
+    try:
+        import graphframes  # noqa: F401
+
+        spark._jvm.java.lang.Class.forName("org.graphframes.GraphFrame")
+        return True
+    except Exception:
+        return False
+
+
+def connected_components_gf(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """OPT-IN GraphFrames-backed connected components. Raises when the
+    runtime is absent rather than silently routing: GraphFrames labels
+    components with ITS choice of representative id, so results are only
+    interchangeable with ``connected_components`` (min-id labels) after
+    the relabel join below — callers choose explicitly, the gate queries
+    always use the deterministic min-id implementation."""
+    spark = vertices.sparkSession
+    if not graphframes_available(spark):
+        raise NotImplementedError(
+            "graphframes is not installed; use connected_components (same "
+            "semantics, DataFrame fixpoint loop)"
+        )
+    from graphframes import GraphFrame
+
+    gf = GraphFrame(
+        vertices.select("id"), edges.select("src", "dst")
+    ).connectedComponents()
+    # normalize labels to the min vertex id per component so outputs are
+    # drop-in interchangeable with connected_components
+    relabel = gf.groupBy("component").agg(F.min("id").alias("__min_id"))
+    return gf.join(relabel, on="component").select(
+        "id", F.col("__min_id").alias("component")
+    )
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(id, in_degree, out_degree, degree) for every endpoint."""
     out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))

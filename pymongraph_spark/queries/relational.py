@@ -1810,3 +1810,58 @@ def q57_dense_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis — ordered event-sequence matching (the MATCH_RECOGNIZE
+# use case expressed as staged conditional-min joins): per user, the first
+# 'view', the first 'click' strictly after it, the first 'purchase'
+# strictly after that. Each stage is one equi-join on user_id + a min
+# aggregate — at 100 TB the events table shuffles once per stage on a
+# uniform key and the per-user frames shrink monotonically down-funnel.
+# --------------------------------------------------------------------------
+@query(
+    "q59_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def q59_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return spark.createDataFrame(
+        [(v.count(), c.count(), p.count())],
+        "n_viewed: long, n_clicked_after_view: long, n_purchased_after_click: long",
+    )

@@ -285,3 +285,22 @@ def test_reliable_checkpoint_path_same_result(spark, monkeypatch, tmp_path):
     assert _comp_sets(connected_components(v, e)) == expected
     pr = pagerank(v, e, max_iter=3)
     assert abs(sum(r["rank"] for r in pr.collect()) - 8.0) < 1e-6
+
+
+def test_graphframes_probe_and_gate(spark):
+    """The optional accelerator must answer honestly and, when absent,
+    gate loudly instead of silently falling back (callers opt in)."""
+    from pymongraph_spark.operators import graph_algos as ga
+
+    avail = ga.graphframes_available(spark)
+    assert avail in (True, False)
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id: long")
+    e = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    if not avail:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            ga.connected_components_gf(v, e)
+    else:
+        got = {r["id"]: r["component"] for r in ga.connected_components_gf(v, e).collect()}
+        assert got == {1: 1, 2: 1, 3: 3}
