@@ -205,21 +205,16 @@ def _md5_hash48(c) -> "F.Column":
     )
 
 
-def minhash_lsh_pairs_neutral(
+def _neutral_banded(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """minhash_lsh_pairs with the engine-neutral hash family, so the FULL
-    pipeline (signatures → banding → candidate join → exact-Jaccard
-    verification) is reproducible in ANSI SQL and sits under the oracle
-    gate. Same plan shape as the murmur3 variant: one codegen'd signature
-    pass, an equi-join on (band, key), verification join.
-    """
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared engine-neutral signature + banding stage: returns
+    (persisted (doc_id, shingles, signature), exploded (doc_id, band, key))."""
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
     rows = num_hashes // bands
     s = shingled(docs, text_col, id_col, n)
@@ -251,6 +246,25 @@ def minhash_lsh_pairs_neutral(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
+    return sigd, banded
+
+
+def minhash_lsh_pairs_neutral(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_lsh_pairs with the engine-neutral hash family, so the FULL
+    pipeline (signatures → banding → candidate join → exact-Jaccard
+    verification) is reproducible in ANSI SQL and sits under the oracle
+    gate. Same plan shape as the murmur3 variant: one codegen'd signature
+    pass, an equi-join on (band, key), verification join.
+    """
+    sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
 
     left = banded.select("band", "key", F.col("doc_id").alias("doc_id_a"))
     right = banded.select("band", "key", F.col("doc_id").alias("doc_id_b"))
@@ -274,6 +288,53 @@ def minhash_lsh_pairs_neutral(
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         verified.select("doc_id_a", "doc_id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest near-dup check: candidate pairs between a NEW
+    batch and the existing corpus only — never corpus×corpus. This is the
+    production shape for a training pipeline ingesting daily batches: the
+    corpus side's banded index is write-once (re-bandable from stored
+    signatures), each new batch bands itself and probes with one
+    equi-join sized |new bands| × bucket occupancy, so incremental cost
+    scales with the batch, not the corpus. Returns
+    (doc_id_new, doc_id_corpus, jaccard ≥ threshold).
+    """
+    sig_n, band_n = _neutral_banded(new_docs, text_col, id_col, n, num_hashes, bands)
+    sig_c, band_c = _neutral_banded(corpus, text_col, id_col, n, num_hashes, bands)
+    candidates = (
+        band_n.select("band", "key", F.col("doc_id").alias("doc_id_new"))
+        .join(
+            band_c.select("band", "key", F.col("doc_id").alias("doc_id_corpus")),
+            on=["band", "key"],
+        )
+        .select("doc_id_new", "doc_id_corpus")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            sig_n.select(F.col("doc_id").alias("doc_id_new"), F.col("shingles").alias("sh_a")),
+            on="doc_id_new",
+        ).join(
+            sig_c.select(F.col("doc_id").alias("doc_id_corpus"), F.col("shingles").alias("sh_b")),
+            on="doc_id_corpus",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        verified.select("doc_id_new", "doc_id_corpus", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -183,6 +183,48 @@ def d45_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_neutral(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
 
 
+def _d50_oracle() -> str:
+    # Banding the full corpus then filtering pair sides is equivalent to
+    # banding the two subsets separately and joining across: same buckets,
+    # same (new, corpus) candidates. (_d45_parts' all-pairs `cand` CTE is
+    # simply unused here.)
+    ctes, _ = _d45_parts()
+    return f"""
+    WITH {ctes},
+    cand_inc AS (
+      SELECT DISTINCT a.doc_id AS doc_id_new, b.doc_id AS doc_id_corpus
+      FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    )
+    SELECT doc_id_new, doc_id_corpus,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+             AS jaccard
+    FROM cand_inc JOIN sh sa ON cand_inc.doc_id_new = sa.doc_id
+                  JOIN sh sb ON cand_inc.doc_id_corpus = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+          >= 0.5
+    """
+
+
+@query("d50_incremental_neardup", oracle=_d50_oracle())
+def d50_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch near-dup check: docs with doc_id % 5 == 0 play
+    the daily NEW batch, the rest the standing corpus; pairs are
+    new × corpus only (minhash_lsh_pairs_incremental — cost scales with
+    the batch, never corpus²). The oracle bands everything and filters
+    pair sides, which yields the identical candidate set."""
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_lsh_pairs_incremental(
+        new, corpus, n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
 def _d49_oracle() -> str:
     ctes, final = _d45_parts()
     return f"""
@@ -782,6 +824,81 @@ def s55_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("std_d") > 0)
         .select("vec_id", "label", F.col("d").alias("centroid_dist"), z.alias("z_score"))
         .filter(F.abs(F.col("z_score")) > 2.0)
+    )
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization — the 4× vector-compression step an ANN
+# index runs before sharding. Symmetric per-vector scale (127/max|x|),
+# floor quantization (identical in both engines, unlike round/cast whose
+# tie-breaking differs), and the verification statistics are exact:
+# checksum is an integer position-weighted sum, mse a left-fold in
+# declared order, so both hash-match bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "s56_int8_quantization",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             len(embedding) AS n_dims,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, n_dims, max_abs,
+             CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale,
+             list_transform(x, v -> CAST(floor(v * (CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END)) AS BIGINT)) AS qv,
+             x
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(n_dims AS INT) AS n_dims,
+           max_abs,
+           list_reduce(list_transform(list_zip(qv, generate_series(1, n_dims)),
+                                      p -> p[1] * p[2]),
+                       (a, b) -> a + b) AS checksum,
+           list_reduce(list_transform(list_zip(x, qv),
+                                      p -> (p[1] - (CASE WHEN scale > 0 THEN p[2] / scale ELSE 0.0 END))
+                                           * (p[1] - (CASE WHEN scale > 0 THEN p[2] / scale ELSE 0.0 END))),
+                       (a, b) -> a + b) / n_dims AS mse
+    FROM qq
+    """,
+)
+def s56_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, F.abs))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    qv = F.transform(x, lambda v: F.floor(v * scale).cast("bigint"))
+    base = emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        max_abs.alias("max_abs"),
+        scale.alias("scale"),
+        qv.alias("qv"),
+        x.alias("x"),
+    )
+    checksum = F.aggregate(
+        F.zip_with("qv", F.sequence(F.lit(1).cast("bigint"), F.col("n_dims").cast("bigint")), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    err = F.zip_with(
+        "x",
+        "qv",
+        lambda xv, qvv: (
+            xv - F.when(F.col("scale") > 0, qvv / F.col("scale")).otherwise(F.lit(0.0))
+        )
+        * (xv - F.when(F.col("scale") > 0, qvv / F.col("scale")).otherwise(F.lit(0.0))),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.col("n_dims")
+    return base.select(
+        "vec_id",
+        F.col("n_dims").cast("int").alias("n_dims"),
+        "max_abs",
+        checksum.alias("checksum"),
+        mse.alias("mse"),
     )
 
 
