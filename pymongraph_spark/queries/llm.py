@@ -1188,6 +1188,52 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shard manifest — the write-side step that feeds a training job: every
+# document gets a deterministic shard (md5 bucket, never round-robin or
+# random — reruns and appends keep placements), and the manifest reports
+# per-shard document/token budgets so the trainer can verify balance
+# before reading a byte. At 100 TB this is df.write.partitionBy(shard)
+# plus this aggregate; shard count is the parallelism knob.
+# --------------------------------------------------------------------------
+@query(
+    "t72_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_reduce([CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 8)],
+                         (acc, x) -> acc * 16 + x) % 8 AS shard_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard_id
+    """,
+)
+def t72_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 8
+    ).cast("int")
+    return (
+        docs.select("doc_id", shard.alias("shard_id"), token_count("text").alias("n_tokens"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split — hash-based (never random()): bucket
 # = first 8 md5 hex digits of the doc id, mod 100 → 80/10/10. Rerunning on
 # a grown corpus keeps every previously-assigned document in its split,
