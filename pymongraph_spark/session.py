@@ -49,7 +49,10 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g default: local[32] runs all executor threads in the driver
+        # JVM, and an 8g heap GC-thrashed under accumulated broadcasts +
+        # cached graph tables (observed 2.6s -> 17s swings on repeat runs)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # GC reliable-checkpoint files once their RDDs go out of scope
