@@ -111,18 +111,29 @@ def register_bucketed_external(
     (LOCATION_ALREADY_EXISTS). Re-declaring the same schema + bucketing
     over the existing location restores shuffle-free bucketed reads
     without rewriting a byte. Returns False when the files aren't there
-    (or are from an interrupted write — no _SUCCESS marker)."""
-    locs = {}
+    (or are from an interrupted write — no _SUCCESS marker). The bucket
+    count is read from the _BUCKETS sidecar save_bucketed wrote — the
+    files are authoritative, because declaring a count the files don't
+    satisfy would make bucketed joins silently drop rows; ``buckets`` is
+    only the fallback for pre-sidecar saves, and the declaration is
+    skipped (returning False → rebuild) if neither source is trustworthy."""
+    locs, counts = {}, {}
     for suffix in _BUCKETED_SPECS:
         loc = _warehouse_path(spark, f"{table_prefix}_{suffix}")
         if not os.path.exists(os.path.join(loc, "_SUCCESS")):
             return False
+        sidecar = os.path.join(loc, "_BUCKETS")
+        try:
+            with open(sidecar) as fh:
+                counts[suffix] = int(fh.read().strip())
+        except (OSError, ValueError):
+            counts[suffix] = buckets
         locs[suffix] = loc
     for suffix, (ddl, bucket_col) in _BUCKETED_SPECS.items():
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {table_prefix}_{suffix} ({ddl}) "
             f"USING parquet CLUSTERED BY ({bucket_col}) "
-            f"SORTED BY ({bucket_col}) INTO {buckets} BUCKETS "
+            f"SORTED BY ({bucket_col}) INTO {counts[suffix]} BUCKETS "
             f"LOCATION '{locs[suffix]}'"
         )
     return True
@@ -164,6 +175,15 @@ def save_bucketed(
     fwd.unionByName(rev).write.bucketBy(buckets, "key").sortBy("key").mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{table_prefix}_adjacency")
+    # Sidecar with the bucket count: re-attachment in a later process
+    # (register_bucketed_external) MUST declare the same count the files
+    # were written with — a mismatched declaration makes bucketed joins
+    # probe the wrong bucket and silently drop rows. Underscore-prefixed
+    # files are invisible to Spark's file listing, like _SUCCESS.
+    for suffix in _BUCKETED_SPECS:
+        loc = _warehouse_path(spark, f"{table_prefix}_{suffix}")
+        with open(os.path.join(loc, "_BUCKETS"), "w") as fh:
+            fh.write(str(buckets))
 
 
 def load_bucketed(spark: SparkSession, table_prefix: str):
@@ -215,9 +235,6 @@ def k_hop_bucketed(
     return visited, edges
 
 
-_LAKEHOUSE: dict[int, str | None] = {}
-
-
 def lakehouse_format(spark: SparkSession) -> str | None:
     """Probe (once per session) for a transactional table format.
 
@@ -230,8 +247,11 @@ def lakehouse_format(spark: SparkSession) -> str | None:
     deterministic-key union/dropDuplicates, which is exactly the MERGE
     condition.
     """
-    key = id(spark)
-    if key not in _LAKEHOUSE:
+    # memoized as an attribute ON the session object: an id()-keyed module
+    # dict would both leak entries for dead sessions and serve a stale
+    # probe result if CPython recycles the id for a new session
+    memo = "_sparkgraph_lakehouse_format"
+    if not hasattr(spark, memo):
         fmt = None
         try:
             import delta  # noqa: F401  (delta-spark python bindings)
@@ -242,8 +262,8 @@ def lakehouse_format(spark: SparkSession) -> str | None:
             fmt = "delta"
         except Exception:
             fmt = None
-        _LAKEHOUSE[key] = fmt
-    return _LAKEHOUSE[key]
+        setattr(spark, memo, fmt)
+    return getattr(spark, memo)
 
 
 def _merge_into_delta(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGraph:

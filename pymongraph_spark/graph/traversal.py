@@ -137,7 +137,15 @@ def k_hop(
                 small_frontier_threshold + 1
             ).collect()
             flat = {r["src"] for r in endpoints} | {r["dst"] for r in endpoints}
-            if len(endpoints) > small_frontier_threshold:
+            # Promote on either bound: pair-count overflow means the limit
+            # truncated the collect (flat is incomplete — must go
+            # distributed), and id-count overflow means the next frontier
+            # would exceed the documented driver cap even though the pair
+            # list fit (a pair can contribute two fresh ids).
+            if (
+                len(endpoints) > small_frontier_threshold
+                or len(flat) > small_frontier_threshold
+            ):
                 # hub explosion → promote driver state to DataFrames
                 visited_df = spark.createDataFrame(
                     [(i,) for i in visited_ids], "id: long"

@@ -96,13 +96,20 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25, strict: bool = False
 ) -> DataFrame:
     """Undirected connected components via hash-min label propagation:
     every vertex starts as its own component (comp = id) and repeatedly
     adopts the minimum component id among itself and its neighbors, until
     a fixpoint. Returns (id, component) where component = min vertex id
     in the component — deterministic.
+
+    Convergence needs one iteration per hop of the longest min-label
+    propagation path (≈ component diameter). ``strict=True`` raises if
+    ``max_iter`` is exhausted before the fixpoint instead of returning a
+    partially-propagated labeling — oracle-gated callers use this so a
+    pathological diameter fails loudly, never silently wrong. Early exit
+    makes a generous max_iter free on well-behaved graphs.
     """
     # Undirected message graph: both directions. Partition by dst — the
     # key every iteration's join uses — and dedup WITHIN that exchange
@@ -127,7 +134,7 @@ def connected_components(
     # Σcomponent strictly decreases on any change, so a plain aggregate
     # over the checkpointed result — no new-vs-old comparison join —
     # detects the fixpoint.
-    prev_sum = None
+    prev_sum, converged = None, False
     for it in range(max_iter):
         msgs = und.join(comp, und.dst == comp.id).select(
             und.src.alias("id"), F.col("component")
@@ -142,9 +149,16 @@ def connected_components(
         # long sum could in principle collide across iterations)
         cur_sum = comp.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     und.unpersist()
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iter rather than consuming a partially-propagated labeling"
+        )
     return comp
 
 

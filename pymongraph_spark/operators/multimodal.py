@@ -219,10 +219,12 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     if not fake:
         decoders = dict(_DECODERS)
         if not decoders:
+            # only reachable if every default codec (incl. stdlib WAV) was
+            # explicitly unregistered; unmatched media types otherwise fail
+            # per-row inside the batch fn below
             raise NotImplementedError(
-                "no decoders registered (codec libs like PIL are not in this "
-                "container); register_decoder() one, or pass fake=True for "
-                "the deterministic stub"
+                "decoder registry is empty; register_decoder() one, or pass "
+                "fake=True for the deterministic stub"
             )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -60,17 +60,23 @@ def _graph_table_prefix(sf_dir: str) -> str:
 
     # hash() is salted per interpreter — md5 keys the tables stably so a
     # SECOND session (or process) can find the first one's materialization.
-    # The source tables' mtime+size are folded in so a regenerated testdata
-    # directory (the driver rewrites it between rounds) gets a NEW prefix
-    # and can never silently reuse a stale derived graph.
-    h = hashlib.md5(sf_dir.encode())
+    # Two separate tokens: a stable per-sf_dir token, then a GENERATION
+    # fingerprint over the source tables' mtime+size. Regenerated testdata
+    # (the driver rewrites it between rounds) changes the generation, so a
+    # stale derived graph can never be silently reused — while the stable
+    # token lets the GC below distinguish "old generation of THIS sf_dir"
+    # (safe to delete) from "cache of a DIFFERENT sf_dir" (must keep:
+    # test/bench/driver processes at different scales would otherwise
+    # evict each other's caches).
+    sf_tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5()
     for t in ("customer", "orders", "part", "supplier", "lineitem"):
         try:
             st = os.stat(f"{sf_dir}/{t}.parquet")
             h.update(f"{t}:{st.st_mtime_ns}:{st.st_size}".encode())
         except OSError:
             pass
-    return f"tpch_graph_{h.hexdigest()[:8]}"
+    return f"tpch_graph_{sf_tok}_{h.hexdigest()[:8]}"
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
@@ -124,19 +130,30 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
 
 
 def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
-    """Remove warehouse dirs of derived graphs whose source-data
-    fingerprint no longer matches (regenerated testdata) — they can never
-    be loaded again, only block future saves."""
+    """Remove warehouse dirs of derived graphs for THE SAME sf_dir whose
+    generation fingerprint no longer matches (regenerated testdata) —
+    those can never be loaded again, only block future saves. Caches of
+    other sf_dirs are left alone: concurrent test/bench/driver processes
+    at different scales must not evict each other."""
     from pymongraph_spark.graph.store import _warehouse_path
 
     wh_root = os.path.dirname(_warehouse_path(spark, "x"))
     if not os.path.isdir(wh_root):
         return
-    keep_hash = keep_prefix.rsplit("_", 1)[-1]
+    # keep_prefix = "tpch_graph_<sf_tok>_<gen>"; stale = same sf_tok,
+    # different generation (works for the tpch_ and g41_ families alike)
+    parts = keep_prefix.rsplit("_", 2)
+    if len(parts) != 3:
+        return
+    sf_tok, gen = parts[1], parts[2]
     for d in os.listdir(wh_root):
+        dparts = d.split("_")
+        # "<fam>_graph_<sf_tok>_<gen>_<table suffix...>"
         if (
-            (d.startswith("tpch_graph_") or d.startswith("g41_graph_"))
-            and keep_hash not in d
+            len(dparts) >= 5
+            and dparts[1] == "graph"
+            and dparts[2] == sf_tok
+            and dparts[3] != gen
         ):
             try:
                 if not spark.catalog.tableExists(d):

@@ -273,7 +273,7 @@ def d49_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-    comp = connected_components(verts, edges)
+    comp = connected_components(verts, edges, max_iter=200, strict=True)
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
@@ -1167,7 +1167,7 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-    clusters = connected_components(verts, edges).select(
+    clusters = connected_components(verts, edges, max_iter=200, strict=True).select(
         F.col("id").alias("doc_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )

@@ -1842,10 +1842,14 @@ def q57_dense_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q59_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
+    # Each stage feeds both the next stage and its own count — checkpoint
+    # eagerly so the three actions don't recompute upstream stages (six
+    # events scans collapse to one per stage).
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -1853,6 +1857,7 @@ def q59_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
