@@ -31,8 +31,27 @@ def _current_version(path: str) -> str | None:
         return fh.read().strip()
 
 
+def _delta_layout(path: str) -> bool:
+    """True when ``path`` holds a Delta-format store (written by
+    _merge_into_delta). Probed from the on-disk layout, not the runtime,
+    so readers stay consistent with whatever backend actually wrote."""
+    return os.path.isdir(os.path.join(path, "delta_vertices", "_delta_log"))
+
+
 def versions(path: str) -> list[str]:
-    """Retained version ids, oldest → newest (the Delta history analogue)."""
+    """Retained version ids, oldest → newest (the Delta history analogue).
+
+    Format-aware: a Delta-layout store reports its commit versions from
+    the _delta_log (readable without the runtime); the parquet layout
+    reports its version-swap directories.
+    """
+    if _delta_layout(path):
+        log = os.path.join(path, "delta_vertices", "_delta_log")
+        return sorted(
+            (f.split(".")[0].lstrip("0") or "0")
+            for f in os.listdir(log)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        )
     if not os.path.isdir(path):
         return []
     return sorted(d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit())
@@ -68,7 +87,30 @@ def save(g: PropertyGraph, path: str, keep_versions: int = 2) -> str:
 def load(
     spark: SparkSession, path: str, version: str | None = None
 ) -> PropertyGraph | None:
-    """Load the current version, or a retained older one (time travel)."""
+    """Load the current version, or a retained older one (time travel).
+
+    Format-aware: routes by the store's on-disk layout, so a graph merged
+    through the Delta backend is readable through the same API (including
+    ``version`` → Delta ``versionAsOf`` time travel). A Delta-layout
+    store read in a session without the Delta runtime fails loudly rather
+    than returning None as if the store were empty.
+    """
+    if _delta_layout(path):
+        if lakehouse_format(spark) != "delta":
+            raise RuntimeError(
+                f"store at {path!r} is Delta-format but this session has no "
+                "delta runtime; install delta-spark or load from a parquet "
+                "store"
+            )
+        vreader = spark.read.format("delta")
+        ereader = spark.read.format("delta")
+        if version is not None:
+            vreader = vreader.option("versionAsOf", version)
+            ereader = ereader.option("versionAsOf", version)
+        return PropertyGraph(
+            vreader.load(os.path.join(path, "delta_vertices")).select(VERTEX_FIELDS),
+            ereader.load(os.path.join(path, "delta_edges")).select(EDGE_FIELDS),
+        )
     version = version or _current_version(path)
     if version is None or not os.path.isdir(os.path.join(path, version)):
         return None
@@ -298,7 +340,9 @@ def _merge_into_delta(spark: SparkSession, path: str, new: PropertyGraph) -> Pro
     )
 
 
-def merge_into(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGraph:
+def merge_into(
+    spark: SparkSession, path: str, new: PropertyGraph, backend: str = "auto"
+) -> PropertyGraph:
     """Upsert a batch graph into the store (the foreachBatch target).
 
     Vertices: existing and new full-outer on id; on conflict, new props
@@ -307,13 +351,25 @@ def merge_into(spark: SparkSession, path: str, new: PropertyGraph) -> PropertyGr
     are idempotent: identical batch → identical props → no visible change.
     Edges: union + dedup on id (first writer wins).
 
-    Routes through Delta MERGE INTO when the runtime is present
-    (lakehouse_format probe) — concurrent writers then get optimistic
-    transactional conflict detection instead of the single-writer
-    version-swap below.
+    ``backend``: "parquet", "delta", or "auto". Auto is LAYOUT-STICKY:
+    an existing store keeps the format it was created with regardless of
+    what runtimes are installed (installing delta-spark must never make a
+    parquet store's history invisible); only a brand-new store routes by
+    the runtime probe. Delta MERGE gives concurrent writers optimistic
+    transactional conflict detection; parquet is the single-writer
+    version-swap below. load()/versions() read both layouts.
     """
-    if lakehouse_format(spark) == "delta":
+    if backend == "auto":
+        if _delta_layout(path):
+            backend = "delta"
+        elif _current_version(path) is not None:
+            backend = "parquet"
+        else:
+            backend = "delta" if lakehouse_format(spark) == "delta" else "parquet"
+    if backend == "delta":
         return _merge_into_delta(spark, path, new)
+    if backend != "parquet":
+        raise ValueError(f"unknown backend {backend!r}; use 'auto', 'parquet', or 'delta'")
     existing = load(spark, path)
     if existing is None:
         merged = new

@@ -34,8 +34,13 @@ def incident_edges(g: PropertyGraph, frontier: DataFrame) -> DataFrame:
     ``frontier``: DataFrame with column ``id``. The $or join is rewritten
     as union-of-equi-joins; dropDuplicates on edge id removes edges matched
     from both sides (e.g. self-loops or both endpoints in frontier).
+
+    No forced broadcast: ego-network frontiers are tiny and AQE picks the
+    broadcast semi-join from actual runtime sizes, but a hub-explosion
+    frontier (the k_hop tier-3 promotion path) can exceed broadcast limits
+    — a hint here would OOM exactly when the distributed tier matters.
     """
-    f = F.broadcast(frontier.select("id").distinct())
+    f = frontier.select("id").distinct()
     by_src = g.edges.join(f.withColumnRenamed("id", "src"), on="src", how="left_semi")
     by_dst = g.edges.join(f.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
     return by_src.unionByName(by_dst).dropDuplicates(["id"])

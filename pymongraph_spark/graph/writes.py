@@ -199,7 +199,9 @@ def delete_vertices(g: PropertyGraph, target) -> PropertyGraph:
         doomed = target.select("id")
     else:
         doomed = g.vertices.filter(_as_predicate(target)).select("id")
-    doomed = doomed.persist()
+    # doomed is deliberately NOT persisted: it is a map-only filter over
+    # the vertex frame, and the three anti-joins below re-derive it more
+    # cheaply than pinning executor storage for the session's lifetime.
     vertices = g.vertices.join(doomed, on="id", how="left_anti")
     edges = (
         g.edges.join(doomed.withColumnRenamed("id", "src"), on="src", how="left_anti")

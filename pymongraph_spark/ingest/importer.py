@@ -247,6 +247,14 @@ def build_graph_tables(staging: DataFrame) -> PropertyGraph:
     - vertex props: first insert wins, then updates fold left in
       (ord, seq) order with later keys winning ($set semantics).
     - edges: dedup on (src, dst, label), first occurrence's props win.
+
+    The staging frame (Python JSON parse — the one genuinely expensive
+    lineage here) is persisted only for the duration of this call: both
+    outputs are materialized eagerly via localCheckpoint, then staging is
+    released. The checkpointed result blocks are graph-sized (≪ raw
+    reports) and are freed by Spark's ContextCleaner once the returned
+    PropertyGraph is dereferenced — nothing stays pinned in the cache
+    manager for the session's lifetime.
     """
     staging = staging.persist()
 
@@ -322,6 +330,11 @@ def build_graph_tables(staging: DataFrame) -> PropertyGraph:
             "src", "dst", "label", "props",
         )
     )
+    try:
+        vertices = vertices.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=True)
+    finally:
+        staging.unpersist()
     return PropertyGraph(vertices, edges)
 
 

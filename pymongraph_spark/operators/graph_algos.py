@@ -326,8 +326,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
+    # canon/oriented are deliberately NOT persisted: both branches of each
+    # self-use contain the identical distinct-exchange subtree, which AQE
+    # reuses (ReusedExchange), and an explicit persist would pin an
+    # edge-scale frame in executor storage until session end.
     deg = (
         canon.select(F.col("u").alias("id"))
         .unionByName(canon.select(F.col("v").alias("id")))
@@ -344,7 +347,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
-    ).persist()
+    )
 
     # wedges centered at the low endpoint; closing edge looked up in
     # canonical (unordered) form

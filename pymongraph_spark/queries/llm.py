@@ -844,6 +844,7 @@ def s55_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
       FROM embeddings
+      WHERE len(embedding) > 0
     ),
     qq AS (
       SELECT vec_id, n_dims, max_abs,
@@ -866,7 +867,11 @@ def s55_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s56_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    # zero-length embeddings are excluded on BOTH sides: the oracle's
+    # list_reduce errors on an empty list (and mse would divide by 0), so
+    # a drifted generation would otherwise surface as an opaque oracle
+    # crash instead of a diagnosable mismatch (ADVICE r4).
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.size("embedding") > 0)
     x = F.transform("embedding", lambda v: v.cast("double"))
     max_abs = F.array_max(F.transform(x, F.abs))
     scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
@@ -1173,7 +1178,10 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         docs.select("doc_id", quality_score("text").alias("quality"), token_count("text").alias("n_tokens"))
-        .join(F.broadcast(clusters), on="doc_id", how="left")
+        # no broadcast hint: cluster membership = every doc with ≥1
+        # near-dup, which on a crawl corpus can be a large fraction of
+        # rows — let AQE pick broadcast vs SMJ from the actual size.
+        .join(clusters, on="doc_id", how="left")
         .filter((F.col("quality") >= 0.5) & F.coalesce("is_canonical", F.lit(True)))
     )
     bucket = (

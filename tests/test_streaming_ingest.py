@@ -110,3 +110,52 @@ def test_lakehouse_probe_and_merge_routing(spark, tmp_path):
     merged2 = store.merge_into(spark, st, g1)
     assert merged2.vertices.count() == v1
     assert merged2.edges.count() == merged.edges.count()
+
+
+def test_merge_into_output_readable_via_store_load(spark, tmp_path):
+    """ADVICE r4: whichever backend merge_into routes through, the result
+    must be readable back through store.load / store.versions — a
+    streamed merge must never become invisible to the store readers."""
+    st = str(tmp_path / "store_roundtrip")
+    g1 = import_from_json(spark, [REPORT_1])
+    merged = store.merge_into(spark, st, g1)
+    loaded = store.load(spark, st)
+    assert loaded is not None
+    assert loaded.vertices.count() == merged.vertices.count()
+    assert loaded.edges.count() == merged.edges.count()
+    assert len(store.versions(st)) >= 1
+
+
+def test_merge_into_auto_is_layout_sticky(spark, tmp_path):
+    """A store created as parquet stays parquet under backend='auto' even
+    if a delta runtime appears later — history must not go invisible."""
+    st = str(tmp_path / "store_sticky")
+    g1 = import_from_json(spark, [REPORT_1])
+    store.merge_into(spark, st, g1, backend="parquet")
+    # fake a session whose probe says delta: auto must still pick parquet
+    # because the existing layout wins before the runtime probe runs
+    memo = "_sparkgraph_lakehouse_format"
+    old = getattr(spark, memo, None)
+    try:
+        setattr(spark, memo, "delta")
+        merged = store.merge_into(spark, st, g1, backend="auto")
+    finally:
+        setattr(spark, memo, old)
+    assert not store._delta_layout(st)
+    assert store.load(spark, st).vertices.count() == merged.vertices.count()
+
+
+def test_merge_into_delta_backend_roundtrip(spark, tmp_path):
+    """Delta-backend merge readable via the same store.load API. Skipped
+    where the runtime is absent (this container ships no delta jars)."""
+    import pytest
+
+    if store.lakehouse_format(spark) != "delta":
+        pytest.skip("delta runtime not installed")
+    st = str(tmp_path / "store_delta")
+    g1 = import_from_json(spark, [REPORT_1])
+    merged = store.merge_into(spark, st, g1, backend="delta")
+    loaded = store.load(spark, st)
+    assert loaded is not None
+    assert loaded.vertices.count() == merged.vertices.count()
+    assert len(store.versions(st)) >= 1

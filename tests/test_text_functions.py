@@ -93,3 +93,35 @@ def test_simhash_neutral_locality(spark):
     assert ham(1, 2) == 0
     assert 0 < ham(1, 3) <= 12
     assert ham(1, 4) > 12
+
+
+def test_token_jaccard_band_blocking_is_lossless(spark, sf_small):
+    """The shingle-count band added to token_jaccard_pairs' join key must
+    not lose qualifying pairs: compare against an unbanded brute-force
+    self-join (lang blocking only) on a real corpus sample."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.functions.text import tokens, word_shingles
+    from pymongraph_spark.operators.dedup import token_jaccard_pairs
+
+    docs = load_tables(spark, sf_small)["documents"].limit(400)
+    threshold = 0.8
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in token_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+
+    s = docs.select(
+        F.col("doc_id"), F.col("lang"), word_shingles(tokens("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = s.select(F.col("doc_id").alias("ida"), F.col("lang"), F.col("sh").alias("sa"))
+    b = s.select(F.col("doc_id").alias("idb"), F.col("lang"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    want = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, on="lang")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter((inter / union) >= threshold)
+        .collect()
+    }
+    assert got == want
