@@ -53,6 +53,11 @@ class MongoGraph:
         self._type_dependency = {k: set(v) for k, v in TYPE_DEPENDENCY.items()}
         self._graph = PropertyGraph.empty(self._spark)
         self._namespace = ("vertices", "edge")  # mongraph.py:20-21 names
+        # namespace → graph, like the reference's server-side collections:
+        # switching away must not lose data, switching back must see it
+        # (B6 intent, mongraph.py:62-69). Frames are checkpointed by
+        # _commit, so stashed graphs stay valid across later mutations.
+        self._collections: dict[tuple[str, str], PropertyGraph] = {}
 
     # -- state ------------------------------------------------------------
     @property
@@ -68,10 +73,18 @@ class MongoGraph:
         )
 
     def change_collection(self, vertices_collection: str, edge_collection: str) -> None:
-        """S2 (mongraph.py:62-69, B6 intent: actually switch): binds a new
-        empty namespace; load/save a namespace via graph.store."""
+        """S2 (mongraph.py:62-69, B6 intent: actually switch): the current
+        namespace's data is stashed and the target namespace's previous
+        data (if any) is re-attached — a reference user switching
+        collections and back sees their earlier graph, exactly as Mongo's
+        server-side collections behave. A never-used namespace binds
+        empty. Cross-session durability goes through graph.store
+        (save/load) on top of this in-session registry."""
+        self._collections[self._namespace] = self._graph
         self._namespace = (vertices_collection, edge_collection)
-        self._graph = PropertyGraph.empty(self._spark)
+        self._graph = self._collections.get(
+            self._namespace, PropertyGraph.empty(self._spark)
+        )
 
     # -- writes -----------------------------------------------------------
     def insert_vertex(self, label: str = "domain", identify: dict | None = None,

@@ -286,3 +286,80 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn ``k`` centroids with a pure-DataFrame Lloyd's loop, making
+    IVF self-contained (ivf_topk's centroid input no longer has to be a
+    caller-supplied seed set).
+
+    Scale shape per iteration (the 100 TB story):
+    - assignment reuses ivf_assign — centroids broadcast, max_by partial
+      aggregate, the corpus never shuffles more than its n rows;
+    - the mean update posexplodes to (cell, pos, val) and aggregates —
+      partial (map-side) aggregation collapses n×dim rows to k×dim per
+      partition BEFORE the exchange, so the shuffle carries k×dim×
+      partitions rows, not the corpus;
+    - centroid frames are k×dim (tiny) and localCheckpointed each round
+      (lineage cut; blocks freed by the ContextCleaner on dereference).
+
+    Determinism: initialization picks the k md5-smallest ids (no
+    random()), and mean sums accumulate in DECIMAL(38,9) so results are
+    partitioning-independent — two runs on the same data give identical
+    centroids. Empty cells (possible when k exceeds the number of
+    distinct points) simply drop out, returning fewer than k centroids —
+    callers get the IVF behavior of "every remaining cell is non-empty".
+
+    Returns (``id_col`` = centroid id 0..k-1, ``vec_col`` = float array).
+    """
+    pts = df.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv"))
+    # deterministic seeding: k md5-smallest ids, re-keyed 0..k-1
+    seeds = (
+        pts.withColumn("__h", F.md5(F.col("__pid").cast("string")))
+        .orderBy("__h", "__pid")
+        .limit(k)
+    )
+    centroids = seeds.select(
+        (F.row_number().over(Window.orderBy("__h", "__pid")) - 1)
+        .cast("long")
+        .alias(id_col),
+        F.col("__pv").alias(vec_col),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        assigned = ivf_assign(
+            pts.select(F.col("__pid").alias(id_col), F.col("__pv").alias(vec_col)),
+            centroids,
+            id_col,
+            vec_col,
+        )
+        dim_means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(38,9)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("float")
+                .alias("mean")
+            )
+        )
+        centroids = (
+            dim_means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias(vec_col)
+            )
+            .select(F.col("cell").alias(id_col), vec_col)
+            .localCheckpoint(eager=True)
+        )
+    return centroids

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,6 +114,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         # though the files survived — re-attach them instead of rebuilding.
         if known or register_bucketed_external(spark, prefix, buckets=16):
             g, _ = load_bucketed(spark, prefix)
+            _mark_graph_cache_used(spark, prefix)
     except Exception:
         g = None
     if g is None:
@@ -120,6 +122,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         try:
             save_bucketed(g, prefix, buckets=16)
             g, _ = load_bucketed(spark, prefix)
+            _mark_graph_cache_used(spark, prefix)
             _drop_stale_graph_caches(spark, keep_prefix=prefix)
         except Exception:
             # read-only warehouse etc. — fall back to session-local persist
@@ -129,12 +132,58 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return g
 
 
+# A stale-generation cache dir is deleted only when nothing has attached
+# it within this window. Readers touch _LAST_USED at attach time
+# (_touch_last_used), so a concurrent process that resolved its prefix to
+# the old generation BEFORE testdata regeneration keeps its files alive
+# while it is still querying them; 30 min comfortably exceeds any single
+# query/bench run in this repo. Overridable for tests.
+_GC_GRACE_SECONDS = int(os.environ.get("SPARKGRAPH_GC_GRACE_SECONDS", "1800"))
+
+
+def _mark_graph_cache_used(spark: SparkSession, prefix: str) -> None:
+    """Stamp both table dirs of an attached cache so a concurrent
+    process's GC (age-gated below) leaves them alone mid-query."""
+    from pymongraph_spark.graph.store import _warehouse_path
+
+    for suffix in ("vertices", "adjacency"):
+        _touch_last_used(_warehouse_path(spark, f"{prefix}_{suffix}"))
+
+
+def _touch_last_used(path: str) -> None:
+    """Mark a cache table dir as in-use (underscore files are invisible to
+    Spark's file listing, like _SUCCESS)."""
+    try:
+        with open(os.path.join(path, "_LAST_USED"), "w") as fh:
+            fh.write(str(int(time.time())))
+    except OSError:
+        pass
+
+
+def _recently_used(path: str) -> bool:
+    """True when the dir's _LAST_USED marker (or, for pre-marker saves,
+    the dir mtime) falls within the GC grace window."""
+    marker = os.path.join(path, "_LAST_USED")
+    try:
+        ts = int(open(marker).read().strip())
+    except (OSError, ValueError):
+        try:
+            ts = int(os.stat(path).st_mtime)
+        except OSError:
+            return False
+    return (time.time() - ts) < _GC_GRACE_SECONDS
+
+
 def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
     """Remove warehouse dirs of derived graphs for THE SAME sf_dir whose
     generation fingerprint no longer matches (regenerated testdata) —
     those can never be loaded again, only block future saves. Caches of
     other sf_dirs are left alone: concurrent test/bench/driver processes
-    at different scales must not evict each other."""
+    at different scales must not evict each other. Deletion is age-gated
+    (_recently_used): a concurrent process that attached the old
+    generation before regeneration may still be mid-query over those
+    files — they get collected on a later pass once the grace window
+    lapses."""
     from pymongraph_spark.graph.store import _warehouse_path
 
     wh_root = os.path.dirname(_warehouse_path(spark, "x"))
@@ -156,8 +205,9 @@ def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
             and dparts[3] != gen
         ):
             try:
-                if not spark.catalog.tableExists(d):
-                    shutil.rmtree(os.path.join(wh_root, d), ignore_errors=True)
+                full = os.path.join(wh_root, d)
+                if not spark.catalog.tableExists(d) and not _recently_used(full):
+                    shutil.rmtree(full, ignore_errors=True)
             except Exception:
                 pass
 
@@ -590,6 +640,7 @@ def g41_bucketed_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
     save_bucketed(g, prefix, buckets=8)
     gb, adjacency = load_bucketed(spark, prefix)
+    _mark_graph_cache_used(spark, prefix)
     visited, _edges = k_hop_bucketed(adjacency, 4, depth=2)
     return (
         gb.vertices.join(F.broadcast(visited.select("id")), on="id", how="inner")

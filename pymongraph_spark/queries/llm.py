@@ -743,6 +743,25 @@ def s54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF with LEARNED centroids — s54 takes a caller-supplied seed set; this
+# runs the pure-DataFrame Lloyd's loop (operators/similarity.py
+# kmeans_centroids: broadcast assignment + posexplode partial-agg means,
+# decimal accumulation → partitioning-independent centroids) and then the
+# same cell-equi-join search. Iterative float fixpoint → no SQL oracle;
+# rows-only gate + unit tests pin recall vs the exact s50 baseline and
+# run-to-run determinism.
+# --------------------------------------------------------------------------
+@query("s57_ivf_kmeans_topk")
+def s57_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = kmeans_centroids(emb, k=16, max_iter=3)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, centroids, k=3)
+
+
+# --------------------------------------------------------------------------
 # Embedding outlier detection (training-data QA): vectors unusually far
 # from their label centroid (z-score of centroid distance > 2). The
 # corpus is unit-normalized, so NORM outliers are degenerate — distance

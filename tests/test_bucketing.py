@@ -123,3 +123,41 @@ def test_tpch_graph_persisted_across_sessions(spark, sf_small):
     assert "lineitem" not in plan
     assert _graph_table_prefix(sf_small) in plan  # reads the bucketed table
     assert g2.edges.count() == n_edges
+
+
+def test_stale_cache_gc_is_age_gated(spark, monkeypatch):
+    """ADVICE r4: _drop_stale_graph_caches must not delete an
+    old-generation dir that a concurrent process recently attached
+    (_LAST_USED within the grace window); once the window lapses the dir
+    is collected."""
+    import os
+    import time as _time
+
+    from pymongraph_spark.graph.store import _warehouse_path
+    from pymongraph_spark.queries import graph as qgraph
+
+    wh_root = os.path.dirname(_warehouse_path(spark, "x"))
+    os.makedirs(wh_root, exist_ok=True)
+    keep_prefix = "tpch_graph_aaaa1111_bbbb2222"
+    fresh = os.path.join(wh_root, "tpch_graph_aaaa1111_oldgen01_vertices")
+    old = os.path.join(wh_root, "tpch_graph_aaaa1111_oldgen02_vertices")
+    other_sf = os.path.join(wh_root, "tpch_graph_ffff9999_oldgen03_vertices")
+    for d in (fresh, old, other_sf):
+        os.makedirs(d, exist_ok=True)
+    # fresh: attached seconds ago → must survive
+    with open(os.path.join(fresh, "_LAST_USED"), "w") as fh:
+        fh.write(str(int(_time.time())))
+    # old: last used beyond the grace window → must be collected
+    with open(os.path.join(old, "_LAST_USED"), "w") as fh:
+        fh.write(str(int(_time.time()) - qgraph._GC_GRACE_SECONDS - 10))
+    try:
+        qgraph._drop_stale_graph_caches(spark, keep_prefix)
+        assert os.path.isdir(fresh), "recently-used old-gen dir was deleted"
+        assert not os.path.isdir(old), "expired old-gen dir survived GC"
+        assert os.path.isdir(other_sf), "different-sf_dir cache was evicted"
+    finally:
+        for d in (fresh, old, other_sf):
+            if os.path.isdir(d):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)

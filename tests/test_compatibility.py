@@ -111,3 +111,21 @@ def test_insert_vertex_data_wins_over_identify(mg):
     vid2 = mg.insert_vertex("domain", identify={"alias": "only-id.example"},
                             data={"name": "real.example"})
     assert mg.search_vertex({"alias": "only-id.example"})[0]["_id"] == vid2
+
+
+def test_change_collection_round_trip(spark):
+    """B6 intent (mongraph.py:62-69): switch away, write elsewhere, switch
+    back → the original collection's data is visible again; the other
+    namespace keeps its own data independently."""
+    mg = MongoGraph(spark)
+    vid1 = mg.insert_vertex("domain", data={"name": "first.example"})
+    mg.change_collection("other_vertices", "other_edges")
+    assert mg.search_vertex({"name": "first.example"}) == []  # fresh namespace
+    vid2 = mg.insert_vertex("domain", data={"name": "second.example"})
+    mg.change_collection("vertices", "edge")
+    found = mg.search_vertex({"name": "first.example"})
+    assert [d["_id"] for d in found] == [vid1]
+    assert mg.search_vertex({"name": "second.example"}) == []
+    mg.change_collection("other_vertices", "other_edges")
+    found2 = mg.search_vertex({"name": "second.example"})
+    assert [d["_id"] for d in found2] == [vid2]

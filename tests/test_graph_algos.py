@@ -304,3 +304,43 @@ def test_graphframes_probe_and_gate(spark):
     else:
         got = {r["id"]: r["component"] for r in ga.connected_components_gf(v, e).collect()}
         assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, sf_small):
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import kmeans_centroids
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    c1 = {r["vec_id"]: r["embedding"] for r in kmeans_centroids(emb, k=8, max_iter=2).collect()}
+    c2 = {r["vec_id"]: r["embedding"] for r in kmeans_centroids(emb, k=8, max_iter=2).collect()}
+    assert len(c1) == 8
+    dims = {len(v) for v in c1.values()}
+    assert dims == {len(emb.select("embedding").first()[0])}
+    # decimal accumulation → bit-identical across runs
+    assert c1 == c2
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_small):
+    """The learned-centroid IVF must hit a sane fraction of the exact
+    top-k (single-cell probe over 16 learned cells on 500 vectors)."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    centroids = kmeans_centroids(emb, k=16, max_iter=3)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, centroids, k=3).collect()
+    }
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"suspiciously low recall {recall}"
