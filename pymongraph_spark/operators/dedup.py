@@ -25,7 +25,12 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pymongraph_spark.functions.text import normalized_text, tokens, word_shingles
+from pymongraph_spark.functions.text import (
+    normalized_text,
+    token_count,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,10 +70,27 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    """Tokenization is STAGED as its own projection before the shingle
+    transform: higher-order functions run interpreted, so an inlined
+    ``word_shingles(tokens(text))`` re-evaluates the split+filter token
+    expression once per shingle index (measured 7× slower at sf0.1).
+    CollapseProject keeps the two Projects separate because the token
+    alias is referenced more than once by a non-cheap expression.
+
+    The empty-shingle guard is expressed as ``size(tokens) >= n`` ON THE
+    INPUT, not ``size(shingles) > 0`` on the output (equivalent by
+    word_shingles' short-doc guard): a filter above the shingle Project
+    gets alias-substituted and pushed to the scan, re-evaluating the
+    whole inlined shingle expression per row — the pushed predicate
+    alone cost more than the projection it guarded (measured 3.3s vs
+    0.3s at sf0.1). Dropping empty docs early also matters at scale:
+    they would otherwise collide into one bucket per band downstream
+    (a k² candidate clique of empty docs)."""
+    return (
+        _spread(docs.filter(token_count(text_col) >= n))
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+        .select("doc_id", word_shingles(F.col("__toks"), n).alias("shingles"))
+    )
 
 
 def token_jaccard_pairs(
@@ -79,49 +101,110 @@ def token_jaccard_pairs(
     threshold: float = 0.8,
     block_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity pairs above ``threshold``.
+    """Exact word-n-gram Jaccard similarity pairs above ``threshold`` via
+    a PREFIX-FILTERED set-similarity join (the PPJoin/AllPairs family —
+    Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06).
 
-    The self-join is blocked on ``block_cols`` AND a shingle-count band,
-    so comparisons stay within buckets and within-block cost is bounded
-    by the band population, not the block population. The band is
-    LOSSLESS: Jaccard ≥ t implies |A|/|B| ∈ [t, 1/t], so with band =
-    floor(log(|S|) / log(1/t + ε)) qualifying pairs differ by at most one
-    band; the probe side emits {band-1, band, band+1} and the join stays
-    a plain equi-join (each qualifying pair meets exactly once — the
-    three probe keys are distinct). Jaccard = |∩| / (|A|+|B|-|∩|) over
-    DISTINCT shingle sets — integer sizes, double division (exact
-    parity).
+    Shingles are globally ordered by ascending document frequency
+    (rarest first; ties by shingle). Each doc exposes only its first
+    floor((1-t)·|S|) + 1 shingles under that order; candidate pairs are
+    those sharing ≥1 prefix shingle within the same ``block_cols`` —
+    a plain equi-join on (shingle, blocks). LOSSLESS: for the min-rank
+    common element e of A∩B, if e were outside A's prefix then
+    |A∩B| ≤ ceil(t·|A|) − 1 < t·|A| ≤ t·|A∪B|, contradicting J ≥ t —
+    so e is in BOTH prefixes and every qualifying pair meets. The
+    frequency ordering puts RARE shingles in prefixes, so join buckets
+    stay small even on a homogeneous-length corpus where size-band
+    blocking degenerates to O(block²) (measured 1.0M band candidates vs
+    ~2k prefix candidates on 5k docs at sf0.1).
+
+    Jaccard = |∩| / (|A|+|B|-|∩|) over DISTINCT shingle sets — integer
+    sizes, double division (exact parity with the SQL oracle).
+
+    100 TB shape: one partial-agg for document frequencies, one
+    equi-join to rank, one per-doc window over prefix-length rows, the
+    candidate equi-join on uniform rare-shingle keys, and verification
+    over candidates only. Nothing is ever corpus × corpus.
     """
-    # ε keeps FP log rounding from ever splitting a ratio-exactly-1/t
-    # pair two bands apart; any tiny positive slack works.
-    band_base = 1.0 / threshold + 1e-6
-    band = F.floor(F.log(F.size("shingles").cast("double")) / F.lit(math.log(band_base)))
-    s = _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        word_shingles(tokens(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0).withColumn("__band", band)
-    a = s.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("__band"),
+    s = (
+        _spread(docs.filter(token_count(text_col) >= n))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            *block_cols,
+            word_shingles(F.col("__toks"), n).alias("shingles"),
+        )
+    )
+    ex = s.select(
+        "doc_id", *block_cols, F.size("shingles").alias("__sz"),
+        F.explode("shingles").alias("__sh"),
+    )
+    freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("doc_id").orderBy("__df", "__sh")
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("__sz")).cast("int") + 1
+    prefix = (
+        ex.join(freq, on="__sh")
+        .withColumn("__rk", F.row_number().over(rank_w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("doc_id", *block_cols, "__sh", "__sz", "__rk")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_id_a"), "__sh",
+        F.col("__sz").alias("__sz_a"), F.col("__rk").alias("__rk_a"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
     )
-    b = s.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.explode(
-            F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
-        ).alias("__band"),
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_id_b"), "__sh",
+        F.col("__sz").alias("__sz_b"), F.col("__rk").alias("__rk_b"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    # PPJoin pruning at meeting time, before the distinct:
+    # - size ratio: J ≥ t forces min/max set size ≥ t.
+    # - positional: the min-rank common element bounds the overlap by
+    #   min(|A|-rkA, |B|-rkB) + 1, which must reach the equivalent
+    #   overlap alpha = ceil(t/(1+t)·(|A|+|B|)). Each meeting is
+    #   filtered independently; a qualifying pair's min-rank meeting
+    #   always passes, so the distinct keeps it (lossless). The 1e-9
+    #   slack keeps FP ceil from ever rounding alpha ABOVE the exact
+    #   integer bound. Measured 1.04M band candidates → 105k prefix →
+    #   32k after these two filters on 5k docs at sf0.1.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__sz_a") + F.col("__sz_b")).cast("double")
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("__sz_a") - F.col("__rk_a"), F.col("__sz_b") - F.col("__rk_b")
+    )
+    size_ok = (
+        F.least("__sz_a", "__sz_b").cast("double") / F.greatest("__sz_a", "__sz_b")
+        >= F.lit(threshold)
+    )
+    candidates = (
+        pa.join(pb, on=["__sh", *[f"__b_{c}" for c in block_cols]])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(size_ok & (ubound >= alpha))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sh = s.select("doc_id", "shingles")
+    verified = candidates.join(
+        sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"),
+        on="doc_id_a",
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"),
+        on="doc_id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = inter / union
     return (
-        a.join(b, on=["__band", *[f"__b_{c}" for c in block_cols]])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        verified.select("doc_id_a", "doc_id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -484,9 +567,17 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash per document: per bit b, sign of Σ_tokens ±1 by bit b
     of xxhash64(token). Bit loop is an array transform over a constant
     mask array — JVM-side, no UDF."""
-    docs = _spread(docs)
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # The token-hash array is STAGED as its own projection: the 64 mask
+    # lambdas below each reference it, and interpreted HOF evaluation
+    # would otherwise re-tokenize + re-hash the document once per bit
+    # (same pathology as shingled()).
+    staged = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+        ).alias("__hashes"),
+    )
+    hashes = F.col("__hashes")
     masks = F.array(*[F.lit(m).cast("long") for m in _POW2])
     bit_counts = F.transform(
         masks,
@@ -505,7 +596,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return staged.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -558,11 +649,17 @@ def simhash_neutral(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     """48-bit SimHash with the engine-neutral md5 token hash (first 12 md5
     hex digits = 48 independent bits), so the whole fingerprint is
     reproducible in ANSI SQL. Same plan shape as the xxhash64 variant:
-    one codegen'd pass, bit loop as an array transform, no UDFs."""
-    docs = _spread(docs)
-    toks = F.array_distinct(tokens(text_col))
+    staged token-hash array (see simhash), bit loop as an array
+    transform, no UDFs."""
     # full 48-bit value (no mod-P reduction — bits must stay independent)
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"))
+    staged = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(tokens(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+        ).alias("__hashes"),
+    )
+    hashes = F.col("__hashes")
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(48)])
     bit_counts = F.transform(
         masks,
@@ -581,7 +678,7 @@ def simhash_neutral(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return staged.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs_neutral(

@@ -19,6 +19,7 @@ from pymongraph_spark.functions.text import (
     quality_score,
     token_count,
     tokens,
+    word_shingles,
 )
 from pymongraph_spark.operators.dedup import (
     exact_dedup,
@@ -1494,3 +1495,415 @@ def m74_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return decode_media(attach_wav_audio(docs), fake=False)
+
+
+# ==========================================================================
+# Round-5 additions: normalization, PII scanning, repetition metrics,
+# mixture weights, RAG chunking, decontamination, hard-negative mining.
+# All pure Column expressions with the staged-token discipline (tokens
+# materialized as their own projection before any HOF consumes them —
+# see operators/dedup.py:shingled for the interpreted-HOF pathology).
+# ==========================================================================
+
+# Spark and DuckDB share this normalization: lowercase → strip
+# non-alphanumeric → collapse whitespace → trim. Only difference is
+# DuckDB's explicit 'g' flag (Spark regexp_replace is global by default).
+_NORM_RE_STRIP = r"[^a-z0-9\s]"
+_NORM_RE_WS = r"\s+"
+
+
+@query(
+    "t73_normalize_stats",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             length(text) AS nb,
+             length(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS na
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS chars_raw,
+           CAST(SUM(na) AS BIGINT) AS chars_norm,
+           CAST(SUM(nb) - SUM(na) AS DOUBLE) / SUM(nb) AS removed_ratio
+    FROM n GROUP BY source
+    """,
+)
+def t73_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/punctuation-strip normalization pass with per-source loss
+    accounting — the first stage of a crawl-cleaning pipeline. One
+    codegen'd projection + one partial-aggregated groupBy; the ratio is
+    a single exact-int division (bit-stable across engines)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _NORM_RE_STRIP, ""),
+            _NORM_RE_WS,
+            " ",
+        )
+    )
+    nb = F.sum("nb")
+    na = F.sum("na")
+    return (
+        docs.select(
+            "source",
+            F.length("text").cast("bigint").alias("nb"),
+            F.length(norm).cast("bigint").alias("na"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            nb.alias("chars_raw"),
+            na.alias("chars_norm"),
+            ((nb - na).cast("double") / nb).alias("removed_ratio"),
+        )
+    )
+
+
+# PII patterns shared verbatim between engines (Java regex and RE2 agree
+# on these constructs: character classes, bounded repetition). Digit runs
+# of ≥2 are the number-redaction target (ids, amounts); a strict
+# email-shape pattern is carried to prove the multi-pattern plumbing.
+_PII_NUMRUN_RE = r"[0-9]{2,}"
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@query(
+    "t74_pii_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(len(regexp_extract_all(props, '[0-9]{2,}')))
+                AS BIGINT) AS n_number_runs,
+           CAST(SUM(CASE WHEN regexp_matches(props,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_email_hits,
+           CAST(SUM(length(regexp_replace(props, '[0-9]{2,}', '[NUM]', 'g')))
+                AS BIGINT) AS redacted_chars
+    FROM events GROUP BY event_type
+    """,
+)
+def t74_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/number detection + redaction accounting over the raw event
+    payloads (digit runs are real hits in this corpus, not a vacuous
+    zero-match): per event type, digit-run counts, email-shape hits, and
+    the redacted-payload length proof. All regex work is JVM-side; the
+    aggregate is partial (map-side combined), so at corpus scale the
+    shuffle carries one row per event type."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.select(
+            "event_type",
+            F.size(F.regexp_extract_all(F.col("props"), F.lit(_PII_NUMRUN_RE), 0))
+            .cast("bigint")
+            .alias("runs"),
+            F.when(F.col("props").rlike(_PII_EMAIL_RE), 1).otherwise(0).alias("email"),
+            F.length(F.regexp_replace(F.col("props"), _PII_NUMRUN_RE, "[NUM]"))
+            .cast("bigint")
+            .alias("red_len"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("runs").cast("bigint").alias("n_number_runs"),
+            F.sum("email").cast("bigint").alias("n_email_hits"),
+            F.sum("red_len").cast("bigint").alias("redacted_chars"),
+        )
+    )
+
+
+@query(
+    "t75_repetition_metrics",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(toks) - 2, 0))] AS grams
+      FROM tk WHERE len(toks) >= 3
+    ),
+    m AS (
+      SELECT doc_id, n_tokens, distinct_tokens,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams
+      FROM g
+    )
+    SELECT doc_id, n_tokens, distinct_tokens, n_grams, distinct_grams,
+           CAST(n_grams - distinct_grams AS DOUBLE) / n_grams AS gram_dup_ratio,
+           CAST(distinct_tokens AS DOUBLE) / n_tokens AS ttr
+    FROM m
+    WHERE CAST(n_grams - distinct_grams AS DOUBLE) / n_grams >= 0.01
+    """,
+)
+def t75_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter: duplicated-3-gram ratio + type-token
+    ratio, keeping docs above 1% gram duplication (the boilerplate /
+    looping-generation signature). Note the 3-grams here keep duplicates
+    (word_shingles dedups; repetition is exactly the signal it discards).
+    Both ratios are exact-int divisions — bit-stable across engines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.filter(token_count("text") >= 3).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+    )
+    metered = staged.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("distinct_tokens"),
+        grams.alias("grams"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("bigint").alias("distinct_grams"),
+    )
+    dup_ratio = (F.col("n_grams") - F.col("distinct_grams")).cast("double") / F.col(
+        "n_grams"
+    )
+    return metered.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        "n_grams",
+        "distinct_grams",
+        dup_ratio.alias("gram_dup_ratio"),
+        (F.col("distinct_tokens").cast("double") / F.col("n_tokens")).alias("ttr"),
+    ).filter(F.col("gram_dup_ratio") >= 0.01)
+
+
+@query(
+    "t76_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS g FROM per),
+    w AS (
+      SELECT source, n_docs, total_tokens,
+             sqrt(CAST(total_tokens AS DOUBLE) / g) AS weight
+      FROM per, tot
+    ),
+    z AS (SELECT list_reduce(list(weight ORDER BY source), (a, b) -> a + b) AS z FROM w)
+    SELECT source, n_docs, total_tokens, weight, weight / z AS norm_weight
+    FROM w, z
+    """,
+)
+def t76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (alpha = 0.5, the multilingual /
+    Pile-style upsampling shape): per-source sampling weight proportional
+    to sqrt(token share), normalized. The normalizer is an ORDERED left
+    fold over sources (sorted collect_list → F.aggregate) so the
+    floating-point sum is bit-identical in both engines — an unordered
+    SUM() over doubles would hash-mismatch on addition order. Scale: the
+    per-source frame is domain-cardinality-sized (tiny), so the sorted
+    collect + broadcast of the normalizer is O(#domains)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = (
+        docs.select("source", token_count("text").alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").cast("bigint").alias("total_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("total_tokens").cast("bigint").alias("g"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.sqrt(F.col("total_tokens").cast("double") / F.col("g")).alias("weight"),
+    )
+    z = w.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "weight"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["weight"],
+        ).alias("z")
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "weight",
+        (F.col("weight") / F.col("z")).alias("norm_weight"),
+    )
+
+
+@query(
+    "t77_token_chunks",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start
+      FROM tk WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS INT) AS chunk_idx,
+           CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start:start+31], ' ')) AS chunk_hash
+    FROM st
+    """,
+)
+def t77_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style fixed-size chunking: 32-token windows on a 24-token
+    stride (8-token overlap), one output row per chunk with a content
+    hash. Pure explode — no shuffle at all; at 100 TB this is a map-only
+    stage whose output partitioning inherits the input's."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.filter(token_count("text") >= 1).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    exploded = staged.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(24))).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), 32)
+    return exploded.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / 24).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# DuckDB fold reproducing Spark's conv(substr(md5(doc_id),1,8),16,10)%100
+# split bucket (shared with t67's oracle).
+_SQL_SPLIT_BUCKET = """
+    list_reduce([CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 for i in generate_series(1, 8)],
+                (acc, x) -> acc * 16 + x) % 100
+"""
+
+
+@query(
+    "d52_decontamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket, {_SQL_SHINGLES} AS grams
+      FROM b WHERE len(toks) >= 3
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(grams) AS gram, doc_id AS eval_doc
+      FROM sh WHERE bucket >= 90
+    ),
+    tr AS (
+      SELECT doc_id, unnest(grams) AS gram
+      FROM sh WHERE bucket < 80
+    )
+    SELECT tr.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def d52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag TRAIN documents sharing any
+    distinct word-3-gram with the held-out TEST split (t67's md5 split:
+    bucket >= 90 is eval, < 80 is train). The standard benchmark-leak
+    sweep before training. Shape at 100 TB: shingle once (staged
+    tokens), explode both sides, equi-join on the gram — the eval side
+    is the small fraction of the corpus and its distinct gram set is
+    the join's build side; the aggregate is partial. Nothing is ever
+    corpus × corpus."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sh = (
+        docs.filter(token_count("text") >= 3)
+        .select("doc_id", bucket.alias("bucket"), tokens("text").alias("__toks"))
+        .select("doc_id", "bucket", word_shingles(F.col("__toks"), 3).alias("grams"))
+    )
+    ev = (
+        sh.filter(F.col("bucket") >= 90)
+        .select(F.explode("grams").alias("gram"), F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("bucket") < 80).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        tr.join(ev, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("bigint").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+
+
+@query(
+    "s58_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             {_SQL_COSINE} AS cosine_sim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 8 AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def s58_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-3 most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make embedding models learn. Same plan as
+    s50 (queries broadcast, corpus never shuffles before scoring) plus
+    the label-mismatch predicate evaluated pre-score."""
+    from pymongraph_spark.functions.vectors import cosine as _cos
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__qlabel"),
+        F.col("embedding").alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            _cos(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)

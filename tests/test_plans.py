@@ -222,12 +222,17 @@ def test_t70_sampling_broadcasts_rates_no_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_t71_corpus_selection_broadcasts_cluster_join(spark):
-    """Corpus selection: the near-dup cluster frame (pair-graph sized,
-    << corpus) must broadcast into the keep-one join, and no cartesian
-    product may appear anywhere in the composite plan."""
-    plan = _plan(QUERIES["t71_corpus_selection"](spark, SF_SMALL))
-    assert "BroadcastHashJoin" in plan
+def test_t71_corpus_selection_cluster_join_strategy_free(spark):
+    """Corpus selection: the cluster-frame join must NOT carry a forced
+    broadcast hint (cluster membership is unbounded at corpus scale —
+    ADVICE r4; AQE picks broadcast vs SMJ from runtime sizes), and no
+    cartesian product may appear anywhere in the composite plan."""
+    q = QUERIES["t71_corpus_selection"](spark, SF_SMALL)
+    assert "ResolvedHint" not in q._jdf.queryExecution().analyzed().toString()
+    plan = _plan(q)
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
     assert "CartesianProduct" not in plan
 
 
