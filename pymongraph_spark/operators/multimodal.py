@@ -117,6 +117,40 @@ def _wav_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
     return rate, nframes, nch, mean
 
 
+def _bmp_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    """REAL image decoder for uncompressed 24-bit BMP — a genuine
+    BITMAPFILEHEADER/BITMAPINFOHEADER container parse in pure stdlib
+    ``struct``, no codec libs needed. Validates the 'BM' magic, honors
+    the header's pixel-data offset, 4-byte row padding, and bottom-up vs
+    top-down row order (negative height). ``mean_intensity`` is the mean
+    over all channel bytes normalized by 256 (a power of two, so sums of
+    byte/256 terms are exact in doubles in any order — same rationale as
+    the 8-bit WAV path's /128)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24-bit handled"
+        )
+    height = abs(height_raw)
+    row_size = ((width * 3 + 3) // 4) * 4
+    total, count = 0, 0
+    for r in range(height):
+        off = data_offset + r * row_size
+        row = payload[off : off + width * 3]  # exclude the padding bytes
+        total += sum(row)
+        count += len(row)
+    mean = total / count / 256.0 if count else 0.0
+    return width, height, 3, mean
+
+
 def _probe_default_codecs() -> None:
     """Auto-register codec-lib-backed callables for whatever is importable.
     Called at import; safe to re-run (idempotent) after installing libs."""
@@ -130,6 +164,10 @@ def _probe_default_codecs() -> None:
     # stdlib wave is always importable — WAV decode is REAL in any env
     _DECODERS.setdefault("audio/wav", _wav_decode)
     _DECODERS.setdefault("audio/x-wav", _wav_decode)
+    # stdlib struct likewise — 24-bit BMP decode is REAL in any env, and
+    # longest-prefix resolution routes image/bmp here even when the
+    # generic PIL "image/" decoder is also registered
+    _DECODERS.setdefault("image/bmp", _bmp_decode)
 
 
 _probe_default_codecs()
@@ -189,6 +227,54 @@ def attach_wav_audio(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+            out["byte_len"] = [len(p) for p in payloads]
+            yield out
+
+    return docs.select(F.col(id_col)).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def attach_bmp_image(
+    docs: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a GENUINE uncompressed 24-bit BMP payload per doc: pixel i
+    (row-major, top-down) of doc d is the gray value ``(d*13 + i*5) % 256``
+    replicated across B/G/R. The container is written spec-correct
+    (bottom-up rows, 4-byte row padding, 54-byte header) so ``fake=False``
+    decoding exercises a real image container parse — while the pixel
+    formula keeps the decoded mean recomputable in ANSI SQL (each byte/256
+    is an exact double, so the mean matches bit-for-bit in any sum order)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_size = ((width * 3 + 3) // 4) * 4
+        pad = b"\x00" * (row_size - width * 3)
+        img_size = row_size * height
+        header = b"BM" + struct.pack(
+            "<IHHI", 14 + 40 + img_size, 0, 0, 54
+        ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                rows = []
+                # BMP stores rows bottom-up; pixel index stays top-down
+                for y in range(height - 1, -1, -1):
+                    row = bytearray()
+                    for x in range(width):
+                        v = (d * 13 + (y * width + x) * 5) % 256
+                        row += bytes((v, v, v))
+                    rows.append(bytes(row) + pad)
+                payloads.append(header + b"".join(rows))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": "image/bmp",
                     "payload": payloads,
                 }
             )

@@ -1497,6 +1497,37 @@ def m74_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(attach_wav_audio(docs), fake=False)
 
 
+# --------------------------------------------------------------------------
+# REAL image decode: genuine uncompressed 24-bit BMP payloads parsed by
+# the stdlib-struct codec through the decoder registry (longest-prefix
+# match routes image/bmp past the generic PIL entry). Pixel i of doc d is
+# (d*13 + i*5) % 256 on all three channels, and the decoder normalizes by
+# 256, so the mean is exact in doubles and the oracle match bit-for-bit.
+# Together with m74 this makes BOTH image and audio decode real (not
+# faked) in a codec-lib-free container.
+# --------------------------------------------------------------------------
+@query(
+    "m75_bmp_decode_real",
+    oracle="""
+    SELECT doc_id,
+           'image/bmp' AS media_type,
+           CAST(246 AS BIGINT) AS byte_len,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           list_reduce([((doc_id * 13 + i * 5) % 256) / 256.0
+                        for i in generate_series(0, 63)],
+                       (a, b) -> a + b) / 64 AS mean_intensity
+    FROM documents
+    """,
+)
+def m75_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_bmp_image
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return decode_media(attach_bmp_image(docs), fake=False)
+
+
 # ==========================================================================
 # Round-5 additions: normalization, PII scanning, repetition metrics,
 # mixture weights, RAG chunking, decontamination, hard-negative mining.
@@ -1777,6 +1808,77 @@ def t77_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("start") - 1) / 24).cast("int").alias("chunk_idx"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "t78_chunk_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks), 16)) AS start
+      FROM tk WHERE len(toks) >= 1
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((start - 1) // 16 AS INT) AS chunk_idx,
+             md5(array_to_string(toks[start:start+15], ' ')) AS h
+      FROM st
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def t78_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup — the RefinedWeb/CCNet repeated-passage
+    removal shape applied to non-overlapping 16-token spans: a span
+    occurring in many documents is kept only at its globally-first
+    (doc_id, chunk_idx) site. Scale shape: spans come from a map-only
+    explode; the survivor per content hash is a partial-aggregating
+    groupBy-min on uniform md5 keys (never a corpus-wide window sort);
+    the keep/drop flag is an equi-join on that hash. The per-doc rollup
+    is a second partial agg. Nothing is corpus × corpus and the only
+    shuffles are on uniformly-distributed hash keys."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.filter(token_count("text") >= 1).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    ch = (
+        staged.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(16))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / 16).cast("int").alias("chunk_idx"),
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), 16))).alias("h"),
+        )
+    )
+    surv = ch.groupBy("h").agg(F.min(F.struct("doc_id", "chunk_idx")).alias("s"))
+    flagged = ch.join(surv, on="h").select(
+        "doc_id",
+        (
+            (F.col("s.doc_id") == F.col("doc_id"))
+            & (F.col("s.chunk_idx") == F.col("chunk_idx"))
+        )
+        .cast("bigint")
+        .alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_dup"),
     )
 
 

@@ -1870,3 +1870,33 @@ def q59_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(v.count(), c.count(), p.count())],
         "n_viewed: long, n_clicked_after_view: long, n_purchased_after_click: long",
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles — PERCENTILE_DISC picks an actual element (the first
+# value whose cumulative distribution reaches the fraction), so unlike
+# interpolating percentile_cont there is no float arithmetic to diverge
+# between engines: the hash-match is exact by construction. At scale
+# exact percentiles need a per-group sort of the values; for the
+# screening use case percentile_approx (q44) is the 100 TB default and
+# this is the exact-auditing variant run on filtered slices.
+# --------------------------------------------------------------------------
+@query(
+    "q60_percentile_disc_prices",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q60_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
+    )

@@ -452,3 +452,108 @@ def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
             (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).cast("bigint").alias("gap_seconds"),
         )
     )
+
+
+def _st88_oracle() -> str:
+    from pymongraph_spark.queries.llm import _d45_parts
+
+    ctes, _ = _d45_parts()
+    return f"""
+    WITH {ctes},
+    cand_st AS (
+      SELECT DISTINCT a.doc_id AS doc_id_new, b.doc_id AS doc_id_corpus
+      FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 4 > b.doc_id % 4
+    )
+    SELECT doc_id_new, doc_id_corpus,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+             AS jaccard
+    FROM cand_st JOIN sh sa ON cand_st.doc_id_new = sa.doc_id
+                 JOIN sh sb ON cand_st.doc_id_corpus = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+          >= 0.5
+    """
+
+
+@query("st88_streaming_neardup_index", oracle=_st88_oracle())
+def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH-index maintenance — the production shape of
+    continuous near-dup screening: documents arrive in micro-batches
+    (one file per ingest wave, ``doc_id % 4`` is the wave id), and each
+    foreachBatch probes the arriving batch against the STANDING index
+    (minhash_lsh_pairs_incremental — cost scales with the batch, never
+    corpus²), appends the verified cross-wave pairs to a result sink,
+    then appends the batch itself to the index. Because every unordered
+    cross-wave pair is produced exactly when its later-arriving member
+    is processed (and oriented higher-wave → lower-wave afterwards), the
+    final pair set is independent of micro-batch arrival order — which
+    is what makes a streaming operator oracle-checkable: DuckDB bands
+    the whole corpus and keeps pairs with ``a.doc_id%4 > b.doc_id%4``.
+    at-least-once foreachBatch replays are absorbed by the read-back
+    ``distinct()`` (pair rows are deterministic, so replays duplicate
+    rows, never diverge them)."""
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"st88_neardup_{abs(hash(sf_dir)) % 10**8}"
+    )
+    input_dir = os.path.join(base, "in")
+    index_dir = os.path.join(base, "index")
+    pairs_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    for wave in range(4):
+        docs.filter(F.col("doc_id") % 4 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        if os.path.isdir(index_dir):
+            idx = spark.read.parquet(index_dir)
+            pairs = minhash_lsh_pairs_incremental(
+                batch, idx, n=3, num_hashes=64, bands=16, threshold=0.5
+            )
+            hi = F.col("doc_id_new") % 4 > F.col("doc_id_corpus") % 4
+            oriented = (
+                pairs.filter(F.col("doc_id_new") % 4 != F.col("doc_id_corpus") % 4)
+                .select(
+                    F.when(hi, F.col("doc_id_new"))
+                    .otherwise(F.col("doc_id_corpus"))
+                    .alias("doc_id_new"),
+                    F.when(hi, F.col("doc_id_corpus"))
+                    .otherwise(F.col("doc_id_new"))
+                    .alias("doc_id_corpus"),
+                    "jaccard",
+                )
+            )
+            oriented.write.mode("append").parquet(pairs_dir)
+        batch.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame(
+            [], "doc_id_new: long, doc_id_corpus: long, jaccard: double"
+        )
+    return spark.read.parquet(pairs_dir).distinct()
