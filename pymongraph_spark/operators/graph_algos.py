@@ -469,3 +469,60 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
         .unionByName(live.select(F.col("v").alias("id")))
         .distinct()
     )
+
+
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 5
+) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA): every
+    vertex starts in its own community (label = id) and each round adopts
+    the most frequent label among its neighbors, ties broken by the
+    smallest label — which makes the sweep fully deterministic, unlike
+    the randomized-order LPA of the literature (determinism is what lets
+    the gate and tests pin results). Runs a FIXED ``max_iter`` rounds:
+    synchronous LPA can oscillate between two labelings on bipartite-ish
+    structures, so a fixed budget is the standard termination rule.
+
+    Returns (id, community). Scale shape mirrors connected_components:
+    the undirected edge frame is shuffled ONCE (repartition on the join
+    key, dedup inside that exchange), each round is one vertex-sized
+    join + a two-level aggregate (count per (id,label) — partial
+    map-side — then argmax per id), lineage cut per round. Isolated
+    vertices keep their own label via the left join.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    labels = vertices.select("id", F.col("id").alias("community")).localCheckpoint(
+        eager=True
+    )
+    try:
+        for it in range(max_iter):
+            msgs = und.join(labels, und.dst == labels.id).select(
+                und.src.alias("id"), F.col("community")
+            )
+            counts = msgs.groupBy("id", "community").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            # argmax(count) with min-label tie-break as a single min-agg
+            # over (−count, label): no per-vertex window sort
+            best = counts.groupBy("id").agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("community"))
+                )["community"].alias("new_community")
+            )
+            labels = _cut_lineage(
+                labels.join(best, on="id", how="left").select(
+                    "id",
+                    F.coalesce("new_community", "community").alias("community"),
+                ),
+                it,
+            )
+    finally:
+        und.unpersist()
+    return labels

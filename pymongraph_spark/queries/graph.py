@@ -894,3 +894,34 @@ def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return k_core(co, k=3)
+
+
+@query("g49_label_propagation")
+def g49_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph (same edge
+    frame as g47's k-core): deterministic synchronous LPA, fixed 5
+    rounds. Iterative argmax label voting has no SQL-recursion oracle
+    (rows-only gate); semantics are pinned by the golden-graph unit
+    tests in test_graph_algos.py."""
+    from pymongraph_spark.operators.graph_algos import label_propagation
+
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    verts = (
+        co.select(F.col("src").alias("id"))
+        .unionByName(co.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return label_propagation(verts, co, max_iter=5)

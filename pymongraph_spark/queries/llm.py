@@ -2009,3 +2009,137 @@ def s58_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@query(
+    "t79_feature_hashing",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_reduce([CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 8)],
+                         (acc, x) -> acc * 16 + x) AS h
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+    )
+    SELECT doc_id,
+           CAST(h % 16 AS INT) AS bucket,
+           CAST(SUM(CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END) AS BIGINT) AS value
+    FROM hh GROUP BY doc_id, h % 16
+    """,
+)
+def t79_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text featurizer (the Vowpal-Wabbit / sklearn
+    HashingVectorizer shape): every token hashes to one of 16 signed
+    buckets (sign = hash bit 4, which debiases collisions in
+    expectation), and a document's feature vector is the signed count
+    per bucket — emitted in long format (doc_id, bucket, value), the
+    layout a downstream sparse-matrix assembler wants. Stateless and
+    vocabulary-free, which is the point at 100 TB: no dictionary fit,
+    no broadcast vocab, just one explode + one partial-aggregating
+    groupBy on (doc_id, bucket). Integer arithmetic end to end."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.filter(token_count("text") >= 1).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    return (
+        ex.select(
+            "doc_id",
+            (h % 16).cast("int").alias("bucket"),
+            F.when(h % 32 < 16, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("value"))
+    )
+
+
+@query(
+    "t80_bigram_collocations",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok
+    ),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS n_ab
+      FROM (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tk WHERE len(toks) >= 2)
+      ) GROUP BY w1, w2
+    ),
+    tot AS (SELECT SUM(n) AS nn FROM uni),
+    totb AS (SELECT SUM(n_ab) AS mm FROM bi)
+    SELECT w1, w2, n_ab,
+           CAST(n_ab AS DOUBLE) * nn * nn / mm / a.n / b.n AS lift
+    FROM bi JOIN uni a ON w1 = a.tok JOIN uni b ON w2 = b.tok, tot, totb
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+)
+def t80_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word pairs by lift =
+    P(ab) / (P(a)·P(b)) — the log-free PMI variant, so the score is a
+    chain of double multiplications/divisions over exact integer counts
+    written in the SAME left-associative order in both engines (logs
+    would diverge in the last ulp across libm implementations; ratios
+    cannot). Scale shape: bigrams come from a staged-token explode
+    (map-only), both count tables are partial aggs on uniform keys, the
+    two unigram joins are small-dim joins AQE can broadcast, and the
+    top-20 is a global sort of the already-aggregated bigram frame."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.filter(token_count("text") >= 1).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    uni = (
+        staged.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        staged.filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    nn = uni.agg(F.sum("n").alias("nn"))
+    mm = bi.agg(F.sum("n_ab").alias("mm"))
+    a = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    scored = (
+        bi.filter(F.col("n_ab") >= 5)
+        .join(a, on="w1")
+        .join(b, on="w2")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("nn")
+                * F.col("nn")
+                / F.col("mm")
+                / F.col("n_a")
+                / F.col("n_b")
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), "w1", "w2").limit(20)
+    )

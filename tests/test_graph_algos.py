@@ -344,3 +344,33 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_small):
     assert approx, "IVF returned nothing"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"suspiciously low recall {recall}"
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from pymongraph_spark.operators.graph_algos import label_propagation
+
+    # two triangles bridged by one edge, plus an isolated vertex: LPA
+    # must keep the triangles in separate communities (the bridge is
+    # outvoted) and leave the isolate in its own
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 9]], "id: long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src: long, dst: long",
+    )
+    out = {r["id"]: r["community"] for r in label_propagation(v, e, max_iter=5).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+    assert out[9] == 9  # isolated vertex keeps its own label
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    from pymongraph_spark.operators.graph_algos import label_propagation
+
+    v = spark.createDataFrame([(i,) for i in range(10)], "id: long")
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 10) for i in range(10)], "src: long, dst: long"
+    )
+    a = sorted(map(tuple, label_propagation(v, e).collect()))
+    b = sorted(map(tuple, label_propagation(v, e).collect()))
+    assert a == b

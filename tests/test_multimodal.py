@@ -158,3 +158,74 @@ def test_wav_decoder_is_real(spark):
     # corrupt container fails loudly, never fakes
     with pytest.raises(Exception):
         mm._wav_decode(b"not a riff file at all", "audio/wav")
+
+
+def _bmp_bytes(width, height, pix, top_down=False):
+    """Hand-rolled 24-bit BMP encoder for decoder tests: ``pix(x, y)``
+    gives the gray value at top-down coordinates."""
+    import struct
+
+    row_size = ((width * 3 + 3) // 4) * 4
+    pad = b"\xab" * (row_size - width * 3)  # non-zero pad: must be excluded
+    img_size = row_size * height
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height if not top_down else -height,
+        1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    rows = []
+    for y in ys:
+        row = bytearray()
+        for x in range(width):
+            v = pix(x, y)
+            row += bytes((v, v, v))
+        rows.append(bytes(row) + pad)
+    return header + b"".join(rows)
+
+
+def test_bmp_decoder_excludes_row_padding():
+    from pymongraph_spark.operators.multimodal import _bmp_decode
+
+    # width 3 → 9 pixel bytes padded to 12 per row; pad bytes are 0xab
+    # and would shift the mean if ever counted
+    payload = _bmp_bytes(3, 2, lambda x, y: 10 * (y * 3 + x))
+    w, h, c, mean = _bmp_decode(payload, "image/bmp")
+    assert (w, h, c) == (3, 2, 3)
+    assert mean == sum(10 * i for i in range(6)) / 6 / 256.0
+
+
+def test_bmp_decoder_handles_topdown_negative_height():
+    from pymongraph_spark.operators.multimodal import _bmp_decode
+
+    pix = lambda x, y: (7 * x + 13 * y) % 256  # noqa: E731
+    up = _bmp_bytes(4, 4, pix, top_down=False)
+    down = _bmp_bytes(4, 4, pix, top_down=True)
+    assert _bmp_decode(up, "image/bmp") == _bmp_decode(down, "image/bmp")
+
+
+def test_bmp_decoder_rejects_malformed_payloads():
+    import struct
+
+    from pymongraph_spark.operators.multimodal import _bmp_decode
+
+    with pytest.raises(ValueError, match="BM"):
+        _bmp_decode(b"PNG" + b"\x00" * 60, "image/bmp")
+    # valid magic but 32-bpp: loud gate, not a wrong answer
+    good = _bmp_bytes(2, 2, lambda x, y: 0)
+    bad_bpp = good[:28] + struct.pack("<H", 32) + good[30:]
+    with pytest.raises(ValueError, match="unsupported"):
+        _bmp_decode(bad_bpp, "image/bmp")
+
+
+def test_attach_bmp_image_decodes_through_registry(spark):
+    from pymongraph_spark.operators.multimodal import attach_bmp_image
+
+    media = attach_bmp_image(_docs(spark))
+    r = {row["doc_id"]: row for row in decode_media(media, fake=False).collect()}
+    assert set(r) == {1, 2, 3}
+    for d, row in r.items():
+        assert (row["width"], row["height"], row["n_channels"]) == (8, 8, 3)
+        assert row["byte_len"] == 54 + 8 * 8 * 3
+        expected = sum(((d * 13 + i * 5) % 256) / 256.0 for i in range(64)) / 64
+        assert row["mean_intensity"] == expected
