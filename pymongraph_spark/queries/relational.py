@@ -1900,3 +1900,159 @@ def q60_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
         F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
     )
+
+
+def _bucketed_pair_prefix(sf_dir: str) -> str:
+    """Stable cross-process name for the bucketed orders/lineitem pair:
+    per-sf_dir token + generation fingerprint (same two-token scheme as
+    queries/graph._graph_table_prefix, so regenerated testdata can never
+    be silently reused and the GC can tell generations apart)."""
+    import hashlib
+    import os
+
+    sf_tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5()
+    for t in ("orders", "lineitem"):
+        try:
+            st = os.stat(f"{sf_dir}/{t}.parquet")
+            h.update(f"{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            pass
+    return f"bktj_{sf_tok}_{h.hexdigest()[:8]}"
+
+
+def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -> str:
+    """Materialize orders+lineitem as co-bucketed tables (bucketBy the
+    join key, same bucket count both sides) so orderkey joins run
+    shuffle-free: Spark's bucketing makes partition i of each side hold
+    exactly the keys with hash%buckets==i, which satisfies the join's
+    clustering requirement — no Exchange on either side (pinned in
+    test_bucketing.py). At 100 TB this is THE fact-fact join strategy:
+    pay one bucketed write, then every orderkey join of every later
+    query skips both shuffles. Stale generations of the same sf_dir are
+    GC'd age-gated (concurrent readers of the old generation get a
+    grace window), mirroring the derived-graph cache."""
+    import os
+    import shutil
+
+    from pymongraph_spark.graph.store import _warehouse_path
+    from pymongraph_spark.queries.graph import _recently_used, _touch_last_used
+
+    prefix = _bucketed_pair_prefix(sf_dir)
+    specs = {
+        "orders": ("o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
+    }
+    tables = load_tables(spark, sf_dir)
+    for t, (key, cols) in specs.items():
+        name = f"{prefix}_{t}"
+        loc = _warehouse_path(spark, name)
+        if spark.catalog.tableExists(name):
+            _touch_last_used(loc)
+            continue
+        shutil.rmtree(loc, ignore_errors=True)  # orphan from a dead JVM
+        tables[t].select(cols).write.bucketBy(buckets, key).sortBy(key).mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(name)
+        _touch_last_used(loc)
+    # age-gated GC of other GENERATIONS of this sf_dir's pair
+    sf_tok, gen = prefix.split("_")[1], prefix.split("_")[2]
+    wh_root = os.path.dirname(_warehouse_path(spark, "x"))
+    if os.path.isdir(wh_root):
+        for d in os.listdir(wh_root):
+            p = d.split("_")
+            if len(p) >= 4 and p[0] == "bktj" and p[1] == sf_tok and p[2] != gen:
+                full = os.path.join(wh_root, d)
+                if not spark.catalog.tableExists(d) and not _recently_used(full):
+                    shutil.rmtree(full, ignore_errors=True)
+    return prefix
+
+
+def bucketed_orderkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join itself (separate from the q61 aggregate so the
+    plan test can assert exchange-freedom on exactly this frame)."""
+    prefix = _ensure_bucketed_pair(spark, sf_dir)
+    o = spark.table(f"{prefix}_orders")
+    li = spark.table(f"{prefix}_lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey)
+
+
+@query(
+    "q61_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q61_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority over the CO-BUCKETED orders⋈lineitem
+    pair: results are identical to the plain join (the oracle is the
+    plain join), but the physical plan has no Exchange under the
+    SortMergeJoin — the bucketed layout satisfies the join clustering on
+    both sides. The one shuffle left is the tiny 5-row priority agg."""
+    return (
+        bucketed_orderkey_join(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q62_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY event_type
+    """,
+)
+def q62_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink: events written
+    ``partitionBy(event_type)`` with DYNAMIC partition overwrite (only
+    the partitions present in the incoming frame are replaced — the
+    idempotent daily-reload semantics; static mode would truncate the
+    whole table), then read back with a partition-column filter that
+    prunes to 2 of the directories at FILE LISTING time — the scan never
+    opens the other partitions' files (pinned in test_plans.py). The
+    roundtrip is written twice to prove overwrite idempotency under the
+    oracle: a duplicating reload would double every count."""
+    import os
+    import tempfile
+
+    events = load_tables(spark, sf_dir)["events"]
+    out = os.path.join(
+        tempfile.gettempdir(), f"q62_part_sink_{abs(hash(sf_dir)) % 10**8}"
+    )
+    with _dynamic_partition_overwrite(spark):
+        for _ in range(2):  # idempotent reload: same partitions replaced
+            events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type").isin("view", "click"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(key, "STATIC")
+        spark.conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return cm()

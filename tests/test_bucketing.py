@@ -161,3 +161,25 @@ def test_stale_cache_gc_is_age_gated(spark, monkeypatch):
                 import shutil
 
                 shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q61_bucketed_pair_join_is_exchange_free(spark, sf_small):
+    from pymongraph_spark.queries.relational import bucketed_orderkey_join
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    joined = bucketed_orderkey_join(spark, sf_small)
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # both sides bucket-local
+    # second call must REUSE the tables (same generation), not rewrite
+    again = bucketed_orderkey_join(spark, sf_small)
+    assert "Exchange" not in _plan(again)
+    # results equal the plain join count
+    from pymongraph_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_small)
+    expected = t["orders"].join(
+        t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey")
+    ).count()
+    assert joined.count() == expected

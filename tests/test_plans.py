@@ -239,3 +239,16 @@ def test_t71_corpus_selection_cluster_join_strategy_free(spark):
 def test_d49_cluster_output_no_cartesian(spark):
     plan = _plan(QUERIES["d49_neardup_clusters"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_q62_partition_filter_prunes_at_listing_time(spark):
+    """The read-back scan must carry the event_type predicate as a
+    PartitionFilter (directory pruning), not a post-scan filter over all
+    partitions' files."""
+    df = QUERIES["q62_partitioned_sink_roundtrip"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
