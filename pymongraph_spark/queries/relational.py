@@ -2056,3 +2056,38 @@ def _dynamic_partition_overwrite(spark: SparkSession):
             spark.conf.set(key, old)
 
     return cm()
+
+
+@query(
+    "q63_time_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_win
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q63_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — the sliding-interval aggregate
+    rows-frames can't express (a rows frame counts rows, not seconds):
+    per user, events in the trailing 10 minutes INCLUDING same-timestamp
+    ties (range frames close over ties identically in both engines,
+    which is why the frame is ordered on epoch MICROseconds — whole
+    seconds would floor away sub-second precision and the two engines'
+    frames would drift at the boundaries). One shuffle on user_id; the
+    frame scan is linear per partition. Decimal-grid sum keeps the
+    double bit-stable."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_win"),
+    )

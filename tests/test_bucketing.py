@@ -20,37 +20,39 @@ def _plan(df) -> str:
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path, sf_small):
     # warehouse dir is a static conf — tables land in ./spark-warehouse
     # (gitignored) and are dropped at the end
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
 
     from pymongraph_spark.catalog import load_tables
 
-    t = load_tables(spark, sf_small)
-    verts = t["customer"].select((F.col("c_custkey") * 4).alias("id"), F.col("c_name"))
-    edges = t["orders"].select(
-        (F.col("o_custkey") * 4).alias("src"), (F.col("o_orderkey") * 4 + 1).alias("dst")
-    )
-    verts.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bk_vertices")
-    edges.write.bucketBy(8, "src").sortBy("src").mode("overwrite").saveAsTable("bk_edges")
+    try:
+        t = load_tables(spark, sf_small)
+        verts = t["customer"].select((F.col("c_custkey") * 4).alias("id"), F.col("c_name"))
+        edges = t["orders"].select(
+            (F.col("o_custkey") * 4).alias("src"), (F.col("o_orderkey") * 4 + 1).alias("dst")
+        )
+        verts.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bk_vertices")
+        edges.write.bucketBy(8, "src").sortBy("src").mode("overwrite").saveAsTable("bk_edges")
 
-    bv = spark.table("bk_vertices")
-    be = spark.table("bk_edges")
+        bv = spark.table("bk_vertices")
+        be = spark.table("bk_edges")
 
-    joined = be.join(bv, be.src == bv.id)
-    plan = _plan(joined)
-    # co-located bucketed join: no Exchange feeding the join
-    assert "Exchange" not in plan, plan[:2000]
-    n = joined.count()
-    assert n > 0
+        joined = be.join(bv, be.src == bv.id)
+        plan = _plan(joined)
+        # co-located bucketed join: no Exchange feeding the join
+        assert "Exchange" not in plan, plan[:2000]
+        n = joined.count()
+        assert n > 0
 
-    # control: the same join on unbucketed frames DOES shuffle
-    plain = edges.join(verts, edges.src == verts.id)
-    plain_plan = _plan(plain)
-    assert "Exchange" in plain_plan
-
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    spark.sql("DROP TABLE IF EXISTS bk_vertices")
-    spark.sql("DROP TABLE IF EXISTS bk_edges")
+        # control: the same join on unbucketed frames DOES shuffle
+        plain = edges.join(verts, edges.src == verts.id)
+        plain_plan = _plan(plain)
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_vertices")
+        spark.sql("DROP TABLE IF EXISTS bk_edges")
 
 
 def test_bucketed_store_khop_matches_generic(spark, sf_small):
@@ -166,20 +168,24 @@ def test_stale_cache_gc_is_age_gated(spark, monkeypatch):
 def test_q61_bucketed_pair_join_is_exchange_free(spark, sf_small):
     from pymongraph_spark.queries.relational import bucketed_orderkey_join
 
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
-    joined = bucketed_orderkey_join(spark, sf_small)
-    plan = _plan(joined)
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan  # both sides bucket-local
-    # second call must REUSE the tables (same generation), not rewrite
-    again = bucketed_orderkey_join(spark, sf_small)
-    assert "Exchange" not in _plan(again)
-    # results equal the plain join count
-    from pymongraph_spark.catalog import load_tables
+    try:
+        joined = bucketed_orderkey_join(spark, sf_small)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides bucket-local
+        # second call must REUSE the tables (same generation), not rewrite
+        again = bucketed_orderkey_join(spark, sf_small)
+        assert "Exchange" not in _plan(again)
+        # results equal the plain join count
+        from pymongraph_spark.catalog import load_tables
 
-    t = load_tables(spark, sf_small)
-    expected = t["orders"].join(
-        t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey")
-    ).count()
-    assert joined.count() == expected
+        t = load_tables(spark, sf_small)
+        expected = t["orders"].join(
+            t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
