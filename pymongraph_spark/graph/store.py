@@ -47,10 +47,16 @@ def versions(path: str) -> list[str]:
     """
     if _delta_layout(path):
         log = os.path.join(path, "delta_vertices", "_delta_log")
+        # sort numerically: lexicographic string order breaks at commit
+        # 10 ('10' < '2'), which would make versions()[-1] — the "just
+        # written" idiom every caller uses — point at the wrong snapshot
         return sorted(
-            (f.split(".")[0].lstrip("0") or "0")
-            for f in os.listdir(log)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
+            (
+                (f.split(".")[0].lstrip("0") or "0")
+                for f in os.listdir(log)
+                if f.endswith(".json") and f.split(".")[0].isdigit()
+            ),
+            key=int,
         )
     if not os.path.isdir(path):
         return []

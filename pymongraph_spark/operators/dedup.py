@@ -19,7 +19,6 @@ verification all stay JVM-side; there is no Python in the per-row path.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame
@@ -107,7 +106,9 @@ def token_jaccard_pairs(
 
     Shingles are globally ordered by ascending document frequency
     (rarest first; ties by shingle). Each doc exposes only its first
-    floor((1-t)·|S|) + 1 shingles under that order; candidate pairs are
+    |S| − ceil(t·|S|) + 1 shingles under that order (computed in that
+    ceil form: the algebraically-equal floor((1−t)·|S|)+1 under-counts
+    in doubles because 1−0.8 = 0.19999…96); candidate pairs are
     those sharing ≥1 prefix shingle within the same ``block_cols`` —
     a plain equi-join on (shingle, blocks). LOSSLESS: for the min-rank
     common element e of A∩B, if e were outside A's prefix then
@@ -147,7 +148,18 @@ def token_jaccard_pairs(
     from pyspark.sql import Window
 
     rank_w = Window.partitionBy("doc_id").orderBy("__df", "__sh")
-    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("__sz")).cast("int") + 1
+    # exact bound is sz - ceil(t·sz) + 1 ≡ floor((1-t)·sz) + 1 only in
+    # REAL arithmetic: in doubles 1-0.8 = 0.19999…96, so floor((1-t)·sz)
+    # under-counts by one whenever (1-t)·sz lands just below an integer
+    # (every sz divisible by 5 at t=0.8) and a qualifying pair whose only
+    # common shingles sit at that last prefix position is silently
+    # dropped. Compute the ceil form with a slack that keeps FP from
+    # rounding ABOVE the exact integer (same guard as alpha below).
+    prefix_len = (
+        F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz").cast("double") - F.lit(1e-9)).cast("int")
+        + 1
+    )
     prefix = (
         ex.join(freq, on="__sh")
         .withColumn("__rk", F.row_number().over(rank_w))
@@ -328,15 +340,16 @@ def _neutral_banded(
     bands: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared engine-neutral signature + banding stage: returns
-    (shingle frame (doc_id, shingles), PERSISTED signature frame,
-    exploded banded frame (doc_id, band, key)).
+    (PERSISTED signature frame — which also carries the shingles column,
+    so verification probes it while cached — and the exploded banded
+    frame (doc_id, band, key)).
 
     The signature frame is persisted because the banded frame's ``bands``
     key expressions would otherwise each recompute the full signature
     via projection collapse (see minhash_lsh_pairs). The CALLER owns the
-    release: materialize candidates eagerly, then unpersist the returned
-    signature frame before building the verification plan (which joins
-    the cheap shingle frame, not the signatures)."""
+    release: build candidates AND the shingle-verification join against
+    the cached frame, materialize the result eagerly (localCheckpoint),
+    then unpersist in a finally."""
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
     rows = num_hashes // bands
     s = shingled(docs, text_col, id_col, n)
@@ -368,7 +381,7 @@ def _neutral_banded(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
-    return s, sigd, banded
+    return sigd, banded
 
 
 def minhash_lsh_pairs_neutral(
@@ -387,7 +400,7 @@ def minhash_lsh_pairs_neutral(
     one cached signature pass released as soon as candidates materialize,
     an equi-join on (band, key), verification join over shingles.
     """
-    s, sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
+    sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
     try:
         left = banded.select("band", "key", F.col("doc_id").alias("doc_id_a"))
         right = banded.select("band", "key", F.col("doc_id").alias("doc_id_b"))
@@ -437,8 +450,8 @@ def minhash_lsh_pairs_incremental(
     scales with the batch, not the corpus. Returns
     (doc_id_new, doc_id_corpus, jaccard ≥ threshold).
     """
-    s_n, sig_n, band_n = _neutral_banded(new_docs, text_col, id_col, n, num_hashes, bands)
-    s_c, sig_c, band_c = _neutral_banded(corpus, text_col, id_col, n, num_hashes, bands)
+    sig_n, band_n = _neutral_banded(new_docs, text_col, id_col, n, num_hashes, bands)
+    sig_c, band_c = _neutral_banded(corpus, text_col, id_col, n, num_hashes, bands)
     try:
         candidates = (
             band_n.select("band", "key", F.col("doc_id").alias("doc_id_new"))

@@ -174,12 +174,14 @@ def _recently_used(path: str) -> bool:
     return (time.time() - ts) < _GC_GRACE_SECONDS
 
 
-def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
-    """Remove warehouse dirs of derived graphs for THE SAME sf_dir whose
-    generation fingerprint no longer matches (regenerated testdata) —
-    those can never be loaded again, only block future saves. Caches of
-    other sf_dirs are left alone: concurrent test/bench/driver processes
-    at different scales must not evict each other. Deletion is age-gated
+def drop_stale_generations(spark: SparkSession, sf_tok: str, gen: str, parse) -> None:
+    """Age-gated warehouse GC shared by every fingerprinted cache family
+    (derived graphs, bucketed relational pairs): removes dirs whose
+    ``parse(dirname)`` yields (tok, generation) with tok == sf_tok but a
+    DIFFERENT generation (regenerated testdata — those can never be
+    loaded again, only block future saves). Caches of other sf_dirs are
+    left alone: concurrent test/bench/driver processes at different
+    scales must not evict each other. Deletion is age-gated
     (_recently_used): a concurrent process that attached the old
     generation before regeneration may still be mid-query over those
     files — they get collected on a later pass once the grace window
@@ -189,27 +191,34 @@ def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
     wh_root = os.path.dirname(_warehouse_path(spark, "x"))
     if not os.path.isdir(wh_root):
         return
-    # keep_prefix = "tpch_graph_<sf_tok>_<gen>"; stale = same sf_tok,
-    # different generation (works for the tpch_ and g41_ families alike)
-    parts = keep_prefix.rsplit("_", 2)
-    if len(parts) != 3:
-        return
-    sf_tok, gen = parts[1], parts[2]
     for d in os.listdir(wh_root):
-        dparts = d.split("_")
-        # "<fam>_graph_<sf_tok>_<gen>_<table suffix...>"
-        if (
-            len(dparts) >= 5
-            and dparts[1] == "graph"
-            and dparts[2] == sf_tok
-            and dparts[3] != gen
-        ):
+        parsed = parse(d)
+        if not parsed:
+            continue
+        tok, g = parsed
+        if tok == sf_tok and g != gen:
             try:
                 full = os.path.join(wh_root, d)
                 if not spark.catalog.tableExists(d) and not _recently_used(full):
                     shutil.rmtree(full, ignore_errors=True)
             except Exception:
                 pass
+
+
+def _drop_stale_graph_caches(spark: SparkSession, keep_prefix: str) -> None:
+    # keep_prefix = "tpch_graph_<sf_tok>_<gen>"; dir names are
+    # "<fam>_graph_<sf_tok>_<gen>_<table suffix...>" (tpch_ and g41_ alike)
+    parts = keep_prefix.rsplit("_", 2)
+    if len(parts) != 3:
+        return
+
+    def parse(d: str):
+        p = d.split("_")
+        if len(p) >= 5 and p[1] == "graph":
+            return p[2], p[3]
+        return None
+
+    drop_stale_generations(spark, parts[1], parts[2], parse)
 
 
 def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:

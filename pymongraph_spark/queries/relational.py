@@ -1936,7 +1936,7 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -
     import shutil
 
     from pymongraph_spark.graph.store import _warehouse_path
-    from pymongraph_spark.queries.graph import _recently_used, _touch_last_used
+    from pymongraph_spark.queries.graph import _touch_last_used, drop_stale_generations
 
     prefix = _bucketed_pair_prefix(sf_dir)
     specs = {
@@ -1955,16 +1955,17 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -
             "overwrite"
         ).format("parquet").saveAsTable(name)
         _touch_last_used(loc)
-    # age-gated GC of other GENERATIONS of this sf_dir's pair
+    # age-gated GC of other GENERATIONS of this sf_dir's pair (shared
+    # policy with the derived-graph caches — one implementation)
     sf_tok, gen = prefix.split("_")[1], prefix.split("_")[2]
-    wh_root = os.path.dirname(_warehouse_path(spark, "x"))
-    if os.path.isdir(wh_root):
-        for d in os.listdir(wh_root):
-            p = d.split("_")
-            if len(p) >= 4 and p[0] == "bktj" and p[1] == sf_tok and p[2] != gen:
-                full = os.path.join(wh_root, d)
-                if not spark.catalog.tableExists(d) and not _recently_used(full):
-                    shutil.rmtree(full, ignore_errors=True)
+
+    def parse(d: str):
+        p = d.split("_")
+        if len(p) >= 4 and p[0] == "bktj":
+            return p[1], p[2]
+        return None
+
+    drop_stale_generations(spark, sf_tok, gen, parse)
     return prefix
 
 

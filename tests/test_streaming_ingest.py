@@ -135,12 +135,18 @@ def test_merge_into_auto_is_layout_sticky(spark, tmp_path):
     # fake a session whose probe says delta: auto must still pick parquet
     # because the existing layout wins before the runtime probe runs
     memo = "_sparkgraph_lakehouse_format"
+    had = hasattr(spark, memo)
     old = getattr(spark, memo, None)
     try:
         setattr(spark, memo, "delta")
         merged = store.merge_into(spark, st, g1, backend="auto")
     finally:
-        setattr(spark, memo, old)
+        # restore absence with delattr: setattr(..., None) would leave
+        # the probed-already flag set and pin "no runtime" session-wide
+        if had:
+            setattr(spark, memo, old)
+        else:
+            delattr(spark, memo)
     assert not store._delta_layout(st)
     assert store.load(spark, st).vertices.count() == merged.vertices.count()
 
@@ -159,3 +165,16 @@ def test_merge_into_delta_backend_roundtrip(spark, tmp_path):
     assert loaded is not None
     assert loaded.vertices.count() == merged.vertices.count()
     assert len(store.versions(st)) >= 1
+
+
+def test_delta_versions_sort_numerically(tmp_path):
+    """Regression: commit ids must sort numerically — lexicographic
+    string order breaks at commit 10 ('10' < '2') and versions()[-1]
+    (the 'just written' idiom) would point at the wrong snapshot."""
+    log = tmp_path / "store" / "delta_vertices" / "_delta_log"
+    log.mkdir(parents=True)
+    for i in range(12):
+        (log / f"{i:020d}.json").write_text("{}")
+    got = store.versions(str(tmp_path / "store"))
+    assert got == [str(i) for i in range(12)]
+    assert got[-1] == "11"

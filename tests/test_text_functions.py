@@ -125,3 +125,26 @@ def test_token_jaccard_band_blocking_is_lossless(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_token_jaccard_prefix_bound_boundary_sizes(spark):
+    """Regression for the FP prefix-length bound: with threshold 0.8 and
+    |S| divisible by 5, floor((1-t)*|S|)+1 computed in doubles is one
+    short of the exact |S|-ceil(t*|S|)+1, and a qualifying pair whose
+    only common shingle sits at that last prefix position is dropped.
+    Construction: A's 4 shingles ⊂ B's 5 (J = 4/5 = 0.8 exactly), B's
+    one extra shingle globally rarest so it fills B's (buggy) 1-element
+    prefix."""
+    from pymongraph_spark.operators.dedup import token_jaccard_pairs
+
+    a_text = "w1 w2 w3 w4 w5 w6"        # shingles: 4
+    b_text = "w1 w2 w3 w4 w5 w6 zz"     # shingles: the same 4 + 'w5 w6 zz'
+    docs = spark.createDataFrame(
+        [(1, a_text, "en"), (2, b_text, "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in token_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2, 0.8)}
