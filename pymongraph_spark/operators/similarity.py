@@ -228,8 +228,10 @@ def brute_force_topk_vectorized(
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its best centroid (max cosine, ties → min
+               vec_col: str = "embedding", metric: str = "cosine") -> DataFrame:
+    """Assign every vector to its best centroid (max cosine — or min
+    squared L2 with ``metric='l2'``, the proper metric for PQ subspace
+    quantizers where slices are not direction-normalized; ties → min
     centroid id). Centroids broadcast against the corpus (codegen'd
     scoring, no literal mega-expression — a C·dim literal argmax falls
     out of whole-stage codegen and runs interpreted), then a max_by
@@ -239,12 +241,18 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     c = centroids.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
     )
+    if metric == "cosine":
+        sim = cosine(df[vec_col], F.col("__cv"))
+    elif metric == "l2":
+        sim = -_l2sq(df[vec_col], F.col("__cv"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}; use 'cosine' or 'l2'")
     order = F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("nc"))
     return (
         df.join(F.broadcast(c))
         .select(
             df[id_col], df[vec_col],
-            F.col("__cid"), cosine(df[vec_col], F.col("__cv")).alias("__sim"),
+            F.col("__cid"), sim.alias("__sim"),
         )
         .groupBy(id_col)
         .agg(
@@ -294,6 +302,8 @@ def kmeans_centroids(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
+    dedup_seeds: bool = False,
 ) -> DataFrame:
     """Learn ``k`` centroids with a pure-DataFrame Lloyd's loop, making
     IVF self-contained (ivf_topk's centroid input no longer has to be a
@@ -319,9 +329,19 @@ def kmeans_centroids(
     Returns (``id_col`` = centroid id 0..k-1, ``vec_col`` = float array).
     """
     pts = df.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv"))
-    # deterministic seeding: k md5-smallest ids, re-keyed 0..k-1
+    # deterministic seeding: k md5-smallest ids, re-keyed 0..k-1.
+    # ``dedup_seeds`` picks among DISTINCT vectors (min id per value) so
+    # duplicate-heavy inputs — PQ subspace slices especially — can't
+    # seed two cells with the same point and silently collapse to < k
+    # clusters. Off by default: the s57 oracle pins the original seeds.
+    seed_pool = pts
+    if dedup_seeds:
+        seed_pool = (
+            pts.groupBy("__pv").agg(F.min("__pid").alias("__pid"))
+            .select("__pid", "__pv")
+        )
     seeds = (
-        pts.withColumn("__h", F.md5(F.col("__pid").cast("string")))
+        seed_pool.withColumn("__h", F.md5(F.col("__pid").cast("string")))
         .orderBy("__h", "__pid")
         .limit(k)
     )
@@ -338,6 +358,7 @@ def kmeans_centroids(
             centroids,
             id_col,
             vec_col,
+            metric=metric,
         )
         dim_means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
@@ -363,3 +384,156 @@ def kmeans_centroids(
             .localCheckpoint(eager=True)
         )
     return centroids
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the vector-compression half of the
+# FAISS-style IVF+PQ stack (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split each vector into m
+# contiguous subspaces, learn k codewords per subspace, store each
+# vector as m small codes (m·log2(k) bits instead of dim·32). Search
+# uses ADC (asymmetric distance computation): the query stays exact and
+# distances are summed from a per-query m×k lookup table.
+# --------------------------------------------------------------------------
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer vector dim from empty {vec_col!r}")
+    return int(row["d"])
+
+
+def _l2sq(a, b):
+    """Squared L2 distance between two float arrays (zip_with fold —
+    codegen'd, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn PQ codebooks: per contiguous subspace j (dim/m components),
+    k codewords from the same deterministic Lloyd's loop as
+    kmeans_centroids. Returns (subspace int, code long, codeword
+    array<float>). The m training runs are independent; each is the
+    kmeans scale shape (broadcast assign + posexplode partial-agg
+    means), so codebook learning costs m small k-means passes over
+    dim/m-wide slices — cheaper than one full-dim k-means."""
+    dim = _infer_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    out = None
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col),
+        )
+        cb = kmeans_centroids(
+            sub, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+            metric="l2", dedup_seeds=True,
+        )
+        cb = cb.select(
+            F.lit(j).cast("int").alias("subspace"),
+            F.col(id_col).cast("long").alias("code"),
+            F.col(vec_col).alias("codeword"),
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out.localCheckpoint(eager=True)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest codeword (min
+    squared L2, ties → min code): returns (id, codes array<long> of
+    length m). Codebooks broadcast (m·k rows, tiny); the nearest-code
+    pick is a min_by partial aggregate per (vector, subspace) — the
+    corpus shuffles once on id to assemble the code array, never more."""
+    m = codebooks.agg(F.countDistinct("subspace")).first()[0]
+    dim = _infer_dim(df, vec_col)
+    d = dim // int(m)
+    sub = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(m) - 1)),
+                lambda j: F.slice(F.col(vec_col), j * F.lit(d) + 1, d),
+            )
+        ).alias("subspace", "__sv"),
+    ).select(F.col(id_col), F.col("subspace").cast("int").alias("subspace"), "__sv")
+    order = F.struct((-F.col("__d2")).alias("nd"), (-F.col("code")).alias("nc"))
+    scored = sub.join(F.broadcast(codebooks), on="subspace").select(
+        id_col, "subspace", "code", _l2sq(F.col("__sv"), F.col("codeword")).alias("__d2")
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.max_by(F.col("code"), order).alias("code")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk_adc(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC distance: the query stays exact,
+    the corpus is its PQ codes, and dist²(q, x) ≈ Σ_j ||q_j − c_{j,
+    code_j(x)}||². The per-query lookup table (Q·m·k rows) is built by
+    one broadcast join and broadcast again against the exploded codes —
+    the corpus side never shuffles before the partial-agg distance sum;
+    the only full exchange is the final per-query top-k over n·Q
+    already-summed rows. Returns (query_id, neighbor_id, adc_dist,
+    rank), ascending distance."""
+    m_row = codebooks.agg(F.countDistinct("subspace")).first()
+    m = int(m_row[0])
+    dim = _infer_dim(queries, vec_col)
+    d = dim // m
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col(vec_col), j * F.lit(d) + 1, d),
+            )
+        ).alias("subspace", "__qv"),
+    ).select("query_id", F.col("subspace").cast("int").alias("subspace"), "__qv")
+    lut = qsub.join(F.broadcast(codebooks), on="subspace").select(
+        "query_id", "subspace", "code",
+        _l2sq(F.col("__qv"), F.col("codeword")).alias("__d2"),
+    )
+    codes = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "neighbor_id", F.col("subspace").cast("int").alias("subspace"), "code"
+    )
+    dists = (
+        codes.join(F.broadcast(lut), on=["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

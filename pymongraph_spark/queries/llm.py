@@ -2143,3 +2143,36 @@ def t80_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("lift"), "w1", "w2").limit(20)
     )
+
+
+@query("s59_pq_adc_topk")
+def s59_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: learn per-subspace codebooks (L2
+    Lloyd's with deduplicated seeds), encode the L2-normalized corpus as
+    m=8 codes, and answer top-3 by asymmetric distance (exact query vs
+    quantized corpus). Iterative float means make cross-engine oracles
+    impractical (rows-only gate, like s57); the machinery is pinned by
+    the codeword-exact ADC unit test (test_similarity_pq.py), where
+    quantization error is zero and ADC must equal true distance."""
+    from pymongraph_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    nemb = emb.filter(F.size("embedding") > 0).select(
+        "vec_id",
+        F.transform("embedding", lambda v: (v / norm).cast("float")).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
+    codes = pq_encode(nemb, cb)
+    queries = nemb.filter(F.col("vec_id") < 8)
+    return pq_topk_adc(codes, queries, cb, k=3)

@@ -1,0 +1,95 @@
+"""Product quantization (PQ/ADC) unit tests: exactness when vectors ARE
+codewords, determinism, recall floor on the real corpus, and input
+validation. The corpus embeddings are near-random (true-distance spread
+std/mean ~0.13), so recall bounds mirror the LSH tests' conservative
+floor rather than a production 0.9 — the point pinned here is the
+MACHINERY (slicing, code assembly, LUT join, distance sum), which the
+codeword-exact test checks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongraph_spark.operators.similarity import (
+    brute_force_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk_adc,
+)
+
+
+def _clustered(spark):
+    # 8 vectors over 2 subspaces of dim 2; each subspace has two obvious
+    # clusters at ±1 — Lloyd's converges to the cluster centers, so every
+    # vector is (nearly) a codeword combination
+    rows = []
+    vid = 0
+    for a in (-1.0, 1.0):
+        for b in (-1.0, 1.0):
+            for _ in range(2):
+                rows.append((vid, [a, a, b, b]))
+                vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_pq_encode_exact_on_codeword_vectors(spark):
+    df = _clustered(spark)
+    cb = pq_codebooks(df, m=2, k=2, max_iter=4)
+    assert cb.count() == 4  # 2 subspaces × 2 codes
+    codes = pq_encode(df, cb)
+    got = {r["vec_id"]: tuple(r["codes"]) for r in codes.collect()}
+    assert len(got) == 8
+    # duplicate vectors share codes; the two subspace halves are coded
+    # independently (4 distinct code tuples across the 2×2 grid)
+    assert len(set(got.values())) == 4
+    # ADC is EXACT here (every vector is a codeword): top-1 neighbor of
+    # each query is its duplicate twin at distance 0
+    topk = pq_topk_adc(codes, df, cb, k=1).collect()
+    for r in topk:
+        assert r["adc_dist"] == pytest.approx(0.0, abs=1e-9)
+        assert r["neighbor_id"] // 2 == r["query_id"] // 2  # its twin
+
+
+def test_pq_codebooks_deterministic(spark):
+    df = _clustered(spark)
+    a = sorted(map(tuple, pq_codebooks(df, m=2, k=2, max_iter=3).collect()))
+    b = sorted(map(tuple, pq_codebooks(df, m=2, k=2, max_iter=3).collect()))
+    assert a == b
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    df = _clustered(spark)  # dim 4
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(df, m=3)
+
+
+def test_pq_recall_floor_on_corpus(spark, sf_small):
+    from pymongraph_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    # L2-normalize so ADC's L2 ranking matches the cosine baseline
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    nemb = emb.select(
+        "vec_id", F.transform("embedding", lambda v: (v / norm).cast("float")).alias("embedding")
+    ).localCheckpoint(eager=True)
+    cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
+    codes = pq_encode(nemb, cb)
+    q = nemb.filter(F.col("vec_id") < 8)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_adc(codes, q, cb, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"suspiciously low recall {recall}"
