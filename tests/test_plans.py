@@ -252,3 +252,27 @@ def test_q62_partition_filter_prunes_at_listing_time(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:2000]
+
+
+def test_d52_decontamination_no_cartesian_single_gram_join(spark):
+    """Decontamination must be one equi-join on the gram — never a
+    corpus × corpus comparison."""
+    plan = _plan(QUERIES["d52_decontamination"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s58_hard_negatives_queries_broadcast(spark):
+    """The ≤8-row query side must broadcast; the corpus never shuffles
+    before scoring (same contract as s50)."""
+    plan = _plan(QUERIES["s58_hard_negatives"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t79_feature_hashing_single_exchange_partial_agg(spark):
+    """The vectorizer is one partial-aggregated groupBy: exactly one
+    Exchange, with map-side HashAggregate before it."""
+    plan = _plan(QUERIES["t79_feature_hashing"](spark, SF_SMALL))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
