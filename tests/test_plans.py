@@ -276,3 +276,27 @@ def test_t79_feature_hashing_single_exchange_partial_agg(spark):
     plan = _plan(QUERIES["t79_feature_hashing"](spark, SF_SMALL))
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_write_shards_layout_matches_manifest_and_prunes(spark, tmp_path):
+    """The sharded writer's on-disk layout must agree with t72's planned
+    manifest, survive append-stable re-landing, and prune to one
+    directory when a loader reads a single shard."""
+    from pymongraph_spark.operators.sink import write_shards
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard_id"]: r["n_docs"]
+        for r in write_shards(docs, out, n_shards=8).collect()
+    }
+    planned = {
+        r["shard_id"]: r["n_docs"]
+        for r in QUERIES["t72_shard_manifest"](spark, SF_SMALL).collect()
+    }
+    assert manifest == planned
+    # single-shard read prunes at listing time
+    one = spark.read.parquet(out).filter(F.col("shard_id") == 3)
+    plan = _plan(one)
+    assert "PartitionFilters" in plan and "shard_id" in plan
+    assert one.count() == planned.get(3, 0)
