@@ -537,3 +537,66 @@ def pq_topk_adc(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF+PQ search — the billion-vector architecture (FAISS
+    IVFADC): the coarse quantizer (IVF cells) prunes the corpus to the
+    query's cell, and within the cell distances come from PQ codes via
+    ADC. Returns (query_id, neighbor_id, adc_dist, rank) ascending.
+
+    Scale shape: cell assignment is the broadcast max_by pass
+    (ivf_assign); codes live with their cell; the per-query LUT (m×k
+    rows) broadcasts against only the probed cells' codes. Corpus cost
+    per query drops from n ADC sums to n/C — and the codes the scan
+    touches are m bytes per vector, not dim·4. Exactness knobs: more
+    cells (C) prunes harder, more codewords (k) quantizes finer."""
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col, metric="l2")
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    coded_cells = corpus_cells.select(id_col, "cell").join(codes, on=id_col)
+    query_cells = ivf_assign(queries, centroids, id_col, vec_col, metric="l2").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell"
+    )
+    m = int(codebooks.agg(F.countDistinct("subspace")).first()[0])
+    dim = _infer_dim(queries, vec_col)
+    d = dim // m
+    qsub = query_cells.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col("__qv"), j * F.lit(d) + 1, d),
+            )
+        ).alias("subspace", "__qv_sub"),
+    ).select(
+        "query_id", "cell", F.col("subspace").cast("int").alias("subspace"), "__qv_sub"
+    )
+    lut = qsub.join(F.broadcast(codebooks), on="subspace").select(
+        "query_id", "cell", "subspace", "code",
+        _l2sq(F.col("__qv_sub"), F.col("codeword")).alias("__d2"),
+    )
+    cell_codes = coded_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "neighbor_id", "cell",
+        F.col("subspace").cast("int").alias("subspace"), "code",
+    )
+    dists = (
+        cell_codes.join(F.broadcast(lut), on=["cell", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -93,3 +93,31 @@ def test_pq_recall_floor_on_corpus(spark, sf_small):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.1, f"suspiciously low recall {recall}"
+
+
+def test_ivfpq_composed_search(spark, sf_small):
+    """IVF cell pruning composed with ADC: every result's neighbor must
+    share the query's cell, ranks are dense from 1, and the whole
+    pipeline is deterministic across runs."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"].localCheckpoint(eager=True)
+    cents = kmeans_centroids(emb, k=4, max_iter=2, metric="l2", dedup_seeds=True)
+    cb = pq_codebooks(emb, m=4, k=8, max_iter=2)
+    q = emb.filter(F.col("vec_id") < 4)
+    res = ivfpq_topk(emb, q, cents, cb, k=3).collect()
+    assert res, "no results"
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents, metric="l2").collect()}
+    by_q = {}
+    for r in res:
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = ivfpq_topk(emb, q, cents, cb, k=3).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
