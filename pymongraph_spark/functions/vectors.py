@@ -28,3 +28,11 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     den = norm(a) * norm(b)
     return F.when(den != 0, dot(a, b) / den)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a float array; zero vectors pass through unchanged
+    (the guarded division the ANSI-mode runtime requires — an unguarded
+    v / norm raises DIVIDE_BY_ZERO on an all-zero embedding)."""
+    n = norm(a)
+    return F.transform(a, lambda v: F.when(n != 0, v / n).otherwise(v).cast("float"))

@@ -414,6 +414,29 @@ def _l2sq(a, b):
     )
 
 
+
+def _pq_geometry(codebooks: DataFrame) -> tuple[int, int]:
+    """(m subspaces, d components per subspace) read from the codebook
+    frame itself — the single source of truth every PQ consumer
+    validates against."""
+    row = codebooks.agg(
+        F.countDistinct("subspace").alias("m"), F.max(F.size("codeword")).alias("d")
+    ).first()
+    return int(row["m"]), int(row["d"])
+
+
+def _check_pq_dims(df: DataFrame, vec_col: str, m: int, d: int) -> None:
+    """Fail loudly on geometry mismatch: slicing a dim≠m·d vector would
+    otherwise zip_with null-padded slices against codewords and produce
+    silently wrong (null/partial) ADC sums."""
+    dim = _infer_dim(df, vec_col)
+    if dim != m * d:
+        raise ValueError(
+            f"vector dim {dim} does not match codebook geometry "
+            f"m={m} × d={d} (= {m * d})"
+        )
+
+
 def pq_codebooks(
     df: DataFrame,
     m: int = 4,
@@ -423,33 +446,80 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Learn PQ codebooks: per contiguous subspace j (dim/m components),
-    k codewords from the same deterministic Lloyd's loop as
-    kmeans_centroids. Returns (subspace int, code long, codeword
-    array<float>). The m training runs are independent; each is the
-    kmeans scale shape (broadcast assign + posexplode partial-agg
-    means), so codebook learning costs m small k-means passes over
-    dim/m-wide slices — cheaper than one full-dim k-means."""
+    k codewords via ONE subspace-keyed Lloyd's loop — the m trainings
+    are independent, so they share each pass instead of running m
+    sequential k-means (m× fewer Spark jobs; same per-pass scale shape
+    as kmeans_centroids: broadcast-joined L2 assignment collapsed by a
+    max_by partial agg, posexplode partial-agg decimal means, lineage
+    cut per round). Returns (subspace int, code long, codeword
+    array<float>).
+
+    Determinism matches kmeans_centroids(dedup_seeds=True): per
+    subspace, seeds are the k md5-smallest ids among DISTINCT slice
+    values (duplicate-heavy slices cannot seed two cells with one
+    point), and means accumulate on the decimal grid. Empty cells drop
+    out, returning fewer than k codewords for that subspace."""
     dim = _infer_dim(df, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d = dim // m
-    out = None
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col),
+    slices = df.select(
+        F.col(id_col).alias("__pid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col(vec_col), j * F.lit(d) + 1, d),
+            )
+        ).alias("subspace", "__sv"),
+    ).select("__pid", F.col("subspace").cast("int").alias("subspace"), "__sv")
+
+    pool = slices.groupBy("subspace", "__sv").agg(F.min("__pid").alias("__pid"))
+    sw = Window.partitionBy("subspace").orderBy(
+        F.md5(F.col("__pid").cast("string")), "__pid"
+    )
+    centroids = (
+        pool.withColumn("__rn", F.row_number().over(sw))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "subspace",
+            (F.col("__rn") - 1).cast("long").alias("code"),
+            F.col("__sv").alias("codeword"),
         )
-        cb = kmeans_centroids(
-            sub, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
-            metric="l2", dedup_seeds=True,
+        .localCheckpoint(eager=True)
+    )
+    order = F.struct((-F.col("__d2")).alias("s"), (-F.col("code")).alias("nc"))
+    for _ in range(max_iter):
+        scored = slices.join(F.broadcast(centroids), on="subspace").select(
+            "__pid", "subspace", "code", "__sv",
+            _l2sq(F.col("__sv"), F.col("codeword")).alias("__d2"),
         )
-        cb = cb.select(
-            F.lit(j).cast("int").alias("subspace"),
-            F.col(id_col).cast("long").alias("code"),
-            F.col(vec_col).alias("codeword"),
+        assigned = scored.groupBy("__pid", "subspace").agg(
+            F.max_by(F.col("code"), order).alias("code"),
+            F.max_by(F.col("__sv"), order).alias("__sv"),
         )
-        out = cb if out is None else out.unionByName(cb)
-    return out.localCheckpoint(eager=True)
+        dim_means = (
+            assigned.select("subspace", "code", F.posexplode("__sv").alias("pos", "val"))
+            .groupBy("subspace", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(38,9)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("float")
+                .alias("mean")
+            )
+        )
+        centroids = (
+            dim_means.groupBy("subspace", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("codeword")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
 
 
 def pq_encode(
@@ -461,16 +531,17 @@ def pq_encode(
     """Encode every vector as its per-subspace nearest codeword (min
     squared L2, ties → min code): returns (id, codes array<long> of
     length m). Codebooks broadcast (m·k rows, tiny); the nearest-code
-    pick is a min_by partial aggregate per (vector, subspace) — the
-    corpus shuffles once on id to assemble the code array, never more."""
-    m = codebooks.agg(F.countDistinct("subspace")).first()[0]
-    dim = _infer_dim(df, vec_col)
-    d = dim // int(m)
+    pick is a max_by partial aggregate per (vector, subspace) — the
+    corpus shuffles once on id to assemble the code array, never more.
+    Geometry (m, d) is read from the codebooks and validated against
+    the input's dim — mismatches raise instead of silently truncating."""
+    m, d = _pq_geometry(codebooks)
+    _check_pq_dims(df, vec_col, m, d)
     sub = df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(int(m) - 1)),
+                F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.slice(F.col(vec_col), j * F.lit(d) + 1, d),
             )
         ).alias("subspace", "__sv"),
@@ -490,6 +561,55 @@ def pq_encode(
     )
 
 
+def _pq_query_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    d: int,
+    id_col: str,
+    vec_col: str,
+    carry: tuple = (),
+) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, [carry...], subspace, code,
+    __d2) — Q·m·k rows, built by one broadcast join against the
+    codebooks. Shared by the flat and IVF-composed search paths."""
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(c) for c in carry],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col(vec_col), j * F.lit(d) + 1, d),
+            )
+        ).alias("subspace", "__qv"),
+    ).select(
+        "query_id",
+        *carry,
+        F.col("subspace").cast("int").alias("subspace"),
+        "__qv",
+    )
+    return qsub.join(F.broadcast(codebooks), on="subspace").select(
+        "query_id", *carry, "subspace", "code",
+        _l2sq(F.col("__qv"), F.col("codeword")).alias("__d2"),
+    )
+
+
+def _adc_rank(codes_exploded: DataFrame, lut: DataFrame, join_keys: list, k: int) -> DataFrame:
+    """Shared ADC body: broadcast the LUT against the exploded corpus
+    codes, sum per (query, neighbor) — partial-aggregated map-side, so
+    the coded corpus never shuffles before the distance sum — then the
+    per-query top-k. One definition serves pq_topk_adc and ivfpq_topk,
+    so a fix applies to both paths."""
+    dists = (
+        codes_exploded.join(F.broadcast(lut), on=join_keys)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def pq_topk_adc(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -500,43 +620,16 @@ def pq_topk_adc(
 ) -> DataFrame:
     """Approximate top-k by ASYMMETRIC distance: the query stays exact,
     the corpus is its PQ codes, and dist²(q, x) ≈ Σ_j ||q_j − c_{j,
-    code_j(x)}||². The per-query lookup table (Q·m·k rows) is built by
-    one broadcast join and broadcast again against the exploded codes —
-    the corpus side never shuffles before the partial-agg distance sum;
-    the only full exchange is the final per-query top-k over n·Q
-    already-summed rows. Returns (query_id, neighbor_id, adc_dist,
-    rank), ascending distance."""
-    m_row = codebooks.agg(F.countDistinct("subspace")).first()
-    m = int(m_row[0])
-    dim = _infer_dim(queries, vec_col)
-    d = dim // m
-    qsub = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.slice(F.col(vec_col), j * F.lit(d) + 1, d),
-            )
-        ).alias("subspace", "__qv"),
-    ).select("query_id", F.col("subspace").cast("int").alias("subspace"), "__qv")
-    lut = qsub.join(F.broadcast(codebooks), on="subspace").select(
-        "query_id", "subspace", "code",
-        _l2sq(F.col("__qv"), F.col("codeword")).alias("__d2"),
-    )
+    code_j(x)}||². Returns (query_id, neighbor_id, adc_dist, rank),
+    ascending distance. Geometry is validated against the codebooks."""
+    m, d = _pq_geometry(codebooks)
+    _check_pq_dims(queries, vec_col, m, d)
+    lut = _pq_query_lut(queries, codebooks, m, d, id_col, vec_col)
     codes = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("subspace", "code"),
-    ).select(
-        "neighbor_id", F.col("subspace").cast("int").alias("subspace"), "code"
-    )
-    dists = (
-        codes.join(F.broadcast(lut), on=["subspace", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__d2").alias("adc_dist"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    ).select("neighbor_id", F.col("subspace").cast("int").alias("subspace"), "code")
+    return _adc_rank(codes, lut, ["subspace", "code"], k)
 
 
 def ivfpq_topk(
@@ -551,7 +644,8 @@ def ivfpq_topk(
     """Composed IVF+PQ search — the billion-vector architecture (FAISS
     IVFADC): the coarse quantizer (IVF cells) prunes the corpus to the
     query's cell, and within the cell distances come from PQ codes via
-    ADC. Returns (query_id, neighbor_id, adc_dist, rank) ascending.
+    the shared ADC body. Returns (query_id, neighbor_id, adc_dist,
+    rank) ascending.
 
     Scale shape: cell assignment is the broadcast max_by pass
     (ivf_assign); codes live with their cell; the per-query LUT (m×k
@@ -559,31 +653,16 @@ def ivfpq_topk(
     per query drops from n ADC sums to n/C — and the codes the scan
     touches are m bytes per vector, not dim·4. Exactness knobs: more
     cells (C) prunes harder, more codewords (k) quantizes finer."""
+    m, d = _pq_geometry(codebooks)
+    _check_pq_dims(queries, vec_col, m, d)
+    _check_pq_dims(corpus, vec_col, m, d)
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col, metric="l2")
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
     coded_cells = corpus_cells.select(id_col, "cell").join(codes, on=id_col)
     query_cells = ivf_assign(queries, centroids, id_col, vec_col, metric="l2").select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell"
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col), "cell"
     )
-    m = int(codebooks.agg(F.countDistinct("subspace")).first()[0])
-    dim = _infer_dim(queries, vec_col)
-    d = dim // m
-    qsub = query_cells.select(
-        "query_id",
-        "cell",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.slice(F.col("__qv"), j * F.lit(d) + 1, d),
-            )
-        ).alias("subspace", "__qv_sub"),
-    ).select(
-        "query_id", "cell", F.col("subspace").cast("int").alias("subspace"), "__qv_sub"
-    )
-    lut = qsub.join(F.broadcast(codebooks), on="subspace").select(
-        "query_id", "cell", "subspace", "code",
-        _l2sq(F.col("__qv_sub"), F.col("codeword")).alias("__d2"),
-    )
+    lut = _pq_query_lut(query_cells, codebooks, m, d, id_col, vec_col, carry=("cell",))
     cell_codes = coded_cells.select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
@@ -592,11 +671,4 @@ def ivfpq_topk(
         "neighbor_id", "cell",
         F.col("subspace").cast("int").alias("subspace"), "code",
     )
-    dists = (
-        cell_codes.join(F.broadcast(lut), on=["cell", "subspace", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__d2").alias("adc_dist"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return dists.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _adc_rank(cell_codes, lut, ["cell", "subspace", "code"], k)

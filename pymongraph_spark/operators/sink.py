@@ -34,17 +34,24 @@ def write_shards(
     id_col: str = "doc_id",
     n_shards: int = 8,
     max_records_per_file: int = 100_000,
+    mode: str = "overwrite",
 ) -> DataFrame:
     """Write ``df`` as hash-sharded parquet under ``path`` (hive layout
     ``shard_id=N/``) and return the as-written manifest (shard_id,
-    n_docs, min/max id) read back from disk. Appending a later batch
-    re-lands rows in the SAME shards (hash assignment is append-stable),
-    so incremental corpus growth never reshuffles old shards."""
+    n_docs, min/max id) read back from disk.
+
+    ``mode='overwrite'`` (default) REPLACES the whole layout — the
+    full-rebuild shape. For incremental corpus growth pass
+    ``mode='append'``: the hash assignment is append-stable, so a later
+    batch's rows land as new files inside the SAME shard directories and
+    no previously written shard is reshuffled or deleted."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = df.sparkSession
     out = df.withColumn("shard_id", shard_expr(id_col, n_shards))
     (
         out.repartition("shard_id")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard_id")
         .parquet(path)

@@ -1244,13 +1244,14 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t72_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME expression the sharded writer uses (operators/sink.py):
+    # one definition keeps the planned manifest and the written layout in
+    # agreement by construction, not by hand-synced copies
+    from pymongraph_spark.operators.sink import shard_expr
+
     docs = load_tables(spark, sf_dir)["documents"]
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-        % 8
-    ).cast("int")
     return (
-        docs.select("doc_id", shard.alias("shard_id"), token_count("text").alias("n_tokens"))
+        docs.select("doc_id", shard_expr("doc_id", 8).alias("shard_id"), token_count("text").alias("n_tokens"))
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2160,17 +2161,13 @@ def s59_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk_adc,
     )
 
+    from pymongraph_spark.functions.vectors import l2_normalize
+
     emb = load_tables(spark, sf_dir)["embeddings"]
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-    )
+    # guarded normalization (functions/vectors.py): an all-zero embedding
+    # would otherwise raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode
     nemb = emb.filter(F.size("embedding") > 0).select(
-        "vec_id",
-        F.transform("embedding", lambda v: (v / norm).cast("float")).alias("embedding"),
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
     ).localCheckpoint(eager=True)
     cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
     codes = pq_encode(nemb, cb)

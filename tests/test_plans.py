@@ -300,3 +300,21 @@ def test_write_shards_layout_matches_manifest_and_prunes(spark, tmp_path):
     plan = _plan(one)
     assert "PartitionFilters" in plan and "shard_id" in plan
     assert one.count() == planned.get(3, 0)
+
+
+def test_write_shards_append_grows_in_place(spark, tmp_path):
+    """mode='append' must ADD to existing shard dirs, never truncate:
+    total manifest counts equal the sum of both batches."""
+    from pymongraph_spark.operators.sink import write_shards
+
+    docs = load_tables(spark, SF_SMALL)["documents"].select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "shards_inc")
+    m1 = {r["shard_id"]: r["n_docs"] for r in write_shards(b1, out).collect()}
+    m2 = {
+        r["shard_id"]: r["n_docs"]
+        for r in write_shards(b2, out, mode="append").collect()
+    }
+    assert sum(m2.values()) == docs.count()
+    assert all(m2[s] >= n for s, n in m1.items())  # batch-1 rows survived

@@ -68,17 +68,13 @@ def test_pq_rejects_indivisible_dim(spark):
 def test_pq_recall_floor_on_corpus(spark, sf_small):
     from pymongraph_spark.catalog import load_tables
 
+    from pymongraph_spark.functions.vectors import l2_normalize
+
     emb = load_tables(spark, sf_small)["embeddings"]
-    # L2-normalize so ADC's L2 ranking matches the cosine baseline
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-    )
-    nemb = emb.select(
-        "vec_id", F.transform("embedding", lambda v: (v / norm).cast("float")).alias("embedding")
+    # L2-normalize (guarded helper) so ADC's L2 ranking matches the
+    # cosine baseline
+    nemb = emb.filter(F.size("embedding") > 0).select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
     ).localCheckpoint(eager=True)
     cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
     codes = pq_encode(nemb, cb)
@@ -121,3 +117,18 @@ def test_ivfpq_composed_search(spark, sf_small):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     again = ivfpq_topk(emb, q, cents, cb, k=3).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_pq_geometry_mismatch_raises(spark):
+    from pymongraph_spark.operators.similarity import pq_topk_adc
+
+    df = _clustered(spark)  # dim 4
+    cb = pq_codebooks(df, m=2, k=2, max_iter=2)
+    codes = pq_encode(df, cb)
+    wrong = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(ValueError, match="does not match codebook geometry"):
+        pq_topk_adc(codes, wrong, cb, k=1)
+    with pytest.raises(ValueError, match="does not match codebook geometry"):
+        pq_encode(wrong, cb)
