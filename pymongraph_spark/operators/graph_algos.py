@@ -526,3 +526,81 @@ def label_propagation(
     finally:
         und.unpersist()
     return labels
+
+
+def strongly_connected_components(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = 20, max_iter: int = 25
+) -> DataFrame:
+    """DIRECTED strongly connected components via the coloring / FW-BW
+    label method (Orzan's coloring algorithm, the standard distributed
+    SCC scheme): each round propagates min vertex ids FORWARD (along
+    edge direction) and BACKWARD (against it) to a fixpoint on the
+    remaining subgraph; vertices where both labels agree are exactly the
+    SCC of that label's vertex (it reaches them and they reach it) —
+    they are emitted and removed, and the next round runs on what's
+    left. A DAG resolves in one round (every vertex is its own SCC
+    root's color... each round peels at least every 'root color' SCC),
+    a single big cycle in one round; adversarial chains of small SCCs
+    take O(#rounds) = O(longest SCC-DAG path) rounds, bounded by
+    ``max_rounds``.
+
+    Returns (id, component) with component = min vertex id of the SCC —
+    deterministic. Each inner propagation is the hash-min loop (one
+    join + one min-agg + a scalar convergence check per iteration);
+    state shrinks every round as SCCs peel off.
+    """
+    remaining = vertices.select("id").localCheckpoint(eager=True)
+    live = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    live = live.localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    spark = vertices.sparkSession
+
+    def _minprop(verts: DataFrame, es: DataFrame) -> DataFrame:
+        """min-label propagation to fixpoint along es (directed)."""
+        lbl = verts.select("id", F.col("id").alias("lbl"))
+        prev = None
+        for it in range(max_iter):
+            msgs = es.join(lbl, es.src == lbl.id).select(
+                es.dst.alias("id"), F.col("lbl")
+            )
+            lbl = _cut_lineage(
+                msgs.unionByName(lbl)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl")),
+                it,
+            )
+            cur = lbl.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+            if cur == prev:
+                break
+            prev = cur
+        return lbl
+
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        fwd = _minprop(remaining, live)
+        bwd = _minprop(
+            remaining, live.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        both = fwd.join(
+            bwd.select(F.col("id"), F.col("lbl").alias("blbl")), on="id"
+        )
+        done = both.filter(F.col("lbl") == F.col("blbl")).select(
+            "id", F.col("lbl").alias("component")
+        ).localCheckpoint(eager=True)
+        out = done if out is None else out.unionByName(done).localCheckpoint(eager=True)
+        remaining = remaining.join(done.select("id"), on="id", how="left_anti")
+        remaining = remaining.localCheckpoint(eager=True)
+        live = (
+            live.join(done.select(F.col("id").alias("src")), on="src", how="left_anti")
+            .join(done.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected_components did not settle in {max_rounds} "
+            "rounds; raise max_rounds for graphs with long SCC-DAG chains"
+        )
+    if out is None:
+        return spark.createDataFrame([], "id: long, component: long")
+    return out

@@ -934,3 +934,51 @@ def g49_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(verts, co, max_iter=5)
+
+
+@query(
+    "g50_scc_functional",
+    # Mutual-reachability oracle: DuckDB computes the transitive closure
+    # of the 25-node functional graph (i → (i²+1) mod 25 — NOT a
+    # permutation, so the graph has tails feeding cycles: singleton SCCs
+    # and cycle SCCs both occur) and labels each vertex with the min id
+    # among itself and its mutually-reachable set — exactly the SCC
+    # contract of the coloring algorithm.
+    oracle="""
+    WITH RECURSIVE
+    n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+    e AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS src,
+             CAST((n_nationkey * n_nationkey + 1) % 25 AS BIGINT) AS dst
+      FROM nation
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    mutual AS (
+      SELECT r1.a, r1.b FROM reach r1
+      WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+    )
+    SELECT n.id,
+           CAST(LEAST(n.id, COALESCE(MIN(m.b), n.id)) AS BIGINT) AS component
+    FROM n LEFT JOIN mutual m ON m.a = n.id
+    GROUP BY n.id
+    """,
+)
+def g50_scc_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (directed — the coloring/FW-BW
+    method) on the functional graph i → (i²+1) mod 25 over nation keys:
+    tails collapse to singleton SCCs, cycles to multi-node SCCs, and
+    the min-id labels hash-match DuckDB's recursive-CTE
+    mutual-reachability closure."""
+    from pymongraph_spark.operators.graph_algos import strongly_connected_components
+
+    n = load_tables(spark, sf_dir)["nation"]
+    verts = n.select(F.col("n_nationkey").cast("long").alias("id"))
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * F.col("n_nationkey") + 1) % 25).cast("long").alias("dst"),
+    )
+    return strongly_connected_components(verts, edges)

@@ -374,3 +374,37 @@ def test_label_propagation_deterministic_across_runs(spark):
     a = sorted(map(tuple, label_propagation(v, e).collect()))
     b = sorted(map(tuple, label_propagation(v, e).collect()))
     assert a == b
+
+
+def _scc_sets(df):
+    groups: dict[int, set[int]] = {}
+    for r in df.collect():
+        groups.setdefault(r["component"], set()).add(r["id"])
+    return sorted(sorted(g) for g in groups.values())
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from pymongraph_spark.operators.graph_algos import strongly_connected_components
+
+    v, e = _vng(spark, 5, [(0, 1), (1, 2), (2, 3), (0, 4)])
+    assert _scc_sets(strongly_connected_components(v, e)) == [[0], [1], [2], [3], [4]]
+
+
+def test_scc_cycles_and_bridge(spark):
+    from pymongraph_spark.operators.graph_algos import strongly_connected_components
+
+    # cycle {0,1,2} → bridge → cycle {3,4}, plus isolated 5
+    v, e = _vng(spark, 6, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3)])
+    assert _scc_sets(strongly_connected_components(v, e)) == [[0, 1, 2], [3, 4], [5]]
+
+
+def test_scc_direction_matters_vs_undirected_cc(spark):
+    from pymongraph_spark.operators.graph_algos import (
+        connected_components,
+        strongly_connected_components,
+    )
+
+    # path 0→1→2: weakly connected (one undirected CC) but three SCCs
+    v, e = _vng(spark, 3, [(0, 1), (1, 2)])
+    assert _scc_sets(strongly_connected_components(v, e)) == [[0], [1], [2]]
+    assert _comp_sets(connected_components(v, e)) == [[0, 1, 2]]
