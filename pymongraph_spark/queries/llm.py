@@ -2173,3 +2173,148 @@ def s59_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(nemb, cb)
     queries = nemb.filter(F.col("vec_id") < 8)
     return pq_topk_adc(codes, queries, cb, k=3)
+
+
+@query(
+    "t81_inverted_index",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk)
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS tf_total,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM ex GROUP BY term
+    """,
+)
+def t81_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted text index — term → sorted posting list with document
+    frequency and total term frequency: the structure retrieval (t82),
+    decontamination probes, and corpus-statistics jobs consume. One
+    explode + one partial-aggregating groupBy on the term; postings are
+    emitted as a comma-joined sorted string (engine-neutral canonical
+    form). At 100 TB the posting list of a stop-word-grade term is the
+    classic skew cell — real deployments shard those terms (doc-range
+    postings) exactly like the salted-agg pattern in operators/skew.py;
+    AQE's skew handling covers the aggregate here."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.filter(token_count("text") >= 1).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    return ex.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("tf_total"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+    )
+
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk WHERE len(toks) >= 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ex WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM ex WHERE term IN ({terms}) GROUP BY term
+    ),
+    comp AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1)
+              / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / (CAST(stats.total_dl AS DOUBLE) / stats.n))))
+             * ((stats.n - df.df + 0.5) / (df.df + 0.5)) AS c
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN df ON tf.term = df.term, stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             list_reduce(list_transform(list_sort(list(struct_pack(t := term, c := c))),
+                                        p -> p.c),
+                         (a, b) -> a + b) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM comp GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
+@query("t82_bm25_topk", oracle=_bm25_oracle())
+def t82_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (rational-idf variant) for a fixed term set: per
+    (doc, term), tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) weighted by the
+    odds-form idf (N−df+0.5)/(df+0.5) — the standard BM25 shape with
+    the log dropped from the idf, because ln() differs in the last ulp
+    across libm implementations while a pure product/division chain in
+    fixed order is bit-exact cross-engine (the per-term ranking is
+    unchanged: log is monotone). Per-doc score sums the term components
+    in sorted-term order (ordered fold, like t76's normalizer).
+
+    Scale shape: tf and df are partial aggs on (doc, term)/(term); the
+    df table is query-term-sized and broadcasts; dl joins on doc_id;
+    the global top-20 sorts only the already-aggregated scored frame."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.filter(token_count("text") >= 1).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = staged.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    ex = staged.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = ex.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n")
+    comp = (
+        tf.join(dl, on="doc_id")
+        .join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    F.col("tf").cast("double") * (_BM25_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+                    )
+                )
+                * (
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+            ).alias("c"),
+        )
+    )
+    scored = comp.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20).select(
+        "doc_id", "n_terms", "score"
+    )

@@ -2092,3 +2092,37 @@ def q63_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_win"),
     )
+
+
+@query(
+    "q64_unpivot_measures",
+    oracle=f"""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    )
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {SUM_D.format('value')} AS total
+    FROM long GROUP BY measure
+    """,
+)
+def q64_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native UNPIVOT (DataFrame.unpivot,
+    Spark 3.4+): three measure columns melt into (measure, value) rows,
+    then a per-measure rollup. At scale unpivot is a map-only stage —
+    each input row emits its measures locally, no shuffle until the
+    aggregate (which is partial). The oracle is the explicit UNION-ALL
+    long form, the semantics unpivot guarantees."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("value").alias("total"),
+    )
