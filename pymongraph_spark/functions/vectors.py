@@ -30,9 +30,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(den != 0, dot(a, b) / den)
 
 
-def l2_normalize(a: Column) -> Column:
+def l2_normalize(a: Column, staged_norm: Column | None = None) -> Column:
     """Unit-normalize a float array; zero vectors pass through unchanged
     (the guarded division the ANSI-mode runtime requires — an unguarded
-    v / norm raises DIVIDE_BY_ZERO on an all-zero embedding)."""
-    n = norm(a)
-    return F.transform(a, lambda v: F.when(n != 0, v / n).otherwise(v).cast("float"))
+    v / norm raises DIVIDE_BY_ZERO on an all-zero embedding). The guard
+    is hoisted to the ROW level (one when() per row, not per element).
+
+    HOFs run interpreted, so an expression referenced inside the
+    transform lambda is re-evaluated per element: pass ``staged_norm``
+    — the norm materialized as its own projection column — from any
+    hot-path call site (the staged-HOF-input discipline used throughout
+    operators/dedup.py); the default inline norm is for casual or
+    small-frame use."""
+    n = staged_norm if staged_norm is not None else norm(a)
+    return F.when(
+        n != 0, F.transform(a, lambda v: (v / n).cast("float"))
+    ).otherwise(F.transform(a, lambda v: v.cast("float")))

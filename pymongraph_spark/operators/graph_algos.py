@@ -126,32 +126,9 @@ def connected_components(
         .persist()
     )
 
-    comp = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
-    # Each iteration is ONE join + ONE min-aggregate: neighbor messages
-    # unioned with the self message collapse the least()/coalesce join of
-    # the classic formulation. Convergence detection exploits that
-    # hash-min components are monotonically non-increasing: the total
-    # Σcomponent strictly decreases on any change, so a plain aggregate
-    # over the checkpointed result — no new-vs-old comparison join —
-    # detects the fixpoint.
-    prev_sum, converged = None, False
-    for it in range(max_iter):
-        msgs = und.join(comp, und.dst == comp.id).select(
-            und.src.alias("id"), F.col("component")
-        )
-        comp = _cut_lineage(
-            msgs.unionByName(comp)
-            .groupBy("id")
-            .agg(F.min("component").alias("component")),
-            it,
-        )
-        # decimal sum: exact for full-range 64-bit hash ids (a wrapped
-        # long sum could in principle collide across iterations)
-        cur_sum = comp.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    comp, converged = _hash_min_fixpoint(
+        vertices.select("id"), und, "dst", "src", "component", max_iter
+    )
     und.unpersist()
     if strict and not converged:
         raise RuntimeError(
@@ -160,6 +137,48 @@ def connected_components(
             "max_iter rather than consuming a partially-propagated labeling"
         )
     return comp
+
+
+def _hash_min_fixpoint(
+    vertices: DataFrame,
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    label_name: str,
+    max_iter: int,
+) -> tuple[DataFrame, bool]:
+    """Shared hash-min label-propagation loop: labels start as vertex ids
+    and flow ``from_col`` → ``to_col`` (callers pick the orientation:
+    connected_components sends dst→src over the symmetrized frame, the
+    SCC passes use src→dst / dst→src over the directed frame). Each
+    iteration is ONE join + ONE min-aggregate: neighbor messages unioned
+    with the self message collapse the least()/coalesce join of the
+    classic formulation. Convergence detection exploits that hash-min
+    labels are monotonically non-increasing: the total Σlabel strictly
+    decreases on any change, so a plain aggregate over the checkpointed
+    result — no new-vs-old comparison join — detects the fixpoint
+    (decimal sum: exact for full-range 64-bit hash ids, where a wrapped
+    long sum could in principle collide across iterations). Returns
+    (labels, converged) — CALLERS decide whether an unconverged result
+    is an error; consuming one silently is how wrong answers happen."""
+    lbl = vertices.select("id", F.col("id").alias(label_name)).localCheckpoint(eager=True)
+    prev_sum, converged = None, False
+    for it in range(max_iter):
+        msgs = edges.join(lbl, edges[from_col] == lbl.id).select(
+            edges[to_col].alias("id"), F.col(label_name)
+        )
+        lbl = _cut_lineage(
+            msgs.unionByName(lbl)
+            .groupBy("id")
+            .agg(F.min(label_name).alias(label_name)),
+            it,
+        )
+        cur_sum = lbl.agg(F.sum(F.col(label_name).cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    return lbl, converged
 
 
 def pagerank(
@@ -529,25 +548,31 @@ def label_propagation(
 
 
 def strongly_connected_components(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = 20, max_iter: int = 25
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = 50, max_iter: int = 100
 ) -> DataFrame:
-    """DIRECTED strongly connected components via the coloring / FW-BW
-    label method (Orzan's coloring algorithm, the standard distributed
-    SCC scheme): each round propagates min vertex ids FORWARD (along
-    edge direction) and BACKWARD (against it) to a fixpoint on the
+    """DIRECTED strongly connected components via FW-BW min-label
+    peeling: each round propagates min vertex ids FORWARD (along edge
+    direction) and BACKWARD (against it) to a STRICT fixpoint on the
     remaining subgraph; vertices where both labels agree are exactly the
     SCC of that label's vertex (it reaches them and they reach it) —
     they are emitted and removed, and the next round runs on what's
-    left. A DAG resolves in one round (every vertex is its own SCC
-    root's color... each round peels at least every 'root color' SCC),
-    a single big cycle in one round; adversarial chains of small SCCs
-    take O(#rounds) = O(longest SCC-DAG path) rounds, bounded by
-    ``max_rounds``.
+    left. Each round additionally TRIMS: remaining vertices with no
+    live in-edges or no live out-edges are singleton SCCs and peel in
+    bulk.
+
+    Round complexity is honest, not optimistic: a round peels every SCC
+    whose min id is also the min over both of its reach basins (plus
+    all trimmable singletons), so long chains of SCCs can need one
+    round per chain link — ``max_rounds`` bounds that and the function
+    RAISES when exhausted. The inner propagations are strict: a label
+    fixpoint not reached within ``max_iter`` iterations (needed ≈ the
+    largest SCC's diameter) raises instead of peeling from a truncated
+    labeling, which would silently split big cycles into wrong pieces.
 
     Returns (id, component) with component = min vertex id of the SCC —
-    deterministic. Each inner propagation is the hash-min loop (one
-    join + one min-agg + a scalar convergence check per iteration);
-    state shrinks every round as SCCs peel off.
+    deterministic. State shrinks every round as SCCs peel off; the
+    propagation loop is the same shared hash-min machinery as
+    connected_components.
     """
     remaining = vertices.select("id").localCheckpoint(eager=True)
     live = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
@@ -555,51 +580,60 @@ def strongly_connected_components(
     out: DataFrame | None = None
     spark = vertices.sparkSession
 
-    def _minprop(verts: DataFrame, es: DataFrame) -> DataFrame:
-        """min-label propagation to fixpoint along es (directed)."""
-        lbl = verts.select("id", F.col("id").alias("lbl"))
-        prev = None
-        for it in range(max_iter):
-            msgs = es.join(lbl, es.src == lbl.id).select(
-                es.dst.alias("id"), F.col("lbl")
+    def _strict_minprop(verts: DataFrame, es: DataFrame, direction: str) -> DataFrame:
+        frm, to = ("src", "dst") if direction == "fwd" else ("dst", "src")
+        lbl, converged = _hash_min_fixpoint(verts, es, frm, to, "lbl", max_iter)
+        if not converged:
+            raise RuntimeError(
+                f"SCC {direction} label propagation did not reach a fixpoint "
+                f"in {max_iter} iterations (largest SCC diameter exceeds the "
+                "budget); raise max_iter — peeling from a truncated labeling "
+                "would return wrong components"
             )
-            lbl = _cut_lineage(
-                msgs.unionByName(lbl)
-                .groupBy("id")
-                .agg(F.min("lbl").alias("lbl")),
-                it,
-            )
-            cur = lbl.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
-            if cur == prev:
-                break
-            prev = cur
         return lbl
 
     for _ in range(max_rounds):
         if remaining.isEmpty():
             break
-        fwd = _minprop(remaining, live)
-        bwd = _minprop(
-            remaining, live.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # trim: no live out-edges or no live in-edges → singleton SCC
+        has_out = live.select(F.col("src").alias("id")).distinct()
+        has_in = live.select(F.col("dst").alias("id")).distinct()
+        trimmed = (
+            remaining.join(has_out, on="id", how="left_anti")
+            .unionByName(remaining.join(has_in, on="id", how="left_anti"))
+            .distinct()
+            .select("id", F.col("id").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        both = fwd.join(
-            bwd.select(F.col("id"), F.col("lbl").alias("blbl")), on="id"
-        )
-        done = both.filter(F.col("lbl") == F.col("blbl")).select(
-            "id", F.col("lbl").alias("component")
-        ).localCheckpoint(eager=True)
-        out = done if out is None else out.unionByName(done).localCheckpoint(eager=True)
-        remaining = remaining.join(done.select("id"), on="id", how="left_anti")
+        core = remaining.join(trimmed.select("id"), on="id", how="left_anti")
+        peeled = trimmed
+        if not core.isEmpty():
+            core_edges = (
+                live.join(trimmed.select(F.col("id").alias("src")), on="src", how="left_anti")
+                .join(trimmed.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+            )
+            fwd = _strict_minprop(core, core_edges, "fwd")
+            bwd = _strict_minprop(core, core_edges, "bwd")
+            both = fwd.join(
+                bwd.select(F.col("id"), F.col("lbl").alias("blbl")), on="id"
+            )
+            done = both.filter(F.col("lbl") == F.col("blbl")).select(
+                "id", F.col("lbl").alias("component")
+            )
+            peeled = trimmed.unionByName(done).localCheckpoint(eager=True)
+        out = peeled if out is None else out.unionByName(peeled).localCheckpoint(eager=True)
+        remaining = remaining.join(peeled.select("id"), on="id", how="left_anti")
         remaining = remaining.localCheckpoint(eager=True)
         live = (
-            live.join(done.select(F.col("id").alias("src")), on="src", how="left_anti")
-            .join(done.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+            live.join(peeled.select(F.col("id").alias("src")), on="src", how="left_anti")
+            .join(peeled.select(F.col("id").alias("dst")), on="dst", how="left_anti")
             .localCheckpoint(eager=True)
         )
     if not remaining.isEmpty():
         raise RuntimeError(
             f"strongly_connected_components did not settle in {max_rounds} "
-            "rounds; raise max_rounds for graphs with long SCC-DAG chains"
+            "rounds (long chain of SCCs); raise max_rounds — the per-round "
+            "propagations are strict, so more rounds stay correct"
         )
     if out is None:
         return spark.createDataFrame([], "id: long, component: long")

@@ -527,6 +527,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    geometry: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Encode every vector as its per-subspace nearest codeword (min
     squared L2, ties → min code): returns (id, codes array<long> of
@@ -534,8 +535,10 @@ def pq_encode(
     pick is a max_by partial aggregate per (vector, subspace) — the
     corpus shuffles once on id to assemble the code array, never more.
     Geometry (m, d) is read from the codebooks and validated against
-    the input's dim — mismatches raise instead of silently truncating."""
-    m, d = _pq_geometry(codebooks)
+    the input's dim — mismatches raise instead of silently truncating
+    (callers that already computed it pass ``geometry`` to skip the
+    duplicate codebook aggregate + dim probe jobs)."""
+    m, d = geometry if geometry is not None else _pq_geometry(codebooks)
     _check_pq_dims(df, vec_col, m, d)
     sub = df.select(
         F.col(id_col),
@@ -655,9 +658,9 @@ def ivfpq_topk(
     cells (C) prunes harder, more codewords (k) quantizes finer."""
     m, d = _pq_geometry(codebooks)
     _check_pq_dims(queries, vec_col, m, d)
-    _check_pq_dims(corpus, vec_col, m, d)
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col, metric="l2")
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    # pq_encode validates the corpus dim itself with the shared geometry
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, geometry=(m, d))
     coded_cells = corpus_cells.select(id_col, "cell").join(codes, on=id_col)
     query_cells = ivf_assign(queries, centroids, id_col, vec_col, metric="l2").select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col), "cell"

@@ -2163,12 +2163,19 @@ def s59_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pymongraph_spark.functions.vectors import l2_normalize
 
+    from pymongraph_spark.functions.vectors import norm as _vnorm
+
     emb = load_tables(spark, sf_dir)["embeddings"]
-    # guarded normalization (functions/vectors.py): an all-zero embedding
-    # would otherwise raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode
-    nemb = emb.filter(F.size("embedding") > 0).select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
-    ).localCheckpoint(eager=True)
+    # guarded normalization (functions/vectors.py) with the norm STAGED
+    # as its own projection: inlined in the transform lambda it would be
+    # re-evaluated per element (interpreted HOF); an all-zero embedding
+    # would also raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    nemb = (
+        emb.filter(F.size("embedding") > 0)
+        .select("vec_id", "embedding", _vnorm(F.col("embedding")).alias("__n"))
+        .select("vec_id", l2_normalize(F.col("embedding"), F.col("__n")).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
     cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
     codes = pq_encode(nemb, cb)
     queries = nemb.filter(F.col("vec_id") < 8)
@@ -2200,8 +2207,10 @@ def t81_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings) exactly like the salted-agg pattern in operators/skew.py;
     AQE's skew handling covers the aggregate here."""
     docs = load_tables(spark, sf_dir)["documents"]
-    ex = docs.filter(token_count("text") >= 1).select(
-        "doc_id", F.explode(tokens("text")).alias("term")
+    # staged token array; explode (non-outer) drops empty docs itself,
+    # so no pre-filter — a token_count filter would tokenize twice
+    ex = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode("toks").alias("term")
     )
     return ex.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df"),

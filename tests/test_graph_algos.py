@@ -408,3 +408,34 @@ def test_scc_direction_matters_vs_undirected_cc(spark):
     v, e = _vng(spark, 3, [(0, 1), (1, 2)])
     assert _scc_sets(strongly_connected_components(v, e)) == [[0], [1], [2]]
     assert _comp_sets(connected_components(v, e)) == [[0, 1, 2]]
+
+
+def test_scc_large_cycle_single_component(spark):
+    """Regression: a cycle whose diameter exceeds the old max_iter=25
+    must come back as ONE component — the silent-truncation bug returned
+    5 pieces for a 28-cycle with no error."""
+    from pymongraph_spark.operators.graph_algos import strongly_connected_components
+
+    n = 30
+    v, e = _vng(spark, n, [(i, (i + 1) % n) for i in range(n)])
+    assert _scc_sets(strongly_connected_components(v, e)) == [list(range(n))]
+
+
+def test_scc_strict_raises_instead_of_truncating(spark):
+    from pymongraph_spark.operators.graph_algos import strongly_connected_components
+
+    n = 12
+    v, e = _vng(spark, n, [(i, (i + 1) % n) for i in range(n)])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        strongly_connected_components(v, e, max_iter=3)
+
+
+def test_scc_path_dag_trims_in_few_rounds(spark):
+    """The trim step bulk-peels chain DAGs: a 25-vertex path resolves
+    well inside the round budget (the untrimmed peel rule needed one
+    round per vertex and raised)."""
+    from pymongraph_spark.operators.graph_algos import strongly_connected_components
+
+    v, e = _vng(spark, 25, [(i, i + 1) for i in range(24)])
+    got = _scc_sets(strongly_connected_components(v, e, max_rounds=15))
+    assert got == [[i] for i in range(25)]

@@ -68,14 +68,17 @@ def test_pq_rejects_indivisible_dim(spark):
 def test_pq_recall_floor_on_corpus(spark, sf_small):
     from pymongraph_spark.catalog import load_tables
 
-    from pymongraph_spark.functions.vectors import l2_normalize
+    from pymongraph_spark.functions.vectors import l2_normalize, norm
 
     emb = load_tables(spark, sf_small)["embeddings"]
-    # L2-normalize (guarded helper) so ADC's L2 ranking matches the
-    # cosine baseline
-    nemb = emb.filter(F.size("embedding") > 0).select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
-    ).localCheckpoint(eager=True)
+    # L2-normalize (guarded helper, staged norm) so ADC's L2 ranking
+    # matches the cosine baseline
+    nemb = (
+        emb.filter(F.size("embedding") > 0)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("__n"))
+        .select("vec_id", l2_normalize(F.col("embedding"), F.col("__n")).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
     cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
     codes = pq_encode(nemb, cb)
     q = nemb.filter(F.col("vec_id") < 8)
