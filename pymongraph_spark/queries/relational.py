@@ -2126,3 +2126,47 @@ def q64_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dsum("value").alias("total"),
     )
+
+
+@query(
+    "q65_ewma_user_values",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list_sort(list(struct_pack(ts := ts, eid := event_id, v := value))) AS evs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(evs) AS BIGINT) AS n_events,
+           list_reduce(list_transform(evs, p -> p.v),
+                       (acc, v) -> acc * 0.7 + v * 0.3) AS ewma
+    FROM ordered
+    """,
+)
+def q65_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha = 0.3, seeded at the first event — list_reduce starts the
+    fold from element 1, so both engines share the same recurrence and
+    the double chain is bit-exact because both fold left in event-time
+    order, ties broken by event id). The inherently-sequential
+    recurrence runs as ONE ordered fold per user over a sorted
+    collect_list — state is per-user, the shuffle is the single
+    groupBy(user_id), and at 100 TB per-user event lists are the same
+    bounded-state assumption the sessionization and streaming-state
+    operators already make."""
+    e = load_tables(spark, sf_dir)["events"]
+    ordered = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")))
+        ).alias("evs")
+    )
+    vals = F.transform("evs", lambda p: p["v"])
+    return ordered.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size("evs") - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, v: acc * 0.7 + v * 0.3,
+        ).alias("ewma"),
+    )
