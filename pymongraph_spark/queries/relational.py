@@ -2170,3 +2170,32 @@ def q65_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc * 0.7 + v * 0.3,
         ).alias("ewma"),
     )
+
+
+_Q66_SQL = """
+SELECT r.r_name AS region, t.n_name AS nation, CAST(t.n_customers AS BIGINT) AS n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, COUNT(*) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@query("q66_lateral_top_nations", oracle=_Q66_SQL)
+def q66_lateral_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-outer-row derived table the
+    SQL front door must support (Spark 4 LATERAL, same text DuckDB
+    runs): for each region, the top-2 nations by customer count, ties
+    broken by name. Catalyst decorrelates the lateral into a
+    window/top-k plan, so the at-scale execution matches the q10
+    row_number formulation — the LATERAL form is the API surface, not a
+    different engine path."""
+    t = load_tables(spark, sf_dir)
+    for name in ("region", "nation", "customer"):
+        t[name].createOrReplaceTempView(name)
+    return spark.sql(_Q66_SQL)
