@@ -1,0 +1,60 @@
+"""Pre-validate the driver's 50-slot correctness gate at sf0.01.
+
+Runs exactly the queries the rotation will put in front of the driver this
+round, through the same compare the in-tree parity mirror uses, but at the
+driver's scale factor (sf0.01) instead of the unit-test sf0.001. Catches
+scale-sensitive drift (time semantics, sampling, percentile ties) before
+the driver records a red row.
+
+Usage: python scripts/gate_precheck.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+spec = importlib.util.spec_from_file_location(
+    "_entry", os.path.join(REPO, "__spark_entry__.py")
+)
+entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry)
+
+from pymongraph_spark.queries import ORACLES, QUERIES  # noqa: E402
+from pymongraph_spark.session import get_spark  # noqa: E402
+
+from tests.test_oracle_parity import _compare  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    gate = list(entry.queries())[:n]
+    spark = get_spark()
+    failed: list[str] = []
+    for i, name in enumerate(gate):
+        t0 = time.time()
+        try:
+            if name in ORACLES:
+                _compare(name, spark, sf_dir)
+                status = "match"
+            else:
+                cnt = QUERIES[name](spark, sf_dir).count()
+                status = f"rows-only ({cnt})"
+        except Exception as exc:  # noqa: BLE001 — report-and-continue harness
+            status = f"FAIL: {exc}"
+            failed.append(name)
+            traceback.print_exc()
+        print(f"[{i + 1}/{len(gate)}] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+    print(f"\n{len(gate) - len(failed)}/{len(gate)} ok; failures: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
