@@ -132,6 +132,30 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return g
 
 
+def tpch_adjacency(spark: SparkSession, sf_dir: str):
+    """The bucketed adjacency table for this sf_dir's derived graph, or
+    None when the bucketed layout isn't available (read-only warehouse).
+
+    The adjacency table already stores BOTH orientations of every edge,
+    bucketed + sorted by the incident vertex — exactly the symmetrized
+    message frame iterative algorithms (hash-min CC, label propagation)
+    otherwise rebuild per call with a union + repartition + dedup. Callers
+    route through it to make the edge side of a fixpoint loop a plain
+    bucketed scan: zero edge shuffles per call, at any scale.
+    """
+    tpch_graph(spark, sf_dir)  # ensure built/attached
+    prefix = _graph_table_prefix(sf_dir)
+    try:
+        if spark.catalog.tableExists(f"{prefix}_adjacency"):
+            from pymongraph_spark.graph.store import load_bucketed
+
+            _, adjacency = load_bucketed(spark, prefix)
+            return adjacency
+    except Exception:
+        pass
+    return None
+
+
 # A stale-generation cache dir is deleted only when nothing has attached
 # it within this window. Readers touch _LAST_USED at attach time
 # (_touch_last_used), so a concurrent process that resolved its prefix to
@@ -467,11 +491,19 @@ def g36_hydrate_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g37_connected_components_placed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pymongraph_spark.operators.graph_algos import connected_components
+    from pymongraph_spark.operators.graph_algos import (
+        connected_components,
+        connected_components_adjacency,
+    )
 
     g = tpch_graph(spark, sf_dir)
-    placed = g.edges.filter(F.col("label") == "placed")
     verts = g.vertices.filter(F.col("label").isin("customer", "order")).select("id")
+    # Preferred path: the bucketed adjacency is already the symmetrized
+    # message frame — zero edge shuffles per call (see the operator doc).
+    adjacency = tpch_adjacency(spark, sf_dir)
+    if adjacency is not None:
+        return connected_components_adjacency(verts, adjacency, label="placed")
+    placed = g.edges.filter(F.col("label") == "placed")
     return connected_components(verts, placed)
 
 

@@ -43,6 +43,40 @@ def test_cc_direction_irrelevant(spark):
     assert _comp_sets(connected_components(v, e)) == [[0, 1, 2, 3]]
 
 
+def test_cc_adjacency_matches_generic(spark):
+    """connected_components_adjacency over the bucketed adjacency layout
+    must agree exactly with the generic operator on the same subgraph —
+    same labels per vertex, both on the 'placed' slice and the full graph."""
+    from pymongraph_spark.operators.graph_algos import connected_components_adjacency
+    from pymongraph_spark.queries.graph import tpch_adjacency, tpch_graph
+
+    from tests.conftest import SF_SMALL
+
+    g = tpch_graph(spark, SF_SMALL)
+    adjacency = tpch_adjacency(spark, SF_SMALL)
+    if adjacency is None:
+        pytest.skip("bucketed layout unavailable (read-only warehouse)")
+
+    verts = g.vertices.filter(F.col("label").isin("customer", "order")).select("id")
+    placed = g.edges.filter(F.col("label") == "placed")
+    generic = {(r["id"], r["component"]) for r in connected_components(verts, placed).collect()}
+    adj = {
+        (r["id"], r["component"])
+        for r in connected_components_adjacency(verts, adjacency, label="placed").collect()
+    }
+    assert adj == generic
+
+    all_generic = {
+        (r["id"], r["component"])
+        for r in connected_components(g.vertices.select("id"), g.edges).collect()
+    }
+    all_adj = {
+        (r["id"], r["component"])
+        for r in connected_components_adjacency(g.vertices.select("id"), adjacency).collect()
+    }
+    assert all_adj == all_generic
+
+
 def test_degrees(spark):
     v, e = _vng(spark, 4, [(0, 1), (0, 2), (2, 0)])
     d = {r["id"]: (r["in_degree"], r["out_degree"], r["degree"]) for r in degrees(e).collect()}

@@ -213,6 +213,23 @@ def test_cc_edge_frame_single_exchange(spark):
     assert _plan(und).count("Exchange") == 1
 
 
+def test_cc_adjacency_message_frame_zero_exchange(spark):
+    """The adjacency-routed CC variant (g37's fast path) must build its
+    message frame with ZERO exchanges: the bucketed adjacency table is
+    already both orientations of every edge, so the frame is a plain
+    bucketed scan + projection — no union re-shuffle, no dedup, ever."""
+    from pymongraph_spark.queries.graph import tpch_adjacency
+
+    adjacency = tpch_adjacency(spark, SF_SMALL)
+    if adjacency is None:
+        pytest.skip("bucketed layout unavailable")
+    und = adjacency.filter(F.col("label") == "placed").select(
+        F.when(F.col("key") == F.col("src"), F.col("dst")).otherwise(F.col("src")).alias("src"),
+        F.col("key").alias("dst"),
+    )
+    assert _plan(und).count("Exchange") == 0
+
+
 def test_t70_sampling_broadcasts_rates_no_corpus_shuffle(spark):
     """Stratified sampling: the per-stratum rate table joins the corpus
     as a broadcast; the documents scan must never hit a shuffle exchange
