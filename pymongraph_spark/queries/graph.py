@@ -1014,3 +1014,65 @@ def g50_scc_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_nationkey") * F.col("n_nationkey") + 1) % 25).cast("long").alias("dst"),
     )
     return strongly_connected_components(verts, edges)
+
+
+# --------------------------------------------------------------------------
+# Link prediction on the bipartite order—part graph: Jaccard similarity of
+# order-neighborhoods for part pairs ("bought together" scoring). Distinct
+# from g43 (triangles count a fixed projection; this ranks pairs by a
+# normalized overlap). Plan: one self-join of the 'contains' edges on the
+# shared order (equi-join on src — shuffle ONCE on the order key), count
+# per pair, then two broadcast-sized degree joins; jaccard is a single
+# bigint division → bit-exact across engines. At 100 TB the self-join is
+# the standard bounded wedge expansion: per-order pair fan-out is capped
+# by order size (TPC-H ≤ 7 lineitems), never corpus².
+# --------------------------------------------------------------------------
+@query(
+    "g51_part_jaccard_pairs",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , ce AS (SELECT src, dst FROM e WHERE label = 'contains'),
+    deg AS (SELECT dst AS part, COUNT(*) AS d FROM ce GROUP BY dst),
+    shared AS (
+      SELECT a.dst AS part_a, b.dst AS part_b, COUNT(*) AS n_shared
+      FROM ce a JOIN ce b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst
+    )
+    SELECT part_a, part_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (da.d + db.d - n_shared) AS jaccard
+    FROM shared
+      JOIN deg da ON da.part = part_a
+      JOIN deg db ON db.part = part_b
+    WHERE n_shared >= 2
+    ORDER BY jaccard DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def g51_part_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    ce = g.edges.filter(F.col("label") == "contains").select("src", "dst")
+    deg = ce.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    a, b = ce.alias("a"), ce.alias("b")
+    shared = (
+        a.join(b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")))
+        .groupBy(F.col("a.dst").alias("part_a"), F.col("b.dst").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    da = deg.select(F.col("dst").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("dst").alias("part_b"), F.col("d").alias("db"))
+    return (
+        shared.join(F.broadcast(da), on="part_a")
+        .join(F.broadcast(db), on="part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
+    )

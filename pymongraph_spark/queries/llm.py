@@ -2327,3 +2327,264 @@ def t82_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), "doc_id").limit(20).select(
         "doc_id", "n_terms", "score"
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-capped sampling ("domain balancing", CCNet-style): keep at most K
+# docs per source, selected deterministically by md5(doc_id) order so the
+# sample is stable across runs and appends. The Spark side is two-phase:
+# a hash-threshold PRE-PRUNE (per-source cutoff ~4K/n of the uniform hash
+# space, broadcast) shrinks each partition to ~4K rows before the exact
+# row_number window — at 100 TB the window never sees a whole mega-domain.
+# A per-source survivor check falls back to the unpruned leg if the prune
+# was too aggressive (probability ~e^-K, but correctness must not be
+# probabilistic). The oracle is the direct single-window formulation —
+# identical output, different physical plan.
+# --------------------------------------------------------------------------
+_T83_K = 10
+
+
+@query(
+    "t83_domain_capped_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_T83_K}
+    """,
+)
+def t83_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    # hex prefix as uniform int: lexicographic order of the full hex digest
+    # agrees with numeric order of its prefix, so a prefix cutoff keeps a
+    # superset of the K smallest digests whenever it keeps >= K rows.
+    pref = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    docs = docs.withColumn("pref", pref).persist()
+    try:
+        counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+        space = float(16**8)
+        cutoff = F.least(
+            F.lit(space),
+            F.ceil(F.lit(space) * F.lit(4.0 * _T83_K) / F.col("n_total")).cast("double"),
+        ).alias("cutoff")
+        lim = counts.select("source", "n_total", cutoff)
+        pruned = docs.join(F.broadcast(lim), on="source").filter(
+            F.col("pref") <= F.col("cutoff")
+        )
+        surv = pruned.groupBy("source").agg(F.count(F.lit(1)).alias("n_surv"))
+        # sources where the prune kept fewer than min(K, n) rows must take
+        # the exact leg (deterministic correctness, never sampling luck)
+        short = (
+            lim.join(surv, on="source", how="left")
+            .filter(
+                F.coalesce("n_surv", F.lit(0)) < F.least(F.lit(_T83_K), F.col("n_total"))
+            )
+            .select("source")
+        )
+        base = pruned.join(F.broadcast(short), on="source", how="left_anti").select(
+            "doc_id", "source", "h"
+        ).unionByName(
+            docs.join(F.broadcast(short), on="source", how="left_semi").select(
+                "doc_id", "source", "h"
+            )
+        )
+        w = Window.partitionBy("source").orderBy("h", "doc_id")
+        out = (
+            base.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= _T83_K)
+            .select("doc_id", "source", "rk")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Quality-percentile filtering: per-language p75 length cutoff (keep the
+# long tail), the standard "top quartile per language" corpus gate.
+# percentile_disc selects an ACTUAL data value — no interpolation
+# arithmetic, so the cutoff is bit-identical across engines. One small
+# aggregate (|langs| rows) broadcast back over the corpus; the corpus
+# itself is scanned twice but never shuffled by a wide key.
+# --------------------------------------------------------------------------
+@query(
+    "t84_quality_percentile_filter",
+    oracle="""
+    WITH cut AS (
+      SELECT lang,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS cutoff
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(MIN(cut.cutoff) AS BIGINT) AS cutoff,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN d.n_chars >= cut.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.n_chars >= cut.cutoff THEN d.n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM documents d JOIN cut ON d.lang = cut.lang
+    GROUP BY d.lang
+    """,
+)
+def t84_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    cut = docs.groupBy("lang").agg(
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").alias("cutoff")
+    )
+    kept = F.col("n_chars") >= F.col("cutoff")
+    return (
+        docs.join(F.broadcast(cut), on="lang")
+        .groupBy("lang")
+        .agg(
+            F.min("cutoff").cast("bigint").alias("cutoff"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Trajectory assembly: per-user sessions (4h inactivity gap, micro-second
+# ordering — epoch seconds masked a real bug once, see the verify recipe)
+# folded into an ordered action string — the events→training-sequences
+# step of an agent/recommendation pipeline. collect_list is
+# order-nondeterministic under parallelism, so the sort happens INSIDE
+# the aggregate: array_sort over (us, event_id, type) structs, then
+# project + join. One shuffle (user_id), window + agg share it.
+# --------------------------------------------------------------------------
+@query(
+    "t85_trajectory_assembly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN us - lag(us) OVER w > 14400000000
+                       OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY us, event_id) AS trajectory
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def t85_trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select("user_id", "event_id", "event_type", us.alias("us")).withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 14400 * 1_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("trajectory"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation: recall@3 of the IVF index (s54's fixed seed
+# centroids) against the exact brute-force top-3 — the measurement any
+# production ANN deployment gates on. Both sides and the join are fully
+# SQL-expressible, so the whole evaluation pipeline is oracle-checked.
+# LEFT join from exact: a query whose IVF cell lost all true neighbors
+# still reports (recall may be < 1; at sf0.01 the seed cells are coarse).
+# --------------------------------------------------------------------------
+@query(
+    "s60_ann_recall_eval",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+    cos_assign AS (
+      SELECT c.vec_id AS vid, q.vec_id AS cid, {_SQL_COSINE} AS sim
+      FROM embeddings c, cents q
+    ),
+    assign AS (
+      SELECT vid, cid AS cell FROM (
+        SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn
+        FROM cos_assign
+      ) WHERE rn = 1
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.vid AS query_id, ca.vid AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qa.vid ORDER BY {_SQL_COSINE} DESC, ca.vid) AS rnk
+        FROM assign qa
+          JOIN assign ca ON qa.cell = ca.cell AND ca.vid <> qa.vid
+          JOIN embeddings q ON q.vec_id = qa.vid
+          JOIN embeddings c ON c.vec_id = ca.vid
+        WHERE qa.vid < 8
+      ) WHERE rnk <= 3
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_SQL_COSINE} DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= 3
+    )
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 3.0
+             AS recall_at_3
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def s60_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id") < 16)
+    ivf = ivf_topk(emb, queries, centroids, k=3).select("query_id", "neighbor_id")
+    exact = brute_force_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    hit = F.col("i_nid").isNotNull()
+    return (
+        exact.join(
+            ivf.withColumnRenamed("neighbor_id", "i_nid"),
+            on=(exact["query_id"] == ivf["query_id"])
+            & (exact["neighbor_id"] == F.col("i_nid")),
+            how="left",
+        )
+        .select(exact["query_id"].alias("query_id"), "i_nid")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+            (F.sum(F.when(hit, 1).otherwise(0)).cast("double") / F.lit(3.0)).alias(
+                "recall_at_3"
+            ),
+        )
+    )

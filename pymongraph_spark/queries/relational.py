@@ -2199,3 +2199,40 @@ def q66_lateral_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("region", "nation", "customer"):
         t[name].createOrReplaceTempView(name)
     return spark.sql(_Q66_SQL)
+
+
+# --------------------------------------------------------------------------
+# PIVOT reshaping (q64's unpivot inverse): revenue by return flag with one
+# column per line status. Explicit pivot VALUES list — without it Spark
+# first runs a distinct scan to discover the columns, an extra job and a
+# nondeterministic column order; at 100 TB the value list is always known
+# (or sampled) ahead of time. Decimal sums, exact across engines.
+# --------------------------------------------------------------------------
+@query(
+    "q67_pivot_revenue_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)) END)
+             AS status_f_revenue,
+           SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)) END)
+             AS status_o_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q67_pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    pivoted = (
+        li.select("l_returnflag", "l_linestatus", rev.alias("rev"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("rev"))
+        .withColumnRenamed("F", "status_f_revenue")
+        .withColumnRenamed("O", "status_o_revenue")
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_items"))
+    return pivoted.join(counts, on="l_returnflag")

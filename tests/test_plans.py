@@ -335,3 +335,38 @@ def test_write_shards_append_grows_in_place(spark, tmp_path):
     }
     assert sum(m2.values()) == docs.count()
     assert all(m2[s] >= n for s, n in m1.items())  # batch-1 rows survived
+
+
+def test_t84_cutoff_broadcast_no_wide_shuffle(spark):
+    """Per-lang percentile cutoffs join the corpus as a broadcast (the
+    cutoff table is |langs| rows); the corpus must never sort-merge."""
+    plan = _plan(QUERIES["t84_quality_percentile_filter"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t83_prune_legs_broadcast_and_no_cartesian(spark):
+    """Domain-capped sampling: the per-source limit and fallback frames
+    join as broadcasts; nothing in the two-leg plan goes cartesian."""
+    plan = _plan(QUERIES["t83_domain_capped_sample"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+
+
+def test_g51_wedge_join_no_cartesian_degrees_broadcast(spark):
+    """Bipartite jaccard: the wedge self-join is an equi-join on the
+    shared order key (never cartesian) and both degree tables broadcast."""
+    plan = _plan(QUERIES["g51_part_jaccard_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q67_pivot_explicit_values_single_scan_shape(spark):
+    """PIVOT with an explicit value list: no distinct-discovery job in the
+    plan (no extra aggregate over l_linestatus alone) and no cartesian."""
+    df = QUERIES["q67_pivot_revenue_by_status"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert sorted(df.columns) == [
+        "l_returnflag", "n_items", "status_f_revenue", "status_o_revenue",
+    ]
