@@ -361,10 +361,12 @@ def g31_neighbors_of_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g32_two_hop_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
     visited, _edges = k_hop(g, 4, depth=2)
-    # Broadcast the ~100-row visited set, not the full vertex table: the
-    # label-lookup join must stream vertices past the tiny build side.
+    # No FORCED broadcast: a 2-hop neighborhood from this root is ~100
+    # rows and AQE will broadcast it from actual runtime size — but a hub
+    # root at corpus scale can explode visited past driver memory, and a
+    # hint would OOM where AQE falls back to a shuffle join.
     return (
-        g.vertices.join(F.broadcast(visited.select("id")), on="id", how="inner")
+        g.vertices.join(visited.select("id"), on="id", how="inner")
         .select("id", "label")
     )
 
@@ -683,8 +685,9 @@ def g41_bucketed_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb, adjacency = load_bucketed(spark, prefix)
     _mark_graph_cache_used(spark, prefix)
     visited, _edges = k_hop_bucketed(adjacency, 4, depth=2)
+    # AQE-decided join (same hub-explosion reasoning as g32).
     return (
-        gb.vertices.join(F.broadcast(visited.select("id")), on="id", how="inner")
+        gb.vertices.join(visited.select("id"), on="id", how="inner")
         .select("id", "label")
     )
 
