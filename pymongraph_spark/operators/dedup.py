@@ -221,6 +221,107 @@ def token_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: shingle containment C(A→B) =
+    |A∩B| / |A| ≥ threshold, with A the smaller set (quote / excerpt /
+    subset detection — the curation case Jaccard misses: a paragraph
+    quoted inside a long page has high containment but low Jaccard).
+
+    Direction is deterministic: contained = smaller shingle set, ties by
+    min doc id (containment is symmetric at equal sizes).
+
+    Prefix filtering applies to the CONTAINED side only: C ≥ t forces
+    |A∩B| ≥ ceil(t·|A|), so A's df-rarest |A| − ceil(t·|A|) + 1 shingles
+    must include a common element (same contradiction argument as the
+    Jaccard prefix in token_jaccard_pairs above; same FP-safe ceil).
+    The container side exposes ALL shingles — pure containment puts no
+    lower bound on |B|'s overlap fraction — so the candidate join is
+    A-prefix × B-full on (shingle, blocks): the inverted-index join,
+    with the positional bound overlap ≤ min(|A|−rkA, |B|−rkB) + 1
+    pruning meetings that can no longer reach ceil(t·|A|). Verification
+    (array_intersect over candidates only) is exact; nothing is ever
+    corpus × corpus.
+    """
+    s = (
+        _spread(docs.filter(token_count(text_col) >= n))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            *block_cols,
+            word_shingles(F.col("__toks"), n).alias("shingles"),
+        )
+    )
+    ex = s.select(
+        "doc_id", *block_cols, F.size("shingles").alias("__sz"),
+        F.explode("shingles").alias("__sh"),
+    )
+    freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("doc_id").orderBy("__df", "__sh")
+    ranked = ex.join(freq, on="__sh").withColumn("__rk", F.row_number().over(rank_w))
+    prefix_len = (
+        F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz").cast("double") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    pa = (
+        ranked.filter(F.col("__rk") <= prefix_len)
+        .select(
+            F.col("doc_id").alias("doc_id_a"), "__sh",
+            F.col("__sz").alias("__sz_a"), F.col("__rk").alias("__rk_a"),
+            *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        )
+    )
+    pb = ranked.select(
+        F.col("doc_id").alias("doc_id_b"), "__sh",
+        F.col("__sz").alias("__sz_b"), F.col("__rk").alias("__rk_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    need = F.ceil(F.lit(threshold) * F.col("__sz_a").cast("double") - F.lit(1e-9))
+    ubound = F.lit(1) + F.least(
+        F.col("__sz_a") - F.col("__rk_a"), F.col("__sz_b") - F.col("__rk_b")
+    )
+    direction_ok = (F.col("__sz_a") < F.col("__sz_b")) | (
+        (F.col("__sz_a") == F.col("__sz_b")) & (F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    candidates = (
+        pa.join(pb, on=["__sh", *[f"__b_{c}" for c in block_cols]])
+        .filter(direction_ok & (ubound >= need))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sh = s.select("doc_id", "shingles")
+    verified = candidates.join(
+        sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"),
+        on="doc_id_a",
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"),
+        on="doc_id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        verified.select(
+            F.col("doc_id_a").alias("contained_id"),
+            F.col("doc_id_b").alias("container_id"),
+            inter.cast("bigint").alias("n_shared"),
+            (inter.cast("double") / F.size("sh_a").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 64, shingle_col: str = "shingles"
 ) -> DataFrame:

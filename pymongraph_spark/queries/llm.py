@@ -2588,3 +2588,37 @@ def s60_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment pairs (quote / excerpt detection): the curation
+# case Jaccard misses — a short doc quoted inside a long one has high
+# |A∩B|/|A| but low Jaccard. Spark side is the prefix-filtered
+# inverted-index join in operators/dedup.containment_pairs (prefix on
+# the contained side only, positional pruning, verify on candidates);
+# the oracle is the direct all-pairs formulation.
+# --------------------------------------------------------------------------
+@query(
+    "d53_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_shared,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(a.shingles) AS containment
+    FROM sh a JOIN sh b ON a.lang = b.lang
+      AND (len(a.shingles) < len(b.shingles)
+           OR (len(a.shingles) = len(b.shingles) AND a.doc_id < b.doc_id))
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(a.shingles) >= 0.8
+    """,
+)
+def d53_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import containment_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return containment_pairs(docs, n=3, threshold=0.8, block_cols=("lang",))

@@ -2236,3 +2236,93 @@ def q67_pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_items"))
     return pivoted.join(counts, on="l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: doubly-correlated EXISTS / NOT EXISTS — suppliers who
+# were the ONLY late shipper in a multi-supplier order. One SQL template
+# serves both engines (only table names differ), so what's under test is
+# Catalyst's decorrelation: EXISTS → left-semi, NOT EXISTS → left-anti,
+# both equi-joins on l_orderkey (never per-row subquery execution — the
+# reference's N+1 pattern is exactly what this plan shape retires).
+# --------------------------------------------------------------------------
+_Q68_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM {supplier} s JOIN {lineitem} l1 ON s.s_suppkey = l1.l_suppkey
+  JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+  AND EXISTS (SELECT 1 FROM {lineitem} l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {lineitem} l3 JOIN {orders} o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@query(
+    "q68_exclusive_late_supplier",
+    oracle=_Q68_SQL.format(supplier="supplier", lineitem="lineitem", orders="orders"),
+)
+def q68_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["supplier"].createOrReplaceTempView("__q68_supplier")
+    t["lineitem"].createOrReplaceTempView("__q68_lineitem")
+    t["orders"].createOrReplaceTempView("__q68_orders")
+    return spark.sql(
+        _Q68_SQL.format(
+            supplier="__q68_supplier", lineitem="__q68_lineitem", orders="__q68_orders"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: nested IN subqueries with an aggregate-vs-scalar
+# threshold — suppliers who shipped a "hot" part (per-part total quantity
+# within 5% of the corpus max). All-integer-valued arithmetic
+# (qty*20 > max*19: cross-multiplication instead of a division) so the
+# cutoff is bit-exact in both engines. DataFrame form here (q68 covers
+# the SQL front door): the scalar max broadcasts via a 1-row cross join,
+# the hot-part list drives two cascaded left-semi joins — part list and
+# supplier-key list are both dimension-sized, never a fact shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q69_hot_part_suppliers",
+    oracle="""
+    WITH part_qty AS (
+      SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem WHERE l_partkey IN (
+        SELECT l_partkey FROM part_qty
+        WHERE qty * 20 > (SELECT MAX(qty) FROM part_qty) * 19
+      )
+    )
+    ORDER BY s_name
+    """,
+)
+def q69_hot_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, supp = t["lineitem"], t["supplier"]
+    part_qty = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    maxq = part_qty.agg(F.max("qty").alias("maxq"))
+    hot = (
+        part_qty.crossJoin(F.broadcast(maxq))
+        .filter(F.col("qty") * 20 > F.col("maxq") * 19)
+        .select("l_partkey")
+    )
+    supp_keys = li.join(F.broadcast(hot), on="l_partkey", how="left_semi").select(
+        "l_suppkey"
+    )
+    return (
+        supp.join(
+            supp_keys.withColumnRenamed("l_suppkey", "s_suppkey").distinct(),
+            on="s_suppkey",
+            how="left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

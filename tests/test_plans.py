@@ -370,3 +370,29 @@ def test_q67_pivot_explicit_values_single_scan_shape(spark):
     assert sorted(df.columns) == [
         "l_returnflag", "n_items", "status_f_revenue", "status_o_revenue",
     ]
+
+
+def test_q68_exists_decorrelated_to_semi_anti(spark):
+    """Q21 shape: Catalyst must decorrelate EXISTS into a left-semi and
+    NOT EXISTS into a left-anti equi-join on l_orderkey — never per-row
+    subquery re-execution or a cartesian."""
+    plan = _plan(QUERIES["q68_exclusive_late_supplier"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q69_nested_in_stays_semi_join_with_broadcasts(spark):
+    """Q20 shape: both IN lists become semi joins; the hot-part and
+    supplier-key lists broadcast; the scalar max is a 1-row broadcast."""
+    plan = _plan(QUERIES["q69_hot_part_suppliers"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_d53_containment_no_cartesian(spark):
+    """Containment pairs: prefix × full inverted-index join is an
+    equi-join on (shingle, lang); verification joins are equi too."""
+    plan = _plan(QUERIES["d53_containment_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan

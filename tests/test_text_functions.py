@@ -148,3 +148,54 @@ def test_token_jaccard_prefix_bound_boundary_sizes(spark):
         for r in token_jaccard_pairs(docs, threshold=0.8).collect()
     }
     assert got == {(1, 2, 0.8)}
+
+
+def test_containment_prefix_filter_is_lossless(spark, sf_small):
+    """containment_pairs' contained-side prefix filter + positional bound
+    must not lose qualifying pairs: compare against an unfiltered
+    brute-force directional self-join on a real corpus sample."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.functions.text import tokens, word_shingles
+    from pymongraph_spark.operators.dedup import containment_pairs
+
+    docs = load_tables(spark, sf_small)["documents"].limit(400)
+    threshold = 0.8
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(docs, threshold=threshold).collect()
+    }
+
+    s = docs.select(
+        F.col("doc_id"), F.col("lang"), word_shingles(tokens("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = s.select(F.col("doc_id").alias("ida"), F.col("lang"), F.col("sh").alias("sa"))
+    b = s.select(F.col("doc_id").alias("idb"), F.col("lang"), F.col("sh").alias("sb"))
+    direction = (F.size("sa") < F.size("sb")) | (
+        (F.size("sa") == F.size("sb")) & (F.col("ida") < F.col("idb"))
+    )
+    cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
+    want = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, on="lang").filter(direction).filter(cont >= threshold).collect()
+    }
+    assert got == want
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The motivating asymmetry: a short doc fully contained in a long
+    one has containment 1.0 but Jaccard far below threshold — the
+    containment operator must emit the pair, the Jaccard one must not."""
+    from pymongraph_spark.operators.dedup import containment_pairs, token_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    page = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote, "en"), (2, page, "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in containment_pairs(docs, threshold=0.99).collect()
+    }
+    assert got == {(1, 2, 1.0)}
+    assert token_jaccard_pairs(docs, threshold=0.8).count() == 0
