@@ -2326,3 +2326,68 @@ def q69_hot_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT: the semi-structured column type (open-format binary
+# JSON, typed-path access without a declared schema). Distinct from q22
+# (string get_json_object) and q53 (from_json to a declared struct):
+# parse_json materializes a VARIANT value and try_variant_get does typed
+# path extraction — schema-on-read that still runs JVM-side. At 100 TB
+# VARIANT beats JSON strings: parsed once at ingest, shredded storage,
+# no per-query re-parse. Oracle: DuckDB JSON path extraction.
+# --------------------------------------------------------------------------
+@query(
+    "q70_variant_typed_paths",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS BIGINT) AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.missing') IS NULL
+    GROUP BY 1, 2
+    """,
+)
+def q70_variant_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.withColumn("v", F.parse_json("props"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.filter(F.try_variant_get("v", "$.missing", "string").isNull())
+        .groupBy("event_type", (k % 7).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("sum_k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LOCF gap-fill (last observation carried forward): only 'purchase'
+# events carry a meaningful price; every event sees the user's most
+# recent purchase value. last_value(... IGNORE NULLS) over a running
+# frame — pure selection (no arithmetic), so doubles pass through
+# bit-exact. One shuffle on user_id; micro-second ordering keys.
+# --------------------------------------------------------------------------
+@query(
+    "q71_locf_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+)
+def q71_locf_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
