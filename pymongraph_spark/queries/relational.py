@@ -2391,3 +2391,49 @@ def q71_locf_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python Data Source API roundtrip: documents land as JSONL (plus
+# a hand-planted corrupt file), then come back through the custom
+# ``jsonl_reports`` source (ingest/pyds.py) — dead-letter semantics under
+# the hash gate: corrupt lines become NULL-typed rows with the raw line
+# preserved, valid rows parse exactly, nothing is dropped. One input
+# partition per file gives N-way parallel reads.
+# --------------------------------------------------------------------------
+@query(
+    "q72_python_datasource_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT NULL, 2, NULL, 2
+    """,
+)
+def q72_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pymongraph_spark.ingest.pyds import register_jsonl_reports
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = os.path.join(
+        tempfile.gettempdir(), f"q72_jsonl_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    docs.select("doc_id", "lang", "n_chars").repartition(4).write.mode(
+        "overwrite"
+    ).json(out)
+    with open(os.path.join(out, "zz-corrupt.jsonl"), "w") as fh:
+        fh.write('{"doc_id": "not-a-number"}\nthis is not json at all\n')
+
+    register_jsonl_reports(spark)
+    back = spark.read.format("jsonl_reports").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+    )

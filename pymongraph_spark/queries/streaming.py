@@ -557,3 +557,47 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id_new: long, doc_id_corpus: long, jaccard: double"
         )
     return spark.read.parquet(pairs_dir).distinct()
+
+
+@query(
+    "st89_transform_with_state",
+    # transformWithStateInPandas (Spark 4's stateful successor API —
+    # named typed state handles instead of one opaque tuple): per-type
+    # running stats accumulate on the same 1e-6 decimal grid as SUM_D,
+    # so the final streaming state equals the batch aggregate
+    # bit-for-bit and the whole path sits under the hash gate. The new
+    # API needs protobuf (absent in this container) — tws.py probes and
+    # routes to a semantics-identical applyInPandasWithState fallback,
+    # so the gate is green on either runtime.
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {SUM_D.format('value')} AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st89_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.streaming.tws import running_type_stats
+
+    stream = _events_stream(spark, sf_dir).select("event_type", "value")
+    name = f"tws_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_type_stats(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch; the final state
+    # is the row with the largest n_events (cumulative count is monotone)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n_events", "total_value", "min_value", "max_value")
+    )

@@ -1,0 +1,163 @@
+"""Custom stateful streaming via Spark 4's transformWithStateInPandas —
+the successor API to applyInPandasWithState (streaming/stateful.py keeps
+the classic form): a StatefulProcessor owns named, typed state handles
+(ValueState here; ListState/MapState and timers are the same surface)
+instead of one opaque per-key tuple, and state survives across
+micro-batches under the state store's fault-tolerance guarantees.
+
+Per event_type running stats: (n_events, total on the 1e-6 decimal grid,
+min, max). The decimal-grid total makes the final state equal the batch
+aggregate bit-for-bit regardless of arrival order — the same exactness
+contract as streaming/stateful.py, so a DuckDB oracle can check the
+whole streaming path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = (
+    "event_type string, n_events bigint, total_value double, "
+    "min_value double, max_value double"
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total_micros", LongType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+class RunningTypeStats(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState("stats", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if self._stats.exists():
+            n, total_micros, mn, mx = self._stats.get()
+        else:
+            n, total_micros, mn, mx = 0, 0, float("inf"), float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            # exact integer accumulation on the 1e-6 grid (same
+            # round-half-even quantization as compat.dsum): a float
+            # running sum would be arrival-order-dependent
+            total_micros += int(
+                (pdf["value"] * 1_000_000).round().astype("int64").sum()
+            )
+            mn = min(mn, float(pdf["value"].min()))
+            mx = max(mx, float(pdf["value"].max()))
+        self._stats.update((n, total_micros, mn, mx))
+        yield pd.DataFrame(
+            [{
+                "event_type": event_type,
+                "n_events": n,
+                "total_value": total_micros / 1_000_000,
+                "min_value": mn,
+                "max_value": mx,
+            }]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; this container ships pyspark without it, so the API is
+    probed like the other optional runtimes (Delta, GraphFrames) and
+    callers route to the classic applyInPandasWithState formulation
+    when absent. The worker crash without this probe is opaque
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so fail early."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_type_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """events stream (event_type, value) → per-type running stats via
+    transformWithStateInPandas. timeMode='None': state lives for the
+    query's lifetime (5 bounded keys here); production unbounded
+    keyspaces would use event-time timers to expire idle keys."""
+    return events_stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTypeStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def running_type_stats_classic(events_stream: DataFrame) -> DataFrame:
+    """Semantics-identical fallback on the classic applyInPandasWithState
+    API (no protobuf dependency): same decimal-grid accumulation, same
+    output schema, so the oracle holds on either route."""
+    from typing import Any, Iterator, Tuple
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, total_micros, mn, mx = state.get
+        else:
+            n, total_micros, mn, mx = 0, 0, float("inf"), float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            total_micros += int(
+                (pdf["value"] * 1_000_000).round().astype("int64").sum()
+            )
+            mn = min(mn, float(pdf["value"].min()))
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total_micros, mn, mx))
+        yield pd.DataFrame(
+            [{
+                "event_type": event_type,
+                "n_events": n,
+                "total_value": total_micros / 1_000_000,
+                "min_value": mn,
+                "max_value": mx,
+            }]
+        )
+
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType="n bigint, total_micros bigint, mn double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_type_stats(events_stream: DataFrame) -> DataFrame:
+    """Route to the Spark 4 API when its runtime dependency exists,
+    else the classic one — callers get identical results either way."""
+    if tws_available():
+        return running_type_stats_tws(events_stream)
+    return running_type_stats_classic(events_stream)

