@@ -2622,3 +2622,137 @@ def d53_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return containment_pairs(docs, n=3, threshold=0.8, block_cols=("lang",))
+
+
+# --------------------------------------------------------------------------
+# Quality-canonical near-dup dedup: d49 picks min-id per cluster; a real
+# curation pipeline keeps the BEST member — here the longest (n_chars,
+# ties → min doc_id). Same cluster machinery (engine-neutral MinHash
+# pairs → hash-min CC on the pair graph only), then one max_by per
+# cluster against the broadcast-sized doc-stats join. The keep policy is
+# the only delta vs d49 — pipelines swap policies without touching the
+# clustering.
+# --------------------------------------------------------------------------
+def _d54_oracle() -> str:
+    ctes, final = _d45_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    und AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(d.n_chars) AS BIGINT) AS best_chars,
+           (SELECT c2.doc_id FROM clusters c2 JOIN documents d2 ON d2.doc_id = c2.doc_id
+            WHERE c2.cluster_id = clusters.cluster_id
+            ORDER BY d2.n_chars DESC, c2.doc_id LIMIT 1) AS canonical_id
+    FROM clusters JOIN documents d ON d.doc_id = clusters.doc_id
+    GROUP BY cluster_id
+    """
+
+
+@query("d54_quality_canonical_dedup", oracle=_d54_oracle())
+def d54_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
+    from pymongraph_spark.operators.graph_algos import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs_neutral(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("doc_id_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    comp = connected_components(verts, edges, max_iter=200, strict=True)
+    stats = docs.select(F.col("doc_id").alias("id"), "n_chars")
+    best = F.struct(F.col("n_chars").alias("q"), (-F.col("id")).alias("ni"))
+    return (
+        comp.join(stats, on="id")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").cast("bigint").alias("best_chars"),
+            F.max_by("id", best).alias("canonical_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decontaminated train split — the pipeline COMPOSITION of t67 (md5
+# split) and d52 (3-gram contamination sweep): train docs sharing any
+# word-3-gram with the eval split are REMOVED (anti-join against the
+# contaminated-id set), and the cleaned split ships per-lang counts.
+# Short docs (< 3 tokens) carry no grams, can't be contaminated, stay.
+# --------------------------------------------------------------------------
+@query(
+    "t86_decontaminated_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket, {_SQL_SHINGLES} AS grams
+      FROM b WHERE len(toks) >= 3
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE bucket >= 90
+    ),
+    dirty AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE bucket < 80) tr
+      JOIN ev ON tr.gram = ev.gram
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN dirty.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(COUNT(*) - SUM(CASE WHEN dirty.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM b LEFT JOIN dirty ON b.doc_id = dirty.doc_id
+    WHERE b.bucket < 80
+    GROUP BY lang
+    """,
+)
+def t86_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import shingled
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    b = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    grams = shingled(docs, n=3).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    ).join(b.select("doc_id", "bucket"), on="doc_id")
+    ev_grams = grams.filter(F.col("bucket") >= 90).select("gram").distinct()
+    dirty = (
+        grams.filter(F.col("bucket") < 80)
+        .join(ev_grams, on="gram", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = b.filter(F.col("bucket") < 80)
+    flagged = train.join(
+        dirty.withColumn("__dirty", F.lit(1)), on="doc_id", how="left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.coalesce("__dirty", F.lit(0))).cast("bigint").alias("n_removed"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce("__dirty", F.lit(0))))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

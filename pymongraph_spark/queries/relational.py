@@ -2437,3 +2437,47 @@ def q72_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.count("_corrupt").cast("bigint").alias("n_corrupt"),
     )
+
+
+# --------------------------------------------------------------------------
+# The full ranking-function family in one pass: row_number / ntile over a
+# TOTAL order (unique tiebreak — both are nondeterministic under ties),
+# rank / dense_rank / percent_rank / cume_dist over a COARSE key with
+# real ties (where they differ from row_number and from each other).
+# Both windows share one partition key → one exchange. percent_rank and
+# cume_dist are single divisions of identical integers in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q73_rank_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           ROW_NUMBER() OVER total_w AS rn,
+           CAST(NTILE(4) OVER total_w AS INT) AS quartile,
+           RANK() OVER band_w AS rnk,
+           DENSE_RANK() OVER band_w AS drnk,
+           PERCENT_RANK() OVER band_w AS prnk,
+           CUME_DIST() OVER band_w AS cdist
+    FROM customer
+    WINDOW total_w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+           band_w AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC)
+    """,
+)
+def q73_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    band = F.floor(F.col("c_acctbal") / 1000)
+    total_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    band_w = Window.partitionBy("c_mktsegment").orderBy(F.desc(band))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        band.cast("bigint").alias("bal_band"),
+        F.row_number().over(total_w).alias("rn"),
+        F.ntile(4).over(total_w).alias("quartile"),
+        F.rank().over(band_w).alias("rnk"),
+        F.dense_rank().over(band_w).alias("drnk"),
+        F.percent_rank().over(band_w).alias("prnk"),
+        F.cume_dist().over(band_w).alias("cdist"),
+    )
