@@ -2481,3 +2481,103 @@ def q73_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(band_w).alias("prnk"),
         F.cume_dist().over(band_w).alias("cdist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset set operations: INTERSECT ALL / EXCEPT ALL keep duplicate
+# multiplicities (q15 covers the DISTINCT variants — a different physical
+# operator: these plan as aggregated count-compare unions, not hash
+# semi/anti). Multiplicity math: min(m,n) for intersect-all,
+# max(m-n, 0) for except-all — pinned by the count-per-segment output.
+# --------------------------------------------------------------------------
+@query(
+    "q74_multiset_set_ops",
+    oracle="""
+    WITH a AS (SELECT c_mktsegment FROM customer WHERE c_acctbal > 0),
+         b AS (SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000)
+    SELECT 'intersect_all' AS op, c_mktsegment, COUNT(*) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', c_mktsegment, COUNT(*)
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+    """,
+)
+def q74_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_acctbal") > 0).select("c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    i = (
+        a.intersectAll(b)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "c_mktsegment", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "c_mktsegment", "n")
+    )
+    return i.unionByName(e)
+
+
+# --------------------------------------------------------------------------
+# Generator functions: collect_list → posexplode_outer round-trip. The
+# OUTER variant preserves parents with empty/null arrays as one
+# null-position row — orders whose lineitems were all filtered away stay
+# visible (the left-join-shaped lateral view). Ordering rides INSIDE the
+# array (sort_array over structs) so the positions are deterministic
+# under any partitioning.
+# --------------------------------------------------------------------------
+@query(
+    "q75_posexplode_outer_roundtrip",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             list({'ln': l_linenumber, 'q': l_quantity}
+                  ORDER BY l_linenumber, l_quantity) AS arr
+      FROM lineitem WHERE l_quantity >= 45
+      GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey, items.arr FROM orders o
+      LEFT JOIN items ON items.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey < 2000
+    )
+    SELECT o_orderkey, u.u.pos AS pos, u.u.item.ln AS linenumber,
+           u.u.item.q AS quantity
+    FROM joined, LATERAL UNNEST(
+      CASE WHEN arr IS NULL OR len(arr) = 0
+           THEN [{'pos': CAST(NULL AS INT),
+                  'item': CAST(NULL AS STRUCT(ln BIGINT, q DOUBLE))}]
+           ELSE [{'pos': CAST(i - 1 AS INT), 'item': arr[i]}
+                 for i in generate_series(1, len(arr))] END) AS u(u)
+    """,
+)
+def q75_posexplode_outer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    items = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") >= 45)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("l_linenumber").alias("ln"),
+                                        F.col("l_quantity").alias("q")))
+            ).alias("arr")
+        )
+    )
+    joined = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .join(items, items["l_orderkey"] == F.col("o_orderkey"), "left")
+        .select("o_orderkey", "arr")
+    )
+    return joined.select(
+        "o_orderkey", F.posexplode_outer("arr").alias("pos", "item")
+    ).select(
+        "o_orderkey",
+        "pos",
+        F.col("item.ln").alias("linenumber"),
+        F.col("item.q").alias("quantity"),
+    )

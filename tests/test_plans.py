@@ -396,3 +396,17 @@ def test_d53_containment_no_cartesian(spark):
     equi-join on (shingle, lang); verification joins are equi too."""
     plan = _plan(QUERIES["d53_containment_pairs"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_spread_if_narrow_noop_when_wide(spark):
+    """_spread_if_narrow must be a no-op (no added Exchange) when the
+    input already has >= defaultParallelism partitions — the guard that
+    keeps it from full-shuffling a real corpus."""
+    from pymongraph_spark.operators.similarity import _spread_if_narrow
+
+    target = spark.sparkContext.defaultParallelism
+    emb = load_tables(spark, SF_SMALL)["embeddings"].repartition(target + 4)
+    out = _spread_if_narrow(emb)
+    assert out.rdd.getNumPartitions() == target + 4  # untouched
+    narrow = load_tables(spark, SF_SMALL)["embeddings"].coalesce(1)
+    assert _spread_if_narrow(narrow).rdd.getNumPartitions() == target
