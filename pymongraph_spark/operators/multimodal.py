@@ -494,3 +494,84 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "bin": bins, "value": vals})
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def _bmp_gray_pixels(payload: bytes) -> list[int]:
+    """Row-major (top-down) grayscale pixels from an uncompressed 24-bit
+    BMP — the same genuine container parse as _bmp_decode (magic, data
+    offset, padding, bottom-up vs top-down), returning the blue-channel
+    byte per pixel (our generators write gray, B=G=R; a real grayscale
+    conversion would be a weighted sum here)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or bpp != 24:
+        raise ValueError("only uncompressed 24-bit BMP handled")
+    height = abs(height_raw)
+    bottom_up = height_raw > 0
+    row_size = ((width * 3 + 3) // 4) * 4
+    pixels: list[int] = []
+    for r in range(height):
+        src_row = (height - 1 - r) if bottom_up else r
+        off = data_offset + src_row * row_size
+        row = payload[off : off + width * 3]
+        pixels.extend(row[0::3])  # one channel per pixel
+    return pixels
+
+
+def dhash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference-hash over DECODED image payloads: bit (r,c)
+    is 1 iff gray(r,c) > gray(r,c+1) — h*(w-1) bits packed row-major into
+    a bigint (64-bit budget: up to 8x9 crops; classic dHash downsamples
+    to that first, our 8x8 generators need no resample). Images that
+    LOOK alike hash alike regardless of byte-level differences — the
+    image-side analogue of simhash, and the same scale story: group or
+    band on the hash (pigeonhole chunks for hamming-k), never pixel
+    all-pairs. Returns (id, width, height, dhash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, mt, payload in zip(
+                pdf[id_col], pdf["media_type"], pdf["payload"]
+            ):
+                if not str(mt).startswith("image/bmp"):
+                    raise ValueError(f"dhash_media needs BMP payloads, got {mt}")
+                px = _bmp_gray_pixels(bytes(payload))
+                import struct as _s
+
+                w = _s.unpack_from("<i", bytes(payload), 18)[0]
+                h = len(px) // w if w else 0
+                if h * (w - 1) > 64:
+                    raise ValueError(
+                        f"{w}x{h} exceeds the 64-bit dhash budget; resize first"
+                    )
+                bits = 0
+                k = 0
+                for r in range(h):
+                    base = r * w
+                    for c in range(w - 1):
+                        if px[base + c] > px[base + c + 1]:
+                            bits |= 1 << k
+                        k += 1
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema=f"{id_col} bigint, width int, height int, dhash bigint"
+    )

@@ -2756,3 +2756,40 @@ def t86_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup: dHash over the REAL BMP decode path (container
+# parse → grayscale pixels → adjacent-pixel difference bits), grouped —
+# identical hashes are perceptual duplicates. The image-side analogue of
+# simhash: group/band on the hash at scale, never pixel all-pairs. The
+# oracle recomputes the 56-bit hash from m75's pixel formula
+# ((d*13 + i*5) % 256) entirely in SQL, so the whole decode→hash→group
+# pipeline is hash-match gated with fake=False.
+# --------------------------------------------------------------------------
+@query(
+    "m76_bmp_dhash_groups",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_reduce(
+               [CAST(CASE WHEN ((doc_id*13 + ((k // 7) * 8 + (k % 7)) * 5) % 256)
+                             > ((doc_id*13 + ((k // 7) * 8 + (k % 7) + 1) * 5) % 256)
+                          THEN 1 ELSE 0 END AS BIGINT) * (CAST(1 AS BIGINT) << k)
+                for k in generate_series(0, 55)],
+               (a, b) -> a + b) AS dhash
+      FROM documents
+    )
+    SELECT dhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM h GROUP BY dhash
+    """,
+)
+def m76_bmp_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_bmp_image, dhash_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    hashed = dhash_media(attach_bmp_image(docs))
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -229,3 +229,55 @@ def test_attach_bmp_image_decodes_through_registry(spark):
         assert row["byte_len"] == 54 + 8 * 8 * 3
         expected = sum(((d * 13 + i * 5) % 256) / 256.0 for i in range(64)) / 64
         assert row["mean_intensity"] == expected
+
+
+def test_dhash_invariant_to_container_layout(spark):
+    """dHash must depend on PIXELS, not bytes: the same image stored
+    bottom-up (positive height) and top-down (negative height) has
+    byte-identical rows in opposite order but must hash identically."""
+    import struct
+
+    from pymongraph_spark.operators.multimodal import _bmp_gray_pixels, dhash_media
+
+    w = h = 8
+    row_size = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (row_size - w * 3)
+    img_size = row_size * h
+
+    def bmp(top_down: bool):
+        header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, img_size, 2835, 2835, 0, 0
+        )
+        rows = []
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            row = bytearray()
+            for x in range(w):
+                v = (7 * (y * w + x) + 3) % 256
+                row += bytes((v, v, v))
+            rows.append(bytes(row) + pad)
+        return header + b"".join(rows)
+
+    up, down = bmp(False), bmp(True)
+    assert up != down  # different byte layouts
+    assert _bmp_gray_pixels(up) == _bmp_gray_pixels(down)  # same image
+
+    media = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(up), len(up)), (2, "image/bmp", bytearray(down), len(down))],
+        "doc_id: long, media_type: string, payload: binary, byte_len: long",
+    )
+    hashes = {r["doc_id"]: r["dhash"] for r in dhash_media(media).collect()}
+    assert hashes[1] == hashes[2]
+
+
+def test_dhash_rejects_oversized_and_non_bmp(spark):
+    from pymongraph_spark.operators.multimodal import dhash_media
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"\x89PNG...."), 8)],
+        "doc_id: long, media_type: string, payload: binary, byte_len: long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="BMP"):
+        dhash_media(media).collect()
