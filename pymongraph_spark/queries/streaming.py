@@ -601,3 +601,68 @@ def st89_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("event_type", "n_events", "total_value", "min_value", "max_value")
     )
+
+
+@query(
+    "st90_streaming_shard_ingest",
+    # Streaming ingestion INTO the training-data shard layout: documents
+    # arrive in micro-batches and foreachBatch appends each one into the
+    # hash-sharded sink (operators/sink.write_shards, mode='append' —
+    # placement is a pure function of doc_id, so waves land in the same
+    # shard dirs a batch rebuild would produce). The certified manifest
+    # read back from disk must therefore equal the BATCH manifest over
+    # the whole corpus — arrival order and batching cannot show through.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_reduce([CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 8)],
+                         (acc, x) -> acc * 16 + x) % 8 AS shard_id
+      FROM documents
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard_id
+    """,
+)
+def st90_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.sink import shard_manifest_from_disk, write_shards
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"st90_shards_{abs(hash(sf_dir)) % 10**8}"
+    )
+    input_dir = os.path.join(base, "in")
+    shards_dir = os.path.join(base, "shards")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "n_chars")
+    for wave in range(4):
+        docs.filter(F.col("doc_id") % 4 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df, batch_id):
+        write_shards(batch_df, shards_dir, n_shards=8, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return shard_manifest_from_disk(spark, shards_dir)
