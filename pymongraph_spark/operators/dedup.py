@@ -834,3 +834,64 @@ def simhash_pairs_neutral(
         )
     finally:
         sh.unpersist()
+
+
+def minhash_estimation_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Sketch-quality evaluation: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (matching signature positions /
+    num_hashes — the estimator whose expectation IS the Jaccard) next to
+    the exact value and the absolute error. This is how a pipeline tunes
+    (num_hashes, bands) before trusting the sketch at corpus scale:
+    error concentrates as ~1/sqrt(num_hashes), and the report makes the
+    tradeoff measurable on real data instead of assumed. Engine-neutral
+    hash family, so the whole evaluation is oracle-checkable."""
+    sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
+    try:
+        left = banded.select("band", "key", F.col("doc_id").alias("doc_id_a"))
+        right = banded.select("band", "key", F.col("doc_id").alias("doc_id_b"))
+        candidates = (
+            left.join(right, on=["band", "key"])
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+            .distinct()
+        )
+        sides = sigd.select("doc_id", "shingles", "signature")
+        pair = candidates.join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("signature").alias("sig_a"),
+            ),
+            on="doc_id_a",
+        ).join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("signature").alias("sig_b"),
+            ),
+            on="doc_id_b",
+        )
+        matches = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        est = matches.cast("double") / F.lit(float(num_hashes))
+        exact = inter / union
+        out = pair.select(
+            "doc_id_a",
+            "doc_id_b",
+            est.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        ).localCheckpoint(eager=True)
+    finally:
+        sigd.unpersist()
+    return out

@@ -2793,3 +2793,146 @@ def m76_bmp_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash sketch-quality report: estimated vs exact Jaccard per LSH
+# candidate pair, with absolute error — how a pipeline tunes
+# (num_hashes, bands) before trusting the sketch on a real corpus.
+# The estimate is matching-positions/num_hashes (an exact k/64 double);
+# the error subtraction is the same two exact doubles in both engines.
+# --------------------------------------------------------------------------
+def _d55_oracle(num_hashes: int = 64) -> str:
+    ctes, _ = _d45_parts(num_hashes=num_hashes)
+    return f"""
+    WITH {ctes},
+    est AS (
+      SELECT c.doc_id_a, c.doc_id_b,
+             CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE)
+               / {num_hashes} AS est_jaccard
+      FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_id_a
+        JOIN sig sb ON sb.doc_id = c.doc_id_b AND sb.i = sa.i
+      GROUP BY c.doc_id_a, c.doc_id_b
+    )
+    SELECT est.doc_id_a, est.doc_id_b, est.est_jaccard,
+           CAST(len(list_intersect(sha.shingles, shb.shingles)) AS DOUBLE)
+             / (len(sha.shingles) + len(shb.shingles)
+                - len(list_intersect(sha.shingles, shb.shingles))) AS jaccard,
+           abs(est.est_jaccard
+               - CAST(len(list_intersect(sha.shingles, shb.shingles)) AS DOUBLE)
+                 / (len(sha.shingles) + len(shb.shingles)
+                    - len(list_intersect(sha.shingles, shb.shingles)))) AS abs_err
+    FROM est JOIN sh sha ON est.doc_id_a = sha.doc_id
+             JOIN sh shb ON est.doc_id_b = shb.doc_id
+    """
+
+
+@query("d55_minhash_estimation_report", oracle=_d55_oracle())
+def d55_minhash_estimation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import minhash_estimation_report
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return minhash_estimation_report(docs, n=3, num_hashes=64, bands=16)
+
+
+# --------------------------------------------------------------------------
+# Linear quality classifier over hashed features — "apply the trained
+# model at corpus scale": weights are plan constants (the deployment
+# shape: a model ships as a broadcast/literal, scoring is one JVM-side
+# expression, no Python per row). Weights (b-8)/16 are exact binary
+# fractions and the score is (Σ value·(b-8))/16 — all-integer then one
+# division, bit-exact across engines.
+# --------------------------------------------------------------------------
+@query(
+    "t87_linear_quality_classifier",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    hh AS (
+      SELECT doc_id,
+             list_reduce([CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 8)],
+                         (acc, x) -> acc * 16 + x) AS h
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+    ),
+    feat AS (
+      SELECT doc_id, h % 16 AS bucket,
+             SUM(CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END) AS value
+      FROM hh GROUP BY doc_id, h % 16
+    )
+    SELECT doc_id,
+           CAST(SUM(value * (bucket - 8)) AS DOUBLE) / 16.0 AS score,
+           SUM(value * (bucket - 8)) > 0 AS keep
+    FROM feat GROUP BY doc_id
+    """,
+)
+def t87_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.filter(token_count("text") >= 1).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    feat = (
+        ex.select(
+            "doc_id",
+            (h % 16).cast("int").alias("bucket"),
+            F.when(h % 32 < 16, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("value"))
+    )
+    raw = F.sum(F.col("value") * (F.col("bucket") - 8))
+    return feat.groupBy("doc_id").agg(
+        (raw.cast("double") / F.lit(16.0)).alias("score"),
+        (raw > 0).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth (Heaps-law curve): cumulative token and distinct-type
+# counts at four corpus prefixes (doc_id quartiles) — how vocabulary
+# scales with corpus size, the statistic that sizes tokenizer vocab and
+# predicts dedup headroom. One explode + ONE aggregate with conditional
+# distinct counts (no per-prefix rescans); the quartile thresholds come
+# from a 1-row max broadcast, all-integer comparisons.
+# --------------------------------------------------------------------------
+@query(
+    "t88_vocabulary_growth",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    m AS (SELECT MAX(doc_id) + 1 AS n FROM documents)
+    SELECT k,
+           CAST(COUNT(CASE WHEN tk.doc_id * 4 < m.n * k THEN 1 END) AS BIGINT)
+             AS n_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN tk.doc_id * 4 < m.n * k THEN tok END) AS BIGINT)
+             AS n_vocab
+    FROM tk, m, (SELECT unnest([1, 2, 3, 4]) AS k)
+    GROUP BY k
+    """,
+)
+def t88_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.filter(token_count("text") >= 1).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    m = docs.agg((F.max("doc_id") + 1).alias("n"))
+    quartiles = ex.sparkSession.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    return (
+        ex.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(quartiles))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("doc_id") * 4 < F.col("n") * F.col("k"), 1))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.countDistinct(
+                F.when(F.col("doc_id") * 4 < F.col("n") * F.col("k"), F.col("tok"))
+            )
+            .cast("bigint")
+            .alias("n_vocab"),
+        )
+    )
