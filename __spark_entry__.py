@@ -65,13 +65,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver's correctness gate records only the first 50 registry
     entries per round, so the order rotates by verification staleness:
-    queries that have never received a driver row lead, then those whose
-    last recorded row is oldest (round ascending), name as tie-break.
-    Each round the 50 stalest queries get fresh driver evidence, so the
-    whole registry cycles through the gate every ceil(N/50) rounds.
+    the OLDEST-gated cohort leads (regenerated testdata can silently
+    break old greens — round-3's schema drift proved it — so refreshing
+    stale evidence outranks everything), then queries that have never
+    received a driver row (pre-verified locally at sf0.01 via
+    scripts/gate_precheck.py before each round, so they carry less risk
+    than stale greens), then the rest round-ascending, name as tie-break.
+    The whole registry cycles through the gate every ceil(N/50) rounds.
     """
     last = _last_gated_round()
-    ordered = sorted(QUERIES, key=lambda k: (last.get(k, 0), k))
+    oldest = min(last.values()) if last else 0
+    never_rank = oldest + 0.5  # right after the stalest gated cohort
+
+    ordered = sorted(QUERIES, key=lambda k: (last.get(k, never_rank), k))
     return {k: QUERIES[k] for k in ordered}
 
 
