@@ -2936,3 +2936,73 @@ def t88_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_vocab"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring — the "how predictable is this text"
+# quality signal, log-free: train the conditional model on the corpus
+# (p(w2|w1) = c(w1,w2)/c(w1), exact counts), then score each document by
+# the MEAN conditional probability of its bigrams. Per-doc sums fold in
+# sorted (w1, w2) order so floating summation is identical across
+# engines; the model join is a broadcast-sized vocabulary-pair table at
+# this corpus and an equi-join at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "t89_bigram_lm_score",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tk, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id, bg.w1, bg.w2,
+             CAST(c2.c AS DOUBLE) / c1.c AS p
+      FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+              JOIN c1 ON bg.w1 = c1.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           list_reduce(list_prepend(0.0, list(p ORDER BY w1, w2, p)), (a, b) -> a + b)
+             / COUNT(*) AS avg_prob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t89_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = docs.filter(token_count("text") >= 2).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .select("doc_id", "w1", "w2", (F.col("c2").cast("double") / F.col("c1")).alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("w1", "w2", "p"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["p"],
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_prob"),
+    )

@@ -2581,3 +2581,255 @@ def q75_posexplode_outer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("item.ln").alias("linenumber"),
         F.col("item.q").alias("quantity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-neutral HyperLogLog — the approx-distinct sketch you can VERIFY:
+# q29's approx_count_distinct is rows-only because Spark's HLL++ isn't
+# reproducible in SQL; this one is built from first principles on the
+# md5 hash (56-bit value: low 4 bits pick one of m=16 registers, the
+# register keeps the max leading-zero rank rho of the remaining 52 bits
+# — rho via 53 - len(bin(w)): both engines print binary without leading
+# zeros, no transcendental log). The harmonic estimate folds registers
+# IN BUCKET ORDER (dyadic 2^-rho terms can round differently per order
+# once they mix with the 1.0 missing-register terms, so both engines run
+# the identical sequence), then one constant division: alpha16*m^2 / S.
+# Exact distinct and relative error ride along — the sketch's accuracy
+# is itself under the hash gate.
+# --------------------------------------------------------------------------
+_Q76_ALPHA_MM = 0.673 * 16 * 16  # alpha_16 * m^2, plan constant
+
+
+@query(
+    "q76_hll_neutral",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp, o_custkey,
+             list_reduce([CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                          for i in generate_series(1, 14)],
+                         (acc, x) -> acc * 16 + x) AS hv
+      FROM orders
+    ),
+    reg AS (
+      SELECT grp, hv % 16 AS bucket,
+             MAX(CASE WHEN hv // 16 = 0 THEN 53
+                      ELSE 53 - len(bin(hv // 16)) END) AS rho
+      FROM h GROUP BY grp, hv % 16
+    ),
+    est AS (
+      SELECT grp,
+             {_Q76_ALPHA_MM} / (
+               list_reduce(list_prepend(0.0,
+                 list(1.0 / (CAST(1 AS BIGINT) << rho) ORDER BY bucket)),
+                 (a, b) -> a + b)
+               + (16 - COUNT(*)) * 1.0
+             ) AS hll_estimate
+      FROM reg GROUP BY grp
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY grp
+    )
+    SELECT ex.grp AS o_orderpriority, ex.n_exact, est.hll_estimate,
+           abs(est.hll_estimate - ex.n_exact) / ex.n_exact AS rel_err
+    FROM ex JOIN est ON ex.grp = est.grp
+    """,
+)
+def q76_hll_neutral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    hv = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 14), 16, 10).cast(
+        "long"
+    )
+    w = (F.col("hv") / 16).cast("long")  # hv // 16: hv >= 0 so both agree
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    reg = (
+        o.select(F.col("o_orderpriority").alias("grp"), hv.alias("hv"))
+        .select("grp", (F.col("hv") % 16).alias("bucket"),
+                rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # ordered fold over (bucket, rho) structs — identical sequence to the
+    # oracle's ORDER BY bucket list fold
+    inv = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rho AS INT))").cast(
+        "double"
+    )
+    est = reg.withColumn("inv", inv).groupBy("grp").agg(
+        (
+            F.lit(_Q76_ALPHA_MM)
+            / (
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("bucket", "inv"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["inv"],
+                )
+                + (F.lit(16) - F.count(F.lit(1))).cast("double")
+            )
+        ).alias("hll_estimate")
+    )
+    ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        ex.join(est, on="grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_exact",
+            "hll_estimate",
+            (F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Built-in session_window in BATCH mode (q50 hand-rolls the same
+# semantics with lag+cumsum — this is the one-call form, and the same
+# operator Structured Streaming uses for st81). Boundary semantics are
+# session_window's: an event exactly `gap` after the previous one starts
+# a NEW session (merge condition is strict <), so the oracle's is_new
+# flag uses >=. Window end = last event + gap by definition.
+# --------------------------------------------------------------------------
+@query(
+    "q77_session_window_builtin",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) OVER w >= 14400000000
+                       OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 14400000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q77_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy("user_id", F.session_window("ts", "4 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime filter, engine-neutral and ACCOUNTED: build a
+# 1024-bit / 3-hash bloom over the hot-order keys (32 words via bit_or
+# aggregation; 32 bits per word keeps shifts inside DuckDB's checked range), probe every lineitem through it, and report hits
+# vs exact membership — the false-positive rate of the filter is itself
+# under the hash gate. This is the shape of Spark's own runtime row
+# filters (and of join pushdown filters generally): the bitmap is tiny
+# and broadcasts; the big side is filtered BEFORE the real join. md5
+# substrings give the 3 positions, so DuckDB reproduces every bit.
+# --------------------------------------------------------------------------
+@query(
+    "q78_bloom_filter_accounting",
+    oracle="""
+    WITH hot AS (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+    ),
+    pos AS (
+      SELECT o_orderkey AS k, unnest([
+        list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                     for i in generate_series(1, 7)], (a, x) -> a * 16 + x) % 1024,
+        list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                     for i in generate_series(8, 14)], (a, x) -> a * 16 + x) % 1024,
+        list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                     for i in generate_series(15, 21)], (a, x) -> a * 16 + x) % 1024
+      ]) AS p FROM hot
+    ),
+    bitmap AS (
+      SELECT p // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY p // 32
+    ),
+    probe AS (
+      SELECT pk AS k, unnest([
+        list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(pk AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                     for i in generate_series(1, 7)], (a, x) -> a * 16 + x) % 1024,
+        list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(pk AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                     for i in generate_series(8, 14)], (a, x) -> a * 16 + x) % 1024,
+        list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(pk AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                     for i in generate_series(15, 21)], (a, x) -> a * 16 + x) % 1024
+      ]) AS p
+      FROM (SELECT DISTINCT l_orderkey AS pk FROM lineitem)
+    ),
+    verdicts AS (
+      SELECT probe.k,
+             MIN(CASE WHEN bitmap.bits IS NULL THEN 0
+                      ELSE (bitmap.bits >> CAST(probe.p % 32 AS INT)) & 1 END) AS hit
+      FROM probe LEFT JOIN bitmap ON bitmap.word = probe.p // 32
+      GROUP BY probe.k
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN hot.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(hit) - SUM(CASE WHEN hot.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives
+    FROM verdicts LEFT JOIN hot ON verdicts.k = hot.o_orderkey
+    """,
+)
+def q78_bloom_filter_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def positions(key_col):
+        hexd = F.md5(F.col(key_col).cast("string"))
+        return F.array(
+            F.conv(F.substring(hexd, 1, 7), 16, 10).cast("long") % 1024,
+            F.conv(F.substring(hexd, 8, 7), 16, 10).cast("long") % 1024,
+            F.conv(F.substring(hexd, 15, 7), 16, 10).cast("long") % 1024,
+        )
+
+    hot = t["orders"].filter(F.col("o_totalprice") > 300000).select("o_orderkey")
+    pos = hot.select(F.explode(positions("o_orderkey")).alias("p"))
+    bitmap = pos.groupBy((F.col("p") / 32).cast("long").alias("word")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("bits")
+    )
+    probe = (
+        t["lineitem"].select("l_orderkey").distinct()
+        .select(F.col("l_orderkey").alias("k"), F.explode(positions("l_orderkey")).alias("p"))
+        .withColumn("word", (F.col("p") / 32).cast("long"))
+    )
+    hit_bit = F.expr(
+        "CASE WHEN bits IS NULL THEN 0 "
+        "ELSE shiftright(bits, CAST(p % 32 AS INT)) & 1 END"
+    )
+    verdicts = (
+        probe.join(F.broadcast(bitmap), on="word", how="left")
+        .select("k", hit_bit.alias("hb"))
+        .groupBy("k")
+        .agg(F.min("hb").alias("hit"))
+    )
+    out = verdicts.join(
+        hot.withColumnRenamed("o_orderkey", "k").withColumn("__m", F.lit(1)),
+        on="k",
+        how="left",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("hit").cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.coalesce("__m", F.lit(0))).cast("bigint").alias("n_true_members"),
+        (F.sum("hit") - F.sum(F.coalesce("__m", F.lit(0))))
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
