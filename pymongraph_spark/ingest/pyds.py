@@ -20,7 +20,13 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -83,6 +89,53 @@ class JsonlReportsReader(DataSourceReader):
                     yield (None, None, None, line)
 
 
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlReportsWriter(DataSourceWriter):
+    """Write side of the source: each task streams its partition to a
+    uniquely-named part file (uuid — concurrent tasks and task RETRIES
+    never collide), and the driver-side commit() publishes a _SUCCESS
+    marker naming every committed part. Readers (partitions() above)
+    skip underscore files, and register_bucketed_external-style
+    consumers treat a missing _SUCCESS as an interrupted write — the
+    same torn-write discipline the rest of the repo uses."""
+
+    def __init__(self, options: dict):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("jsonl_reports requires a 'path' option")
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self._dir, name)
+        n = 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {f: row[f] for f in _FIELDS}
+                fh.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self._dir, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            for m in messages:
+                fh.write(f"{m.path}\t{m.n_rows}\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._dir, m.path))
+            except OSError:
+                pass
+
+
 class JsonlReportsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -93,6 +146,13 @@ class JsonlReportsDataSource(DataSource):
 
     def reader(self, schema) -> JsonlReportsReader:
         return JsonlReportsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonlReportsWriter:
+        if overwrite:
+            import shutil
+
+            shutil.rmtree(self.options.get("path", ""), ignore_errors=True)
+        return JsonlReportsWriter(self.options)
 
 
 def register_jsonl_reports(spark) -> None:

@@ -410,3 +410,27 @@ def test_spread_if_narrow_noop_when_wide(spark):
     assert out.rdd.getNumPartitions() == target + 4  # untouched
     narrow = load_tables(spark, SF_SMALL)["embeddings"].coalesce(1)
     assert _spread_if_narrow(narrow).rdd.getNumPartitions() == target
+
+
+def test_q76_hll_two_phase_aggregation(spark):
+    """HLL registers must build with map-side partial aggregation (the
+    sketch's whole point: registers combine associatively)."""
+    plan = _plan(QUERIES["q76_hll_neutral"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q78_bitmap_broadcasts_to_probe(spark):
+    """The bloom bitmap (32 words) must broadcast; the probe side never
+    shuffles toward it."""
+    plan = _plan(QUERIES["q78_bloom_filter_accounting"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t89_model_join_no_cartesian(spark):
+    """Bigram scoring: both model joins are equi-joins on the bigram
+    keys; nothing goes nested-loop."""
+    plan = _plan(QUERIES["t89_bigram_lm_score"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -50,3 +50,26 @@ def test_one_partition_per_file(tmp_path):
 def test_missing_path_option_raises():
     with pytest.raises(ValueError, match="path"):
         JsonlReportsReader({})
+
+
+def test_writer_roundtrip_and_success_manifest(spark, tmp_path):
+    """df.write.format('jsonl_reports') → read back through the reader:
+    full fidelity, one part file per task, _SUCCESS lists every part."""
+    d = str(tmp_path / "out")
+    register_jsonl_reports(spark)
+    df = spark.createDataFrame(
+        [(1, "en", 10, None), (2, "fr", 20, None), (3, "de", 30, None)],
+        "doc_id: long, lang: string, n_chars: long, _corrupt: string",
+    ).repartition(2)
+    df.write.format("jsonl_reports").option("path", d).mode("append").save()
+
+    back = spark.read.format("jsonl_reports").option("path", d).load()
+    got = sorted((r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect())
+    assert got == [(1, "en", 10), (2, "fr", 20), (3, "de", 30)]
+    assert all(r["_corrupt"] is None for r in back.collect())
+
+    with open(os.path.join(d, "_SUCCESS")) as fh:
+        manifest = dict(line.split("\t") for line in fh.read().splitlines())
+    assert sum(int(v) for v in manifest.values()) == 3
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert sorted(parts) == sorted(manifest)
