@@ -3006,3 +3006,38 @@ def t89_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF (useArrow=True — Spark 4's batched
+# serialization for plain @udf, a distinct execution path from both
+# pickled row-at-a-time UDFs and pandas_udf): vowel ratio per document.
+# The function is SQL-mirrorable so the Arrow path itself sits under the
+# gate. Documented as the MIDDLE rung: builtins (t61) > pandas_udf/
+# mapInPandas (s53) > arrow udf > pickled udf — use it when per-row
+# Python is unavoidable but the logic doesn't vectorize.
+# --------------------------------------------------------------------------
+@query(
+    "t90_arrow_udf_vowel_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT) AS n_vowels,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS DOUBLE)
+             / greatest(length(text), 1) AS vowel_ratio
+    FROM documents
+    """,
+)
+def t90_arrow_udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def n_vowels(text: str) -> int:
+        return sum(1 for ch in text.lower() if ch in "aeiou")
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    nv = n_vowels("text")
+    return docs.select(
+        "doc_id",
+        nv.alias("n_vowels"),
+        (nv.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
+    )

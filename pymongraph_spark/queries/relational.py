@@ -2833,3 +2833,47 @@ def q78_bloom_filter_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_positives"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution across landed batches: an early batch lacks a column
+# a later batch carries (the normal state of a long-lived 100 TB corpus).
+# mergeSchema=true unions the file schemas at read time; rows from the
+# old batch surface NULL for the new column — the aggregate proves both
+# directions (counts see every row, the new column only its batch).
+# Written twice as overwrite (idempotent rebuild), then one read.
+# --------------------------------------------------------------------------
+@query(
+    "q79_schema_evolution_read",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars_new_batch
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q79_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = os.path.join(
+        tempfile.gettempdir(), f"q79_evo_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    # batch 1: the OLD schema (no n_chars); batch 2 adds the column
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "append"
+    ).parquet(out)
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "append"
+    ).parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").cast("bigint").alias("n_with_chars"),
+        F.sum("n_chars").cast("bigint").alias("chars_new_batch"),
+    )
