@@ -2877,3 +2877,83 @@ def q79_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").cast("bigint").alias("n_with_chars"),
         F.sum("n_chars").cast("bigint").alias("chars_new_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted aggregation UNDER THE GATE: the skew-mitigation two-phase
+# aggregate (operators/skew.py — random salt → partial sum/count per
+# (key, salt) → final merge) must be bit-identical to the plain
+# aggregate, whatever the salt assignment did to partition placement.
+# Decimal-grid accumulation is what makes that claim exact rather than
+# approximate; the oracle is the UNSALTED formulation.
+# --------------------------------------------------------------------------
+@query(
+    "q80_salted_agg_equivalence",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS count_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q80_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.skew import salted_sum_count
+
+    e = load_tables(spark, sf_dir)["events"]
+    return salted_sum_count(e, ["user_id"], "value", salt_buckets=16)
+
+
+# --------------------------------------------------------------------------
+# Built-in PERMISSIVE corrupt-record capture (the spark.read.json native
+# dead-letter, complementing the custom Python source's q72): malformed
+# lines land in _corrupt_record with every typed field NULL; valid rows
+# parse. mode=PERMISSIVE is the default but is set explicitly — FAILFAST
+# would kill the 100 TB job on one bad byte, DROPMALFORMED silently
+# loses data; PERMISSIVE + accounting is the production policy.
+# --------------------------------------------------------------------------
+@query(
+    "q81_permissive_json_read",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT NULL, 3, NULL, 3
+    """,
+)
+def q81_permissive_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = os.path.join(
+        tempfile.gettempdir(), f"q81_json_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    docs.select("doc_id", "lang", "n_chars").write.json(out)
+    with open(os.path.join(out, "zz-bad.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "lang": "en", "n_chars":\nnot json\n{"truncated": \n')
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+    )
