@@ -2957,3 +2957,92 @@ def q81_permissive_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Map column functions: map_from_entries → map_filter → transform_values
+# → back out as a canonical string (map cell FORMATTING differs between
+# engines, so the map column does the work mid-pipeline and the output
+# is its sorted entry list). Per user: event_type→count map, filtered to
+# types seen >= 5 times, values doubled by transform_values.
+# --------------------------------------------------------------------------
+@query(
+    "q82_map_functions",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           array_to_string(
+             list(event_type || ':' || CAST(c * 2 AS VARCHAR) ORDER BY event_type),
+             ',') AS hot_types
+    FROM counts
+    WHERE c >= 5
+    GROUP BY user_id
+    """,
+)
+def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    hot = m.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 5), lambda k, v: v * 2
+        ).alias("hot"),
+    ).filter(F.size(F.map_keys("hot")) > 0)
+    entry_strs = F.transform(
+        F.map_entries("hot"),
+        lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
+    )
+    return hot.select(
+        "user_id", F.array_join(F.sort_array(entry_strs), ",").alias("hot_types")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANSI-safe arithmetic: try_cast / try_divide / try_add return NULL
+# instead of raising — the error policy that keeps a 100 TB job alive on
+# dirty cells without silently corrupting values (NULLs are countable;
+# wrapped overflows are not). Cells are manufactured from props so every
+# failure mode is present: unparsable string, division by zero, bigint
+# overflow.
+# --------------------------------------------------------------------------
+@query(
+    "q83_try_arithmetic",
+    oracle="""
+    WITH cells AS (
+      SELECT event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+      FROM events
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(k) AS BIGINT) AS n_parsed,
+           CAST(COUNT(missing) AS BIGINT) AS n_missing_parsed,
+           CAST(SUM(CASE WHEN k % 10 = 0 THEN NULL ELSE k // (k % 10) END) AS BIGINT)
+             AS sum_safe_div,
+           CAST(COUNT(CASE WHEN k % 10 = 0 THEN 1 END) AS BIGINT) AS n_div_nulls
+    FROM cells
+    """,
+)
+def q83_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999")).cast("bigint")
+    missing = F.try_to_number(
+        F.get_json_object("props", "$.missing"), F.lit("999999")
+    ).cast("bigint")
+    cells = e.select("event_id", k.alias("k"), missing.alias("missing"))
+    safe_div = F.floor(F.try_divide(F.col("k"), F.col("k") % 10)).cast("bigint")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").cast("bigint").alias("n_parsed"),
+        F.count("missing").cast("bigint").alias("n_missing_parsed"),
+        F.sum(safe_div).cast("bigint").alias("sum_safe_div"),
+        F.count(F.when(F.col("k") % 10 == 0, 1)).cast("bigint").alias("n_div_nulls"),
+    )
