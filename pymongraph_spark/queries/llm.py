@@ -3041,3 +3041,53 @@ def t90_arrow_udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         nv.alias("n_vowels"),
         (nv.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# TABLE-argument Python UDTF (the polymorphic-table-function surface —
+# t68 covers the scalar-arg LATERAL form): the UDTF consumes WHOLE ROWS
+# of TABLE(...) PARTITION BY lang, accumulating per-partition state and
+# emitting one summary row from terminate(). This is the custom-
+# aggregation escape hatch when neither built-ins nor pandas UDAFs fit
+# (multi-pass logic, early exits); still row-at-a-time Python — the
+# gate proves semantics, the ladder in t90's docstring ranks the cost.
+# --------------------------------------------------------------------------
+@query(
+    "t91_table_arg_udtf",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def t91_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint")
+    class LangStats:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._chars = 0
+            self._mx = None
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+            self._mx = (
+                int(row["n_chars"])
+                if self._mx is None
+                else max(self._mx, int(row["n_chars"]))
+            )
+
+        def terminate(self):
+            if self._n:
+                yield self._lang, self._n, self._chars, self._mx
+
+    spark.udtf.register("lang_stats_t91", LangStats)
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("__docs_t91")
+    return spark.sql(
+        "SELECT * FROM lang_stats_t91(TABLE(__docs_t91) PARTITION BY lang)"
+    )

@@ -3046,3 +3046,40 @@ def q83_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(safe_div).cast("bigint").alias("sum_safe_div"),
         F.count(F.when(F.col("k") % 10 == 0, 1)).cast("bigint").alias("n_div_nulls"),
     )
+
+
+# --------------------------------------------------------------------------
+# Accuracy-contract oracle for percentile_approx: the sketch value
+# itself is engine-specific, so what the gate pins is the CONTRACT —
+# with accuracy N the approximate rank error is bounded by 1/N, and at
+# 10000 on this data every group's approx median must land within the
+# exact p45..p55 band. The query outputs the exact median and the
+# boolean; if Spark's sketch ever drifts outside the band, the constant
+# TRUE stops matching. (Evaluation-genre oracle, like s60 and d55.)
+# --------------------------------------------------------------------------
+@query(
+    "q84_percentile_approx_contract",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS exact_median,
+           TRUE AS within_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q84_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
+            "exact_median"
+        ),
+        (
+            (
+                F.percentile_approx("l_extendedprice", 0.5, 10000)
+                >= F.expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY l_extendedprice)")
+            )
+            & (
+                F.percentile_approx("l_extendedprice", 0.5, 10000)
+                <= F.expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY l_extendedprice)")
+            )
+        ).alias("within_band"),
+    )
