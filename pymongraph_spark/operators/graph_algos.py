@@ -280,6 +280,7 @@ def pagerank_exact(
     edges: DataFrame,
     max_iter: int = 4,
     scale: int = 10**9,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in scaled-integer arithmetic: rank 1.0 is
     ``scale``; every update is floor division on 64-bit ints, so the
@@ -288,7 +289,12 @@ def pagerank_exact(
     engine-specific). Simplified model: no dangling-mass redistribution —
     per-iteration update is
 
-        rank' = (15*scale)//100 + (85 * Σ_in floor(rank/outdeg)) // 100
+        rank' = restart + (85 * Σ_in floor(rank/outdeg)) // 100
+
+    With ``sources=None`` restart is (15*scale)//100 everywhere (global
+    PageRank). With a source list it is PERSONALIZED: restart mass (and
+    the initial rank) sits only on the sources, so ranks measure
+    proximity to them — the recommendation / trust-propagation form.
 
     Same join/aggregate shape per iteration as ``pagerank`` (one edge
     join + one sum shuffle), so it scales identically; integer headroom
@@ -303,7 +309,14 @@ def pagerank_exact(
     ).select("src", "dst", "outdeg").persist()
 
     base = 15 * scale // 100
-    ranks = v.select("id", F.lit(scale).cast("long").alias("rank"))
+    if sources is None:
+        restart = F.lit(base)
+        init = F.lit(scale)
+    else:
+        in_src = F.col("id").isin([int(x) for x in sources])
+        restart = F.when(in_src, F.lit(base)).otherwise(F.lit(0))
+        init = F.when(in_src, F.lit(scale)).otherwise(F.lit(0))
+    ranks = v.select("id", init.cast("long").alias("rank"))
     for it in range(max_iter):
         contribs = (
             links.join(ranks, links.src == ranks.id)
@@ -316,7 +329,7 @@ def pagerank_exact(
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    restart
                     + F.expr("(85 * coalesce(inflow, 0L)) div 100")
                 ).cast("long").alias("rank"),
             ),

@@ -1079,3 +1079,51 @@ def g51_part_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# PERSONALIZED PageRank, exact tier: restart mass (and the initial rank)
+# sits only on the source vertex, so ranks measure proximity to it — the
+# recommendation / trust-propagation form of PageRank. Same scaled-
+# integer arithmetic and unrolled-CTE oracle as g48; only rows the walk
+# can reach are non-zero (emitted WHERE rank > 0 to keep the output the
+# source's neighborhood, not the whole graph).
+# --------------------------------------------------------------------------
+_G52_SOURCE = 4  # customer 1's vertex id
+
+
+def _g52_oracle(iters: int = 4, scale: int = 10**9, source: int = _G52_SOURCE) -> str:
+    base = 15 * scale // 100
+    parts = [
+        ORACLE_GRAPH_CTE,
+        ", od AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f""", pr0 AS (
+      SELECT id, CAST(CASE WHEN id = {source} THEN {scale} ELSE 0 END AS BIGINT) AS rank
+      FROM v
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    , pr{k} AS (
+      SELECT v.id,
+             CAST(CASE WHEN v.id = {source} THEN {base} ELSE 0 END
+                  + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank // od.outdeg) AS inflow
+        FROM pr{k - 1} p JOIN e ON p.id = e.src JOIN od ON od.id = e.src
+        GROUP BY e.dst
+      ) c ON v.id = c.id
+    )""")
+    parts.append(f"SELECT id, rank FROM pr{iters} WHERE rank > 0")
+    return "".join(parts)
+
+
+@query("g52_personalized_pagerank", oracle=_g52_oracle())
+def g52_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import pagerank_exact
+
+    g = tpch_graph(spark, sf_dir)
+    ranks = pagerank_exact(
+        g.vertices, g.edges, max_iter=4, scale=10**9, sources=[_G52_SOURCE]
+    )
+    return ranks.filter(F.col("rank") > 0)
