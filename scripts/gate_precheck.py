@@ -6,7 +6,13 @@ driver's scale factor (sf0.01) instead of the unit-test sf0.001. Catches
 scale-sensitive drift (time semantics, sampling, percentile ties) before
 the driver records a red row.
 
-Usage: python scripts/gate_precheck.py [N] [sf_dir]
+Usage: python scripts/gate_precheck.py [N] [sf_dir] [tz]
+
+Pass a timezone (e.g. Asia/Tokyo) as the third arg to run the whole
+check under a HOSTILE session timezone — the driver builds its own
+SparkSession with no UTC guarantee, and the registry's tune() must
+repair it per query. 50/50 hostile-TZ was verified in round 5; keep it
+verified.
 """
 
 from __future__ import annotations
@@ -35,8 +41,21 @@ from tests.test_oracle_parity import _compare  # noqa: E402
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    tz = sys.argv[3] if len(sys.argv) > 3 else None
     gate = list(entry.queries())[:n]
-    spark = get_spark()
+    if tz:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.session.timeZone", tz)
+            .config("spark.driver.memory", "12g")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark()
     failed: list[str] = []
     for i, name in enumerate(gate):
         t0 = time.time()
