@@ -3091,3 +3091,125 @@ def t91_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM lang_stats_t91(TABLE(__docs_t91) PARTITION BY lang)"
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-neutral Count-Min sketch — completes the verifiable-sketch
+# family (q76 HLL, d45 MinHash, d46 SimHash, q78 Bloom): 3 rows × 64
+# counters over md5-derived positions, point estimate = min over rows.
+# The CMS guarantee (estimate NEVER undercounts) is emitted as a column
+# the oracle pins to its own computation — estimate, exact count, and
+# overestimate are all integers, so the whole sketch sits under the
+# hash gate. Heavy-hitter estimation is what this buys at 100 TB: the
+# 192-counter sketch is a broadcast constant; exact top-k needs a full
+# groupBy of the corpus.
+# --------------------------------------------------------------------------
+_T92_W = 64  # counters per row
+_T92_POS = [
+    # (md5 substring start, length 7) per sketch row — same derivation as
+    # q78's bloom positions, different disjoint hex windows
+    (1, 7),
+    (8, 7),
+    (15, 7),
+]
+
+
+def _t92_pos_sql(expr: str, start: int) -> str:
+    return (
+        f"list_reduce([CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT)"
+        f" for i in generate_series({start}, {start + 6})], (a, x) -> a * 16 + x) % {_T92_W}"
+    )
+
+
+@query(
+    "t92_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKS}) AS t FROM documents
+    ),
+    exact AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+      ORDER BY c DESC, t LIMIT 10
+    ),
+    pos AS (
+      SELECT t, r, CASE r
+               WHEN 0 THEN {_t92_pos_sql('t', 1)}
+               WHEN 1 THEN {_t92_pos_sql('t', 8)}
+               ELSE {_t92_pos_sql('t', 15)} END AS col
+      FROM tok, (SELECT unnest([0, 1, 2]) AS r)
+    ),
+    counters AS (
+      SELECT r, col, COUNT(*) AS cnt FROM pos GROUP BY r, col
+    ),
+    probe AS (
+      SELECT exact.t, exact.c, counters.cnt
+      FROM exact
+      JOIN pos ON pos.t = exact.t
+      JOIN counters ON counters.r = pos.r AND counters.col = pos.col
+      GROUP BY exact.t, exact.c, counters.cnt, pos.r
+    )
+    SELECT t AS term, MIN(c) AS exact_count,
+           CAST(MIN(cnt) AS BIGINT) AS cms_estimate,
+           MIN(cnt) >= MIN(c) AS never_undercounts,
+           CAST(MIN(cnt) - MIN(c) AS BIGINT) AS overestimate
+    FROM probe GROUP BY t
+    """,
+)
+def t92_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.filter(token_count("text") >= 1).select(
+        F.explode(tokens("text")).alias("t")
+    )
+
+    def col_for(row: int):
+        start, length = _T92_POS[row]
+        return (
+            F.conv(F.substring(F.md5("t"), start, length), 16, 10).cast("long")
+            % _T92_W
+        )
+
+    pos = tok.select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), col_for(r).alias("col"))
+                    for r in range(3)
+                ]
+            )
+        ).alias("rc"),
+    ).select("t", "rc.r", "rc.col")
+    counters = pos.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(10)
+    )
+    probe_pos = exact.select(
+        "t",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), col_for(r).alias("col"))
+                    for r in range(3)
+                ]
+            )
+        ).alias("rc"),
+    ).select("t", "c", "rc.r", "rc.col")
+    est = (
+        probe_pos.join(F.broadcast(counters), on=["r", "col"])
+        .groupBy("t")
+        .agg(
+            F.min("c").alias("exact_count"),
+            F.min("cnt").cast("bigint").alias("cms_estimate"),
+        )
+    )
+    return est.select(
+        F.col("t").alias("term"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
+        (F.col("cms_estimate") - F.col("exact_count")).cast("bigint").alias("overestimate"),
+    )
