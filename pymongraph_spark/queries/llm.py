@@ -3213,3 +3213,109 @@ def t92_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
         (F.col("cms_estimate") - F.col("exact_count")).cast("bigint").alias("overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic token-dropout augmentation: drop ~10% of tokens chosen
+# by md5(doc_id:position) — reproducible noise (the augmentation seed IS
+# the data), so reruns and distributed re-executions emit identical
+# augmented text. Pure Column expressions: positions via zip_with over a
+# sequence, filter + re-join. The stats prove the drop rate without
+# shipping every augmented string through the hash compare twice.
+# --------------------------------------------------------------------------
+@query(
+    "t93_token_dropout_augmentation",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             [t for t in list_transform(list_zip(toks, generate_series(1, len(toks))),
+                p -> CASE WHEN list_reduce(
+                       [CAST(strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p[2] AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                        for i in generate_series(1, 8)], (a, x) -> a * 16 + x) % 10 = 0
+                     THEN NULL ELSE p[1] END)
+              if t IS NOT NULL] AS kept
+      FROM tk WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS aug_hash
+    FROM marked
+    """,
+)
+def t93_token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = docs.filter(token_count("text") >= 1).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    # md5(doc_id:pos) % 10 == 0 → drop. zip tokens with 1-based positions.
+    def keep_flag(pos_col):
+        h = F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), pos_col.cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10 != 0
+
+    zipped = F.zip_with(
+        F.col("toks"),
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    return tk.select(
+        "doc_id",
+        F.size(F.filter(zipped, lambda p: keep_flag(p["i"]))).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(F.filter(zipped, lambda p: keep_flag(p["i"])), lambda p: p["t"]),
+                " ",
+            )
+        ).alias("aug_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching: docs grouped into power-of-two token-length
+# buckets (the padding-efficiency layout — batches pad to the bucket
+# size, not the corpus max). Bucket via binary-string length (no
+# transcendental log, same trick as the HLL rho); padding waste per
+# bucket = Σ(bucket_size − n_tokens), the number a batching layer
+# minimizes. All-integer.
+# --------------------------------------------------------------------------
+@query(
+    "t94_length_bucketed_batching",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 1 THEN 1
+                  ELSE CAST(1 AS BIGINT) << CAST(len(bin(n_tokens - 1)) AS INT)
+             END AS bucket
+      FROM tk WHERE n_tokens >= 1
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def t94_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = token_count("text")
+    tk = docs.select("doc_id", n.alias("n_tokens")).filter(F.col("n_tokens") >= 1)
+    bucket = F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tokens - 1)) AS INT))")
+    )
+    return (
+        tk.select("doc_id", "n_tokens", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("bigint").alias("padding_waste"),
+        )
+    )

@@ -3083,3 +3083,85 @@ def q84_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("within_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit NULL-ordering semantics: the engines DISAGREE by default
+# (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST), so any query
+# whose ranking can see a NULL must pin the placement explicitly — this
+# one does, in both directions, over a column that is genuinely null
+# (no purchase yet → null last_value). Deterministic total order via
+# the event_id tiebreak.
+# --------------------------------------------------------------------------
+@query(
+    "q85_null_ordering_pinned",
+    oracle="""
+    WITH lv AS (
+      SELECT event_id, user_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS lpv
+      FROM events
+    )
+    SELECT event_id, lpv,
+           ROW_NUMBER() OVER (ORDER BY lpv ASC NULLS FIRST, event_id) AS rn_nulls_first,
+           ROW_NUMBER() OVER (ORDER BY lpv DESC NULLS LAST, event_id) AS rn_nulls_last
+    FROM lv
+    WHERE event_id < 500
+    """,
+)
+def q85_null_ordering_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lpv = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    lv = e.select("event_id", "user_id", lpv.alias("lpv")).filter(F.col("event_id") < 500)
+    return lv.select(
+        "event_id",
+        "lpv",
+        F.row_number()
+        .over(Window.orderBy(F.col("lpv").asc_nulls_first(), "event_id"))
+        .alias("rn_nulls_first"),
+        F.row_number()
+        .over(Window.orderBy(F.col("lpv").desc_nulls_last(), "event_id"))
+        .alias("rn_nulls_last"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 COLLATIONS: case-insensitive grouping via a collated column
+# (UTF8_LCASE) instead of a lower() projection — the collation travels
+# with the type, so every downstream comparison/join/group inherits it.
+# Case variance is manufactured deterministically (initcap on even
+# custkeys); output canonicalizes through binary min so the collated
+# group's representative is stable. Oracle: GROUP BY lower().
+# --------------------------------------------------------------------------
+@query(
+    "q86_collated_grouping",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN c_custkey % 2 = 0
+                  THEN upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment, COUNT(*) AS n, MIN(seg) AS canon
+    FROM s GROUP BY lower(seg)
+    """,
+)
+def q86_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    s = c.select(seg.alias("seg"))
+    return (
+        s.groupBy(F.collate("seg", "UTF8_LCASE").alias("cseg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(F.collate("seg", "UTF8_BINARY")).alias("canon"))
+        .select(F.lower("cseg").cast("string").alias("segment"), "n", "canon")
+    )
