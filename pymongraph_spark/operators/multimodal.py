@@ -575,3 +575,58 @@ def dhash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return media.mapInPandas(
         batches, schema=f"{id_col} bigint, width int, height int, dhash bigint"
     )
+
+
+def wav_frame_energy(
+    media: DataFrame, frame_size: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-level RMS energy over REAL WAV decode (the stdlib ``wave``
+    container parse, same path as _wav_decode): each payload's PCM
+    samples split into fixed frames, RMS per frame — the silence/VAD
+    primitive of an audio curation pipeline. Amplitudes are k/128 exact
+    dyadics and sqrt is IEEE correctly rounded, so frame energies are
+    bit-identical across engines. Trailing partial frames are kept with
+    their true sample count."""
+    import io
+    import math
+    import struct
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, ns, rms = [], [], [], []
+            for doc_id, mt, payload in zip(
+                pdf[id_col], pdf["media_type"], pdf["payload"]
+            ):
+                if not str(mt).startswith("audio/wav"):
+                    raise ValueError(f"wav_frame_energy needs WAV payloads, got {mt}")
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    sampwidth = w.getsampwidth()
+                    raw = w.readframes(w.getnframes())
+                if sampwidth == 1:
+                    amps = [abs(b - 128) / 128.0 for b in raw]
+                elif sampwidth == 2:
+                    vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+                    amps = [abs(v) / 32768.0 for v in vals]
+                else:
+                    raise ValueError(f"unsupported PCM sample width {sampwidth}")
+                for f in range(0, len(amps), frame_size):
+                    frame = amps[f : f + frame_size]
+                    ids.append(int(doc_id))
+                    fidx.append(f // frame_size)
+                    ns.append(len(frame))
+                    # math.sqrt, not **0.5: pow(x, 0.5) is not IEEE
+                    # correctly rounded and drifts 1 ulp from SQL sqrt
+                    rms.append(math.sqrt(sum(a * a for a in frame) / len(frame)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema=f"{id_col} bigint, frame_idx int, n_samples int, rms double"
+    )

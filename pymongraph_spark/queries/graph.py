@@ -1127,3 +1127,57 @@ def g52_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.vertices, g.edges, max_iter=4, scale=10**9, sources=[_G52_SOURCE]
     )
     return ranks.filter(F.col("rank") > 0)
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality of customer 1 within 3 undirected hops: Σ 1/d(v)
+# over reached vertices — the centrality that handles disconnection
+# gracefully (unreached contribute 0, no infinite distances). 1/3 is not
+# dyadic, so the fold runs in sorted (distance, id) order in BOTH
+# engines; counts per depth ride along. Distances come from the same
+# frontier BFS g42 gates.
+# --------------------------------------------------------------------------
+@query(
+    "g53_harmonic_centrality",
+    oracle=ORACLE_GRAPH_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , und AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    bfs AS (
+      SELECT CAST(4 AS BIGINT) AS id, 0 AS dist
+      UNION
+      SELECT und.dst AS id, bfs.dist + 1 AS dist
+      FROM bfs JOIN und ON und.src = bfs.id
+      WHERE bfs.dist < 3
+    ),
+    d AS (
+      SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id HAVING MIN(dist) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+           CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+           CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+           list_reduce(list_prepend(0.0, list(1.0 / dist ORDER BY dist, id)),
+                       (a, b) -> a + b) AS harmonic
+    FROM d
+    """,
+)
+def g53_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.graph_algos import bfs_distances
+
+    g = tpch_graph(spark, sf_dir)
+    d = bfs_distances(g.edges, source=4, max_depth=3, undirected=True).filter(
+        F.col("distance") > 0
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(F.when(F.col("distance") == 1, 1).otherwise(0)).cast("bigint").alias("n_d1"),
+        F.sum(F.when(F.col("distance") == 2, 1).otherwise(0)).cast("bigint").alias("n_d2"),
+        F.sum(F.when(F.col("distance") == 3, 1).otherwise(0)).cast("bigint").alias("n_d3"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("distance", "id"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / x["distance"].cast("double"),
+        ).alias("harmonic"),
+    )

@@ -3319,3 +3319,32 @@ def t94_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("bucket") - F.col("n_tokens")).cast("bigint").alias("padding_waste"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Frame-level audio energy over REAL WAV decode (the silence / VAD
+# primitive): 64 PCM samples → four 16-sample frames → RMS each.
+# Amplitudes are k/128 exact dyadics, frame sums of 16 such squares are
+# exact in doubles in any order, and sqrt is IEEE correctly rounded —
+# so the energies are bit-identical and the oracle recomputes them from
+# m74's sample formula while Spark parses the genuine RIFF container.
+# --------------------------------------------------------------------------
+@query(
+    "m77_wav_frame_energy",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(16 AS INT) AS n_samples,
+           sqrt(list_reduce(
+             [ (abs(((doc_id * 31 + (f * 16 + i) * 7) % 256) - 128) / 128.0)
+               * (abs(((doc_id * 31 + (f * 16 + i) * 7) % 256) - 128) / 128.0)
+               for i in generate_series(0, 15)],
+             (a, b) -> a + b) / 16) AS rms
+    FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f)
+    """,
+)
+def m77_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.multimodal import attach_wav_audio, wav_frame_energy
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return wav_frame_energy(attach_wav_audio(docs), frame_size=16)
