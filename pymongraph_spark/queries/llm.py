@@ -3348,3 +3348,46 @@ def m77_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return wav_frame_energy(attach_wav_audio(docs), frame_size=16)
+
+
+# --------------------------------------------------------------------------
+# Aggressive-normalization dedup tier (the CCNet-paragraph policy): on
+# top of d40's light canon (lowercase + whitespace), strip punctuation
+# and mask digit runs before hashing — catching near-identical boiler-
+# plate that differs only in numbers or punctuation. Policies compose:
+# the same groupBy-min machinery, one more normalization rung.
+# --------------------------------------------------------------------------
+@query(
+    "d56_aggressive_norm_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                 '[0-9]+', '#', 'g'),
+                 '[^a-z#\\s]', '', 'g'),
+                 '\\s+', ' ', 'g'))) AS content_hash,
+           COUNT(*) AS dup_count,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d56_aggressive_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[0-9]+", "#"),
+                r"[^a-z#\s]",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(canon).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
