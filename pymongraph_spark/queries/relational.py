@@ -3165,3 +3165,63 @@ def q86_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min(F.collate("seg", "UTF8_BINARY")).alias("canon"))
         .select(F.lower("cseg").cast("string").alias("segment"), "n", "canon")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix — the product-analytics staple: users are
+# cohorted by their first active day; retention at day-offset k is the
+# distinct-user count active exactly k days later. Scale shape: two
+# shuffles on user_id (first-day agg + user-day distinct), one equi-join
+# on that uniform key, then a (cohort_date, offset) partial agg; the
+# cohort-size frame is calendar-bounded (≤ days in range) and broadcast.
+# Nothing is corpus × corpus and no window sort is involved.
+# --------------------------------------------------------------------------
+@query(
+    "q87_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    r AS (
+      SELECT f.cohort_date,
+             datediff('day', f.cohort_date, a.d) AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM a JOIN f USING (user_id)
+      WHERE datediff('day', f.cohort_date, a.d) <= 7
+      GROUP BY 1, 2
+    ),
+    c AS (SELECT cohort_date, COUNT(*) AS n_cohort FROM f GROUP BY 1)
+    SELECT strftime(r.cohort_date, '%Y-%m-%d') AS cohort_date,
+           CAST(r.day_offset AS INT) AS day_offset,
+           r.n_active,
+           c.n_cohort,
+           CAST(r.n_active AS DOUBLE) / c.n_cohort AS retention
+    FROM r JOIN c USING (cohort_date)
+    """,
+)
+def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    joined = active.join(firsts, on="user_id").select(
+        "cohort_date",
+        F.datediff("d", "cohort_date").alias("day_offset"),
+        "user_id",
+    ).filter(F.col("day_offset") <= 7)
+    ret = joined.groupBy("cohort_date", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return ret.join(F.broadcast(sizes), on="cohort_date").select(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
