@@ -434,3 +434,14 @@ def test_t89_model_join_no_cartesian(spark):
     plan = _plan(QUERIES["t89_bigram_lm_score"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q87_cohort_sizes_broadcast_no_window(spark):
+    # the calendar-bounded cohort-size frame joins via broadcast; the
+    # retention rollup is pure partial aggregation — no window sort and
+    # no cartesian anywhere.
+    df = QUERIES["q87_cohort_retention"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
