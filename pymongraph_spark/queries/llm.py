@@ -3064,7 +3064,10 @@ def t90_arrow_udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t91_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint")
+    @udtf(
+        returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint",
+        useArrow=True,  # ArrowEvalPythonUDTF — batch transfer, not row pickling
+    )
     class LangStats:
         def __init__(self):
             self._lang = None

@@ -445,3 +445,18 @@ def test_q87_cohort_sizes_broadcast_no_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "Cartesian" not in plan
+
+
+def test_registry_plan_lint(spark):
+    # registry-wide sweep: no CartesianProduct, no row-at-a-time Python
+    # eval outside the inline allowlist (scripts/plan_lint.py).
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_lint.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.lint(SF_SMALL) == 0
