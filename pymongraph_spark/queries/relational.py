@@ -3225,3 +3225,70 @@ def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering layout — the lakehouse multi-dimensional
+# data-skipping technique (Delta OPTIMIZE ZORDER / Hudi space-filling
+# curves): interleaving the bits of two filter dimensions gives ONE sort
+# key whose ranges are simultaneously tight in BOTH dimensions, so
+# min/max file statistics prune scans on either predicate. Here the
+# events table is z-ordered on (user_id, day): the query emits per
+# z-range-bucket min/max spans of both dims — the statistics a writer
+# would put in the parquet footer. The interleave is 32 shifted bit
+# tests folded into one codegen'd integer expression (no UDF); bucketing
+# is a uniform partial agg. tests/test_plans.py pins the clustering
+# claim: within-bucket spans are a small fraction of the global span for
+# BOTH dimensions, which straight sorting on either single key cannot do.
+# --------------------------------------------------------------------------
+def _morton32(xcol, ycol):
+    """Interleave the low 16 bits of x (even positions) and y (odd)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xcol, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(ycol, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+_SQL_MORTON = " + ".join(
+    f"(((user_id >> {i}) & 1) << {2 * i}) + (((d >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@query(
+    "q88_zorder_layout",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, CAST(EXTRACT(day FROM ts) AS BIGINT) AS d
+      FROM events
+    ),
+    z AS (SELECT user_id, d, {_SQL_MORTON} AS zval FROM s)
+    SELECT zval // 64 AS z_bucket,
+           COUNT(*) AS n,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(d) AS min_day, MAX(d) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def q88_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    s = e.select(
+        F.col("user_id"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+    )
+    z = s.select(
+        "user_id", "d", _morton32(F.col("user_id"), F.col("d")).alias("zval")
+    )
+    return z.groupBy(
+        F.floor(F.col("zval") / 64).alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+    )

@@ -460,3 +460,16 @@ def test_registry_plan_lint(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.lint(SF_SMALL) == 0
+
+
+def test_q88_zorder_clusters_both_dimensions(spark):
+    # the point of the z-order layout: within-bucket min/max spans are a
+    # strict fraction of the global span for BOTH dims simultaneously —
+    # a straight sort on either single key leaves the other at ~1.0.
+    pdf = QUERIES["q88_zorder_layout"](spark, SF_SMALL).toPandas()
+    gu = pdf.max_user.max() - pdf.min_user.min()
+    gd = pdf.max_day.max() - pdf.min_day.min()
+    assert (pdf.max_user - pdf.min_user).mean() / gu < 0.7
+    assert (pdf.max_day - pdf.min_day).mean() / gd < 0.5
+    plan = _plan(QUERIES["q88_zorder_layout"](spark, SF_SMALL))
+    assert "Window" not in plan and "Cartesian" not in plan
