@@ -3292,3 +3292,72 @@ def q88_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_day"),
         F.max("d").alias("max_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape (important stock) adapted to the schema at hand (no
+# partsupp table): parts whose lineitem revenue exceeds a fixed fraction
+# of TOTAL revenue. The global total is a 1-row aggregate joined back by
+# broadcast-nested-loop (tiny build side — the sanctioned scalar-subquery
+# plan); the per-part rollup is one partial agg on the uniform p_partkey.
+# Decimal-exact sums keep the threshold comparison deterministic at any
+# executor count.
+# --------------------------------------------------------------------------
+@query(
+    "q89_important_parts",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, {SUM_D.format('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM pr)
+    SELECT pr.l_partkey AS p_partkey, pr.revenue
+    FROM pr, tot
+    WHERE pr.revenue > tot.total * 0.0005
+    """,
+)
+def q89_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pr = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    tot = pr.agg(F.sum("revenue").alias("total"))
+    return (
+        pr.join(F.broadcast(tot))
+        .filter(F.col("revenue") > F.col("total") * F.lit(0.0005))
+        .select("p_partkey", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape (parts/supplier relationship) adapted: how many
+# distinct suppliers serve each (p_brand, p_size) group, EXCLUDING
+# suppliers in deficit (s_acctbal < 0 stands in for Q16's complaints
+# predicate). The exclusion is an anti-join (never NOT IN's null trap);
+# the distinct count is a partial-deduping agg on uniform keys; part is
+# the only dim and joins broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q90_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q90_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    li = t["lineitem"].join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+    return (
+        li.join(F.broadcast(t["part"]), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
