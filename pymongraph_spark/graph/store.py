@@ -127,6 +127,49 @@ def load(
     )
 
 
+def changes(
+    spark: SparkSession, path: str, v_from: str, v_to: str | None = None
+):
+    """CDC change feed between two retained snapshots (Delta CDF
+    analogue on the version-swap store): one row per inserted/deleted
+    entity, keyed by the deterministic hash id. Implemented as two
+    anti-joins per entity on the uniform 64-bit id — each is a single
+    hash-partitioned shuffle; nothing compares full prop payloads, so
+    the diff cost is key-width × |snapshot|, not row-width. Updates
+    (same id, new props) surface through the writes-tier merge policy
+    instead, which is deterministic by design.
+
+    Returns a DataFrame (entity, op, id, label) — 'vertex'/'edge' ×
+    'insert'/'delete'.
+    """
+    from pyspark.sql import functions as F
+
+    a = load(spark, path, version=v_from)
+    b = load(spark, path, version=v_to)
+    if a is None or b is None:
+        raise ValueError(f"store at {path!r} lacks the requested versions")
+    parts = []
+    for entity, fa, fb in (
+        ("vertex", a.vertices, b.vertices),
+        ("edge", a.edges, b.edges),
+    ):
+        ka = fa.select("id", "label")
+        kb = fb.select("id", "label")
+        for op, new, old in (("insert", kb, ka), ("delete", ka, kb)):
+            parts.append(
+                new.join(old.select("id"), on="id", how="left_anti").select(
+                    F.lit(entity).alias("entity"),
+                    F.lit(op).alias("op"),
+                    "id",
+                    "label",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # Column DDL + bucket column per bucketed table suffix — single source of
 # truth shared by save_bucketed (writer) and register_bucketed_external
 # (re-attaching an earlier process's files to a fresh in-memory catalog).

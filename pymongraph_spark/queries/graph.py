@@ -1181,3 +1181,61 @@ def g53_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.lit(1.0) / x["distance"].cast("double"),
         ).alias("harmonic"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC change feed over the versioned store (Delta CDF analogue): save v1,
+# apply one round of writes (the g45 BUILDING cascade delete + a 3-row
+# tag-vertex upsert), save v2, then diff the two snapshots with
+# store.changes — anti-joins on the deterministic hash ids, never a
+# prop-payload comparison. The oracle recomputes every count from the
+# base tables: deletes are the cascade's footprint, inserts the upsert
+# batch. At 100 TB this is how a downstream consumer tails the graph
+# store incrementally instead of re-reading snapshots.
+# --------------------------------------------------------------------------
+@query(
+    "g54_store_cdc",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    , doomed AS (SELECT c_custkey*4 AS id FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'edge' AS entity, 'delete' AS op,
+           (SELECT COUNT(*) FROM e WHERE src IN (SELECT id FROM doomed)
+                                      OR dst IN (SELECT id FROM doomed)) AS n
+    UNION ALL
+    SELECT 'vertex', 'delete', (SELECT COUNT(*) FROM v WHERE id IN (SELECT id FROM doomed))
+    UNION ALL
+    SELECT 'vertex', 'insert', 3
+    """,
+)
+def g54_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pymongraph_spark.graph import store
+
+    g = tpch_graph(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"g54_store_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store.save(g, path)
+    v1 = store.versions(path)[-1]
+    doomed = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 4).alias("id")
+    )
+    tags = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "name: string"
+    )
+    g2 = upsert_vertices(
+        delete_vertices(g, doomed),
+        "tag",
+        tags,
+        key="name",
+        registry={"tag": {"name"}},
+    )
+    store.save(g2, path)
+    return (
+        store.changes(spark, path, v1)
+        .groupBy("entity", "op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
