@@ -178,3 +178,42 @@ def test_delta_versions_sort_numerically(tmp_path):
     got = store.versions(str(tmp_path / "store"))
     assert got == [str(i) for i in range(12)]
     assert got[-1] == "11"
+
+
+def test_store_changes_cdc(spark, tmp_path):
+    """store.changes: inserts/deletes keyed by id; identical snapshots
+    diff to empty; a missing version fails loudly."""
+    import pytest as _pytest
+
+    from pymongraph_spark.graph import store
+    from pymongraph_spark.graph.model import PropertyGraph
+
+    def mkgraph(ids):
+        v = spark.createDataFrame(
+            [(i, "thing", None) for i in ids],
+            "id: long, label: string, props: map<string,string>",
+        )
+        e = spark.createDataFrame(
+            [(100 + a, a, b, "next", None) for a, b in zip(ids, ids[1:])],
+            "id: long, src: long, dst: long, label: string, props: map<string,string>",
+        )
+        return PropertyGraph(v, e)
+
+    path = str(tmp_path / "g")
+    store.save(mkgraph([0, 1, 2]), path)          # edges 100, 101
+    v1 = store.versions(path)[-1]
+    store.save(mkgraph([1, 2, 3]), path)          # edges 101, 102
+    rows = {
+        (r.entity, r.op, r.id)
+        for r in store.changes(spark, path, v1).collect()
+    }
+    assert rows == {
+        ("vertex", "delete", 0),
+        ("vertex", "insert", 3),
+        ("edge", "delete", 100),
+        ("edge", "insert", 102),
+    }
+    # same version against itself → empty feed
+    assert store.changes(spark, path, v1, v1).count() == 0
+    with _pytest.raises(ValueError):
+        store.changes(spark, path, "no-such-version")
