@@ -3394,3 +3394,86 @@ def d56_aggressive_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift monitor — the pipeline-observability gate a 100 TB
+# ingest runs before accepting a new data period: total-variation
+# distance between the value histograms of two time slices, per event
+# type. TVD instead of PSI/KL because it is log-free: with both engines
+# computing n_i/N by one IEEE division and summing |p-q| in bucket order
+# (an ordered fold, not a nondeterministic SUM), the statistic is
+# bit-identical and sits under the hash gate. Scale shape: one scan with
+# conditional partial aggs to (type, bucket), a broadcast join to the
+# type totals (bounded by |event_type|), and a 10-element fold — nothing
+# corpus-sized leaves the first aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "t95_distribution_drift",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS ia
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, bucket,
+             CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(SUM(1 - ia) AS BIGINT) AS nb
+      FROM s GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb
+      FROM b GROUP BY 1
+    ),
+    d AS (
+      SELECT b.event_type, b.bucket,
+             abs(CAST(b.na AS DOUBLE) / t.ta - CAST(b.nb AS DOUBLE) / t.tb) AS ad
+      FROM b JOIN t USING (event_type)
+    )
+    SELECT d.event_type, MIN(t.ta) AS n_first, MIN(t.tb) AS n_second,
+           0.5 * list_reduce(list(d.ad ORDER BY d.bucket), (a, x) -> a + x) AS tvd
+    FROM d JOIN t USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def t95_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    s = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("bigint").alias("bucket"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit(1)).otherwise(F.lit(0)).alias("ia"),
+    )
+    b = s.groupBy("event_type", "bucket").agg(
+        F.sum("ia").alias("na"), F.sum(1 - F.col("ia")).alias("nb")
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    d = b.join(F.broadcast(t), on="event_type").select(
+        "event_type",
+        "bucket",
+        F.abs(
+            F.col("na").cast("double") / F.col("ta")
+            - F.col("nb").cast("double") / F.col("tb")
+        ).alias("ad"),
+        "ta",
+        "tb",
+    )
+    return d.groupBy("event_type").agg(
+        F.min("ta").alias("n_first"),
+        F.min("tb").alias("n_second"),
+        (
+            F.lit(0.5)
+            * F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "ad"))),
+                    lambda x: x["ad"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("tvd"),
+    )
