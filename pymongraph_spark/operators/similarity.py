@@ -689,3 +689,48 @@ def ivfpq_topk(
         F.col("subspace").cast("int").alias("subspace"), "code",
     )
     return _adc_rank(cell_codes, lut, ["cell", "subspace", "code"], k)
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 sign projection (Achlioptas 2001): a
+    deterministic random-sign matrix drops ``in_dim`` to ``out_dim``
+    while approximately preserving angles, so downstream scoring runs on
+    4× (64→16) narrower vectors. The sign matrix derives from md5 of
+    "{tag}{i}_{j}" — engine-neutral (any SQL engine reproduces it), and
+    embedded as a PLAN LITERAL: each output dim is one codegen'd
+    zip_with+fold, no UDF, no shuffle, no driver state. At 100 TB the
+    projection is a map-only pass whose cost is out_dim folds per row;
+    the matrix (out_dim × in_dim floats) lives in the plan, never on
+    the wire per-row.
+    """
+    import hashlib
+
+    signs = [
+        [
+            1.0
+            if int(hashlib.md5(f"{tag}{i}_{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+    rows_lit = [F.array(*[F.lit(s) for s in row]) for row in signs]
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(x, rows_lit[i], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for i in range(out_dim)
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))

@@ -3477,3 +3477,98 @@ def t95_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tvd"),
     )
+
+
+# --------------------------------------------------------------------------
+# JL random-projection candidate search + exact re-rank — the two-stage
+# retrieval shape production ANN systems use (coarse scorer proposes,
+# exact scorer disposes), with Johnson-Lindenstrauss ±1 signs as the
+# coarse tier: rank all neighbors in a 32-dim projection (half-width
+# folds), keep the top-C=128 per query, re-rank ONLY those with the
+# exact 64-dim cosine, return the top-3. The md5-derived sign matrix is
+# engine-neutral, so unlike the numpy-seeded s51 the whole two-stage
+# pipeline sits under the full hash gate. On this deliberately isotropic
+# corpus (neighbor margins ~0.01, no cluster structure — the hardest
+# case for any projection) recall@3 vs s50 is 20/24 at C=128, pinned in
+# tests/test_similarity_pq.py; C is an absolute budget, so the candidate
+# fraction C/n vanishes as the corpus grows, and clustered real corpora
+# reach the same recall at far smaller C.
+# --------------------------------------------------------------------------
+_SQL_JL_PROJ = """
+      SELECT vec_id,
+             list_transform(generate_series(0, 31), i ->
+               list_reduce(
+                 list_transform(list_zip(embedding, generate_series(0, 63)),
+                   p -> CAST(p[1] AS DOUBLE) *
+                        (CASE WHEN strpos('01234567',
+                                substr(md5('jl' || i || '_' || p[2]), 1, 1)) > 0
+                              THEN 1.0 ELSE -1.0 END)),
+                 (acc, v) -> acc + v)) AS p
+      FROM embeddings
+"""
+
+_SQL_EXACT_COS = """
+    list_reduce(list_transform(list_zip(qe.embedding, ce.embedding),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                (a, x) -> a + x)
+    / (sqrt(list_reduce(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+       * sqrt(list_reduce(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+"""
+
+
+@query(
+    "s61_jl_projection_topk",
+    oracle=f"""
+    WITH proj AS ({_SQL_JL_PROJ}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(q.p, c.p), z -> z[1] * z[2]),
+                           (a, x) -> a + x)
+               / (sqrt(list_reduce(list_transform(q.p, x -> x * x), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(c.p, x -> x * x), (a, b) -> a + b)))
+               DESC, c.vec_id) AS prank
+      FROM proj q JOIN proj c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id, {_SQL_EXACT_COS} AS cosine_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      WHERE cand.prank <= 128
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def s61_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.vectors import cosine
+    from pymongraph_spark.operators.similarity import brute_force_topk, jl_project
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    proj = jl_project(emb, in_dim=64, out_dim=32)
+    cand = brute_force_topk(
+        proj, proj.filter(F.col("vec_id") < 8), k=128, vec_col="proj"
+    ).select("query_id", "neighbor_id")
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    ce = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    rer = (
+        cand.join(F.broadcast(qe), on="query_id")
+        .join(ce, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

@@ -135,3 +135,29 @@ def test_pq_geometry_mismatch_raises(spark):
         pq_topk_adc(codes, wrong, cb, k=1)
     with pytest.raises(ValueError, match="does not match codebook geometry"):
         pq_encode(wrong, cb)
+
+
+def test_s61_jl_rerank_recall_vs_exact(spark):
+    # two-stage JL candidate + exact re-rank: on the isotropic corpus
+    # (the hardest case for projection) the C=128 candidate budget must
+    # recover the majority of the exact top-3 — and stage-2 scores are
+    # EXACT, so every returned pair that overlaps s50 carries the same
+    # cosine.
+    from tests.conftest import SF_SMALL
+
+    from pymongraph_spark.queries import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in QUERIES["s50_cosine_topk_bruteforce"](spark, SF_SMALL)
+        .filter("rank <= 3")
+        .collect()
+    }
+    jl = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in QUERIES["s61_jl_projection_topk"](spark, SF_SMALL).collect()
+    }
+    hits = set(exact) & set(jl)
+    assert len(hits) / len(exact) >= 0.6
+    for pair in hits:
+        assert exact[pair] == jl[pair]  # stage 2 is exact, bit-for-bit
