@@ -3361,3 +3361,55 @@ def q90_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension versioning — the warehouse idiom for tracking
+# attribute history: each customer's orders become versioned rows with
+# [valid_from, valid_to) intervals, a monotonically increasing version
+# number, and an is_current flag on the open interval. One shuffle on
+# the natural key; the interval close is a lead() window over the SAME
+# partitioning (no second exchange). Deterministic tie-break: orders on
+# the same date version in o_orderkey order. At 100 TB the dimension
+# key is uniform and the window never sees more than one key's history
+# per task.
+# --------------------------------------------------------------------------
+@query(
+    "q91_scd2_customer_versions",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey AS c_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             o_totalprice AS totalprice,
+             ROW_NUMBER() OVER w AS version,
+             LEAD(strftime(o_orderdate, '%Y-%m-%d')) OVER w AS valid_to
+      FROM orders
+      WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT c_custkey, CAST(version AS INT) AS version, valid_from,
+           COALESCE(valid_to, '9999-12-31') AS valid_to,
+           totalprice,
+           (valid_to IS NULL) AS is_current
+    FROM h
+    """,
+)
+def q91_scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    vf = F.date_format("o_orderdate", "yyyy-MM-dd")
+    h = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        vf.alias("valid_from"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead(vf).over(w).alias("valid_to_raw"),
+    )
+    return h.select(
+        "c_custkey",
+        "version",
+        "valid_from",
+        F.coalesce("valid_to_raw", F.lit("9999-12-31")).alias("valid_to"),
+        "totalprice",
+        F.col("valid_to_raw").isNull().alias("is_current"),
+    )
