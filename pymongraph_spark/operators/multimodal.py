@@ -559,6 +559,13 @@ def dhash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         if px[base + c] > px[base + c + 1]:
                             bits |= 1 << k
                         k += 1
+                # two's-complement wrap: at the full 64-bit budget (8x9
+                # crop) bit 63 is legal, but a set top bit is >= 2^63 and
+                # overflows the int64 column — store the signed
+                # reinterpretation (hamming distance is unaffected; the
+                # <= 63-bit cases, incl. our 8x8 generators, are unchanged)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
                 ids.append(int(doc_id))
                 ws.append(w)
                 hs.append(h)

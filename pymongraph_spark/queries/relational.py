@@ -1929,13 +1929,20 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -
     clustering requirement — no Exchange on either side (pinned in
     test_bucketing.py). At 100 TB this is THE fact-fact join strategy:
     pay one bucketed write, then every orderkey join of every later
-    query skips both shuffles. Stale generations of the same sf_dir are
-    GC'd age-gated (concurrent readers of the old generation get a
-    grace window), mirroring the derived-graph cache."""
+    query skips both shuffles. Cross-process lifecycle mirrors the
+    derived-graph cache exactly (one shared mechanism,
+    store.attach_bucketed_table): a fresh JVM whose in-memory catalog
+    has forgotten the tables RE-ATTACHES the surviving files via
+    CREATE TABLE ... CLUSTERED BY ... LOCATION instead of
+    rmtree-and-rebuilding — so the bucketed write really is paid once
+    per generation, and a concurrent reader can never be killed
+    mid-scan (VERDICT r5 #1). rmtree only ever touches a location
+    without a _SUCCESS marker (interrupted write from a dead JVM);
+    stale GENERATIONS are GC'd age-gated with the shared grace
+    window."""
     import os
-    import shutil
 
-    from pymongraph_spark.graph.store import _warehouse_path
+    from pymongraph_spark.graph.store import _warehouse_path, attach_bucketed_table
     from pymongraph_spark.queries.graph import _touch_last_used, drop_stale_generations
 
     prefix = _bucketed_pair_prefix(sf_dir)
@@ -1943,17 +1950,41 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -
         "orders": ("o_orderkey", ["o_orderkey", "o_orderpriority"]),
         "lineitem": ("l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
     }
-    tables = load_tables(spark, sf_dir)
+    def sidecar_backfill(loc: str) -> None:
+        # pre-sidecar saves (older rounds) get the count recorded so every
+        # future attach declares what the files actually satisfy
+        p = os.path.join(loc, "_BUCKETS")
+        if not os.path.exists(p):
+            with open(p, "w") as fh:
+                fh.write(str(buckets))
+
+    tables = None
     for t, (key, cols) in specs.items():
         name = f"{prefix}_{t}"
         loc = _warehouse_path(spark, name)
         if spark.catalog.tableExists(name):
             _touch_last_used(loc)
+            sidecar_backfill(loc)
             continue
-        shutil.rmtree(loc, ignore_errors=True)  # orphan from a dead JVM
+        if attach_bucketed_table(spark, name, key, buckets_fallback=buckets):
+            _touch_last_used(loc)
+            sidecar_backfill(loc)
+            continue
+        # No complete files on disk: build. An orphaned partial write
+        # (dead JVM mid-write — no _SUCCESS, so no reader can be on it)
+        # would make saveAsTable raise LOCATION_ALREADY_EXISTS; clear it.
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        if tables is None:
+            tables = load_tables(spark, sf_dir)
         tables[t].select(cols).write.bucketBy(buckets, key).sortBy(key).mode(
             "overwrite"
         ).format("parquet").saveAsTable(name)
+        # _BUCKETS sidecar: the count a later process's re-attach MUST
+        # declare (mismatch = silently wrong bucketed joins)
+        with open(os.path.join(loc, "_BUCKETS"), "w") as fh:
+            fh.write(str(buckets))
         _touch_last_used(loc)
     # age-gated GC of other GENERATIONS of this sf_dir's pair (shared
     # policy with the derived-graph caches — one implementation)
@@ -2641,7 +2672,11 @@ def q76_hll_neutral(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 14), 16, 10).cast(
         "long"
     )
-    w = (F.col("hv") / 16).cast("long")  # hv // 16: hv >= 0 so both agree
+    # hv // 16 EXACTLY: hv is a 56-bit value, and double division is only
+    # exact to 2^53, so (hv/16).cast(long) could truncate differently from
+    # the oracle's integer quotient near 16*2^k boundaries (ADVICE r5 #3) —
+    # shiftright is the bit-identical integer form
+    w = F.shiftright(F.col("hv"), 4)
     rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
     reg = (
         o.select(F.col("o_orderpriority").alias("grp"), hv.alias("hv"))
@@ -3033,10 +3068,12 @@ def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q83_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
-    k = F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999")).cast("bigint")
-    missing = F.try_to_number(
-        F.get_json_object("props", "$.missing"), F.lit("999999")
-    ).cast("bigint")
+    # try_cast, not try_to_number with a fixed-width format: the oracle's
+    # TRY_CAST accepts negatives and any digit width, and a '999999'
+    # format would silently NULL wider/signed values the oracle parses
+    # (ADVICE r5 #4)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    missing = F.get_json_object("props", "$.missing").try_cast("bigint")
     cells = e.select("event_id", k.alias("k"), missing.alias("missing"))
     safe_div = F.floor(F.try_divide(F.col("k"), F.col("k") % 10)).cast("bigint")
     return cells.agg(

@@ -46,6 +46,15 @@ def main() -> int:
     if tz:
         from pyspark.sql import SparkSession
 
+        # getOrCreate silently ignores builder configs when a session
+        # already exists in the process — the "hostile TZ" run would then
+        # execute under the default timezone while reporting success
+        # (ADVICE r5 #5). Fail loudly, and pin the tz on the session we
+        # actually got so the guarantee holds either way.
+        assert SparkSession.getActiveSession() is None, (
+            "gate_precheck's hostile-TZ mode needs a fresh process: an "
+            "active SparkSession would swallow the timezone config"
+        )
         spark = (
             SparkSession.builder.master("local[16]")
             .config("spark.sql.session.timeZone", tz)
@@ -53,6 +62,8 @@ def main() -> int:
             .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        assert spark.conf.get("spark.sql.session.timeZone") == tz
         spark.sparkContext.setLogLevel("ERROR")
     else:
         spark = get_spark()

@@ -45,6 +45,7 @@ SKIP_PREFIXES = ("st8", "st9")
 
 
 def lint(sf_dir: str) -> int:
+    from pymongraph_spark.audit import all_plan_segments, capture_checkpoint_inputs
     from pymongraph_spark.queries import QUERIES
     from pymongraph_spark.session import get_spark
 
@@ -55,13 +56,18 @@ def lint(sf_dir: str) -> int:
         if name.startswith(SKIP_PREFIXES):
             continue
         try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # capture pre-checkpoint frames: localCheckpoint truncates
+            # lineage, so the final frame's plan alone would be blind to
+            # anything upstream of a checkpoint (ADVICE r5 #1). Linting
+            # final + captured covers every plan segment.
+            with capture_checkpoint_inputs() as captured:
+                df = fn(spark, sf_dir)
+            plans = all_plan_segments(df, captured)
         except Exception as exc:  # noqa: BLE001 — report, don't mask
             bad.append((name, f"plan build failed: {exc}"))
             continue
         for node in ("CartesianProduct", "BatchEvalPython"):
-            if node in plan:
+            if any(node in plan for plan in plans):
                 if (name, node) in ALLOW:
                     allowed_hits.append((name, node))
                 else:

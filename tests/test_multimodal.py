@@ -281,3 +281,33 @@ def test_dhash_rejects_oversized_and_non_bmp(spark):
 
     with _pytest.raises(Exception, match="BMP"):
         dhash_media(media).collect()
+
+
+def test_dhash_full_64bit_budget_top_bit_set(spark):
+    """The documented 8x9 crop uses bit index 63 (9 rows × 8 adjacent
+    pairs = 64 bits). A set top bit must land as the signed int64
+    reinterpretation, not crash with OverflowError (ADVICE r5 #2) —
+    and an 8x10 must still be rejected as over budget."""
+    from pymongraph_spark.operators.multimodal import dhash_media
+
+    # classic dHash geometry: 9 wide × 8 tall → 8 rows × 8 adjacent
+    # pairs = exactly 64 bits. Every row strictly descending along x →
+    # every comparison true → all 64 bits set, including bit 63.
+    img = _bmp_bytes(9, 8, lambda x, y: 255 - x * 10)
+    media = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(img), len(img))],
+        "doc_id: long, media_type: string, payload: binary, byte_len: long",
+    )
+    row = dhash_media(media).collect()[0]
+    assert (row["width"], row["height"]) == (9, 8)
+    assert row["dhash"] == -1  # all 64 bits set, two's-complement
+
+    too_big = _bmp_bytes(9, 9, lambda x, y: 255 - x * 10)
+    media2 = spark.createDataFrame(
+        [(2, "image/bmp", bytearray(too_big), len(too_big))],
+        "doc_id: long, media_type: string, payload: binary, byte_len: long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="budget"):
+        dhash_media(media2).collect()

@@ -24,6 +24,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_all(query_name, spark, sf_dir=SF_SMALL) -> str:
+    """Every plan segment of a registry query, concatenated: the final
+    frame PLUS each pre-localCheckpoint frame. Queries that checkpoint
+    return a lineage-truncated LogicalRDD scan, so asserting on _plan
+    alone would be vacuous for anything upstream of the checkpoint
+    (ADVICE r5 #1) — lint-sensitive tests for checkpointed queries go
+    through this instead."""
+    from pymongraph_spark.audit import all_plan_segments, capture_checkpoint_inputs
+
+    with capture_checkpoint_inputs() as captured:
+        df = QUERIES[query_name](spark, sf_dir)
+    return "\n###SEGMENT###\n".join(all_plan_segments(df, captured))
+
+
 def _formatted(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -254,7 +268,9 @@ def test_t71_corpus_selection_cluster_join_strategy_free(spark):
 
 
 def test_d49_cluster_output_no_cartesian(spark):
-    plan = _plan(QUERIES["d49_neardup_clusters"](spark, SF_SMALL))
+    # d49 checkpoints its pair frame — lint every segment, not the
+    # truncated final scan
+    plan = _plan_all("d49_neardup_clusters", spark)
     assert "CartesianProduct" not in plan
 
 
@@ -349,7 +365,7 @@ def test_t84_cutoff_broadcast_no_wide_shuffle(spark):
 def test_t83_prune_legs_broadcast_and_no_cartesian(spark):
     """Domain-capped sampling: the per-source limit and fallback frames
     join as broadcasts; nothing in the two-leg plan goes cartesian."""
-    plan = _plan(QUERIES["t83_domain_capped_sample"](spark, SF_SMALL))
+    plan = _plan_all("t83_domain_capped_sample", spark)  # checkpointed
     assert "CartesianProduct" not in plan
 
 
@@ -394,7 +410,7 @@ def test_q69_nested_in_stays_semi_join_with_broadcasts(spark):
 def test_d53_containment_no_cartesian(spark):
     """Containment pairs: prefix × full inverted-index join is an
     equi-join on (shingle, lang); verification joins are equi too."""
-    plan = _plan(QUERIES["d53_containment_pairs"](spark, SF_SMALL))
+    plan = _plan_all("d53_containment_pairs", spark)  # checkpointed
     assert "CartesianProduct" not in plan
 
 
@@ -445,6 +461,22 @@ def test_q87_cohort_sizes_broadcast_no_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "Cartesian" not in plan
+
+
+def test_plan_audit_sees_through_checkpoints(spark):
+    """The capture mechanism itself: a cross join hidden behind
+    localCheckpoint is invisible in the final frame's plan (the ADVICE
+    r5 blindness) but MUST appear in the captured segment."""
+    from pymongraph_spark.audit import all_plan_segments, capture_checkpoint_inputs
+
+    a, b = spark.range(3), spark.range(3).withColumnRenamed("id", "id2")
+    with capture_checkpoint_inputs() as captured:
+        hidden = a.crossJoin(b).localCheckpoint(eager=True).select("id")
+    assert len(captured) == 1
+    final = _plan(hidden)
+    assert "Cartesian" not in final and "NestedLoop" not in final  # blind
+    segs = "\n".join(all_plan_segments(hidden, captured))
+    assert "Cartesian" in segs or "NestedLoop" in segs  # capture sees it
 
 
 def test_registry_plan_lint(spark):
