@@ -39,6 +39,75 @@ HEADLINE = [
 ]
 
 
+def _streaming_bench(spark, sf_dir: str) -> dict:
+    """Streaming throughput visibility (one shot each, reported under a
+    'streaming' key so round-over-round regressions are measurable):
+
+    - stream_import_rows_per_sec: JSON-report lines/s through the full
+      readStream → foreachBatch staging-transform → store-merge pipeline
+      (availableNow drain of a deterministic 1k-report fixture).
+    - st88_sec_per_batch: wall seconds per micro-batch of the streaming
+      near-dup index pipeline (4 maxFilesPerTrigger=1 waves over the
+      sf documents table: probe batch vs standing index + index append).
+    """
+    import shutil
+    import tempfile
+
+    from pymongraph_spark.ingest.streaming import stream_import
+    from pymongraph_spark.queries import QUERIES
+
+    base = tempfile.mkdtemp(prefix="sparkgraph_stream_bench_")
+    inp = os.path.join(base, "in")
+    os.makedirs(inp)
+    n_reports = 1000
+    with open(os.path.join(inp, "reports.jsonl"), "w") as fh:
+        for i in range(n_reports):
+            fh.write(
+                json.dumps(
+                    {
+                        f"bench-{i}.example": {
+                            "dns-resolutions": [
+                                {
+                                    "ipaddress": f"10.{i // 256 % 256}.{i % 256}.7",
+                                    "domain": f"bench-{i}.example",
+                                    "date": "2024-01-01",
+                                }
+                            ],
+                            "detected-downloaded": [
+                                {
+                                    "hash": f"h-{i}",
+                                    "datetime": "2024-01-02",
+                                    "prob": f"{i % 60}/60",
+                                }
+                            ],
+                            "asn": 65000 + i,
+                        }
+                    }
+                )
+                + "\n"
+            )
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        q = stream_import(
+            spark,
+            inp,
+            os.path.join(base, "store"),
+            os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        out["stream_import_rows_per_sec"] = round(
+            n_reports / (time.perf_counter() - t0), 1
+        )
+        t0 = time.perf_counter()
+        QUERIES["st88_streaming_neardup_index"](spark, sf_dir).count()
+        out["st88_sec_per_batch"] = round((time.perf_counter() - t0) / 4, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
@@ -75,6 +144,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    streaming = _streaming_bench(spark, sf_dir)
+    print(f"# streaming: {streaming}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -86,6 +158,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "runs_per_query": runs_per_query,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

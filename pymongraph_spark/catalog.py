@@ -28,6 +28,25 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Process-scoped scratch path for queries that write and read back
+    (demo sinks, store round-trips, stream staging dirs). Keyed by PID so
+    two concurrent processes (driver gate + a test run, say) can never
+    rmtree each other's directory mid-read — the same race class as the
+    r5 bucketed-pair cache, solved here by isolation rather than
+    attach-or-build because these dirs are throwaway fixtures, not
+    shared caches. The salted-hash suffix keeps same-process re-runs
+    idempotent under one stable name; orphans of dead processes are
+    small, never reattached (the name embeds the dead pid), and live
+    under the OS-reclaimed temp root."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraph_{kind}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":

@@ -85,8 +85,16 @@ def save(g: PropertyGraph, path: str, keep_versions: int = 2) -> str:
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(path, "_CURRENT"))  # atomic pointer swap
+    # retention GC, age-gated like every other warehouse GC in this repo:
+    # a version beyond the keep count is deleted only once it is also
+    # older than the grace window (the version id IS its commit time in
+    # ms), so a concurrent time-travel reader of a just-superseded
+    # version can finish its scan — it gets collected on a later save.
+    grace_ms = 1000 * int(os.environ.get("SPARKGRAPH_GC_GRACE_SECONDS", "1800"))
+    now_ms = int(time.time() * 1000)
     for stale in versions(path)[: -max(keep_versions, 1)]:
-        shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+        if now_ms - int(stale[1:]) > grace_ms:
+            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
     return vdir
 
 

@@ -277,6 +277,36 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _ivf_assign_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rank every vector against ALL centroids and keep its ``nprobe``
+    nearest cells (cosine desc, tie → min cell) — the standard IVF
+    recall lever: searching the union of the p nearest cells instead of
+    only the argmax cell. Same broadcast shape as ivf_assign; the
+    row_number window partitions by vector over |C| rows each, so the
+    sort is per-vector-tiny at any corpus size. Returns one row per
+    (vector, probed cell): (id, vec, cell)."""
+    c = centroids.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    scored = (
+        _spread_if_narrow(df).join(F.broadcast(c))
+        .select(
+            df[id_col], df[vec_col], F.col("__cid"),
+            cosine(df[vec_col], F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select(id_col, vec_col, F.col("__cid").alias("cell"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -284,17 +314,29 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
-    centroid cells, search only the query's own cell, exact re-rank.
+    centroid cells, search the query's ``nprobe`` nearest cells, exact
+    re-rank.
 
     The scale shape: assignment is a broadcast pass; the search join is an
-    equi-join on ``cell``; recall is tuned by centroid count / multi-cell
-    probing. Centroid choice is the caller's policy — pass a deterministic
-    seed set for reproducibility, or k-means output for quality.
+    equi-join on ``cell``; recall is tuned by centroid count and
+    ``nprobe`` (recall@k is monotone in nprobe — each increment only adds
+    candidates, never removes; measured by s60's recall harness). The
+    default nprobe=1 is bit-identical to the classic single-cell probe
+    (s54's oracle contract). Centroid choice is the caller's policy —
+    pass a deterministic seed set for reproducibility, or k-means output
+    for quality.
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
-    query_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    if nprobe == 1:
+        query_cells = ivf_assign(queries, centroids, id_col, vec_col)
+    else:
+        query_cells = _ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col)
+    query_cells = query_cells.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell"
     )
     cands = (
@@ -734,3 +776,230 @@ def jl_project(
         ]
     )
     return df.select(F.col(id_col), proj.alias("proj"))
+
+
+# --------------------------------------------------------------------------
+# Exact-grid tier: scaled-integer k-means / IVF / PQ-ADC.
+#
+# The float operators above (kmeans_centroids, ivf_topk, pq_*) are the
+# production path; their iterative float means make bit-exact cross-
+# engine oracles impractical. This tier runs the SAME algorithms on an
+# integer grid (qv = floor(val * scale) as BIGINT), where every step —
+# L2² distances, argmin assignment, truncated-division mean updates —
+# is exact integer arithmetic, hence order-independent and bit-identical
+# in any engine. That turns the whole Lloyd's fixpoint + search into
+# something a SQL oracle can replay verbatim as unrolled CTEs (the g48
+# pagerank recipe applied to vector search; VERDICT r5 "Next round" #3).
+#
+# Cross-engine contract (each piece verified against DuckDB):
+# - floor(identical IEEE double) == floor(identical IEEE double);
+# - Spark `div` == DuckDB `//` (both truncate toward zero);
+# - ties broken by min cell id / min neighbor id everywhere.
+#
+# Scale shape matches the float tier: centroids broadcast, assignment is
+# a partial-aggregated groupBy (the corpus shuffles n×m rows, collapsed
+# map-side), candidate generation is an equi-join — never all-pairs.
+# --------------------------------------------------------------------------
+
+GRID_SCALE = 10**6
+# single-subspace sentinel: dim div _WHOLE_VEC == 0 for any real dim,
+# so the PQ machinery degenerates to plain (one-codebook) k-means/IVF
+_WHOLE_VEC = 1 << 20
+
+
+def quantize_dims(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = GRID_SCALE,
+) -> DataFrame:
+    """(vec_id, dim, qv): qv = floor(val·scale) as BIGINT. The one float
+    touchpoint of the exact tier — floor of an identical IEEE double is
+    identical in every engine (no round-half ambiguity)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * F.lit(scale)).alias("qv"),
+    )
+
+
+def quantize_arr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = GRID_SCALE,
+    out: str = "qarr",
+) -> DataFrame:
+    """Array form of quantize_dims, for zip_with re-ranking."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda v: F.floor(v.cast("double") * F.lit(scale))
+        ).alias(out),
+    )
+
+
+def _l2sq_arr(a, b):
+    """Exact integer squared-L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def grid_seeds(df: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """k md5-smallest ids → cells 0..k-1 (the kmeans_centroids seeding
+    rule, restated so a SQL oracle can replay it verbatim). orderBy+limit
+    is a distributed TakeOrdered — no full sort at scale; the window
+    ranks only the k survivors."""
+    w = Window.orderBy("__h", "vec_id")
+    return (
+        df.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cell"), "vec_id"
+        )
+    )
+
+
+def grid_assign(qdims: DataFrame, cent: DataFrame, subdims: int) -> DataFrame:
+    """Per-subspace nearest-centroid assignment: argmin over cells of the
+    exact integer L2², ties → min cell. Returns (vec_id, sub, cell).
+    Centroids broadcast; the max_by-style partial aggregate collapses the
+    n×cells scored rows map-side, so the exchange carries n×m rows."""
+    d = (
+        qdims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", F.expr(f"dim div {subdims}").alias("sub"), "cell")
+        .agg(
+            F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("d")
+        )
+    )
+    return d.groupBy("vec_id", "sub").agg(
+        F.min_by("cell", F.struct("d", "cell")).alias("cell")
+    )
+
+
+def grid_kmeans_codebook(
+    qdims: DataFrame, seeds: DataFrame, iters: int, subdims: int
+) -> DataFrame:
+    """Lloyd's loop on the integer grid: assignment via grid_assign, mean
+    update via truncated integer division (sum div count — Spark `div`
+    == DuckDB `//`). With subdims < dim this learns PER-SUBSPACE
+    codebooks sharing cell ids (the PQ layout); with _WHOLE_VEC it is
+    plain k-means. A cell that loses all members in some subspace drops
+    that subspace's rows — both engines inner-join it away identically.
+    Returns the centroid dim table (cell, dim, cv)."""
+    cent = (
+        seeds.join(qdims, "vec_id")
+        .select("cell", "dim", F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        best = grid_assign(qdims, cent, subdims)
+        cent = (
+            best.join(qdims, "vec_id")
+            .filter(F.expr(f"dim div {subdims}") == F.col("sub"))
+            .groupBy("cell", "dim")
+            .agg(F.expr("sum(qv) div count(1)").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ivf_kmeans_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_clusters: int = 16,
+    iters: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = GRID_SCALE,
+) -> DataFrame:
+    """IVF with learned centroids, exact tier: grid k-means (fixed
+    iteration count), single-cell probe, exact integer-L2 re-rank.
+    Returns (query_id, neighbor_id, l2sq, rank) — every value a BIGINT
+    or INT, bit-identical across engines."""
+    cd = quantize_dims(corpus, id_col, vec_col, scale)
+    qd = quantize_dims(queries, id_col, vec_col, scale)
+    seeds = grid_seeds(corpus, k_clusters, id_col)
+    cent = grid_kmeans_codebook(cd, seeds, iters, _WHOLE_VEC)
+    corpus_cells = grid_assign(cd, cent, _WHOLE_VEC).select("vec_id", "cell")
+    query_cells = grid_assign(qd, cent, _WHOLE_VEC).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    carr = quantize_arr(corpus, id_col, vec_col, scale, out="__cq").join(
+        corpus_cells, "vec_id"
+    )
+    qarr = quantize_arr(queries, id_col, vec_col, scale, out="__qq").join(
+        query_cells.withColumnRenamed("query_id", "vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("query_id"), "__qq", "cell")
+    cand = (
+        carr.select(F.col("vec_id").alias("neighbor_id"), "__cq", "cell")
+        .join(F.broadcast(qarr), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _l2sq_arr(F.col("__qq"), F.col("__cq")).alias("l2sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("l2sq", "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_adc_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codewords: int = 32,
+    iters: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = GRID_SCALE,
+) -> DataFrame:
+    """PQ-ADC, exact tier: per-subspace grid codebooks (one Lloyd's loop
+    with sub = dim div subdims — cell ids shared across subspaces),
+    corpus encoded as its final assignment, queries answered by the
+    classic ADC LUT (per-query per-cell partial distances, summed along
+    the neighbor's m codes). All integer; the LUT join is an equi-join
+    on (sub, cell). Returns (query_id, neighbor_id, adc, rank)."""
+    dim = _infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdims = dim // m
+    cd = quantize_dims(corpus, id_col, vec_col, scale)
+    qd = quantize_dims(queries, id_col, vec_col, scale)
+    seeds = grid_seeds(corpus, k_codewords, id_col)
+    cb = grid_kmeans_codebook(cd, seeds, iters, subdims)
+    codes = grid_assign(cd, cb, subdims)  # (vec_id, sub, cell)
+    lut = (
+        qd.join(F.broadcast(cb), "dim")
+        .groupBy(
+            F.col("vec_id").alias("query_id"),
+            F.expr(f"dim div {subdims}").alias("sub"),
+            "cell",
+        )
+        .agg(
+            F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias(
+                "part"
+            )
+        )
+    )
+    adc = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "sub", "cell")
+        .join(F.broadcast(lut), ["sub", "cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

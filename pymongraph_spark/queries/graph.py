@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymongraph_spark.catalog import load_tables
+from pymongraph_spark.catalog import load_tables, scratch_dir
 from pymongraph_spark.graph.model import PropertyGraph
 from pymongraph_spark.graph.traversal import find_neighbors, induced_subgraph, k_hop
 from pymongraph_spark.graph.writes import delete_vertices, upsert_vertices
@@ -680,8 +680,17 @@ def g41_bucketed_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulating one orphaned warehouse dir per process (hash() is
     # salted per interpreter; _graph_table_prefix is not).
     prefix = _graph_table_prefix(sf_dir).replace("tpch_graph_", "g41_graph_")
-    g = tpch_graph(spark, sf_dir)
-    save_bucketed(g, prefix, buckets=8)
+    # attach-or-build (same lifecycle as tpch_graph / the bktj pair): a
+    # fresh process re-attaches the surviving bucketed files instead of
+    # rmtree-rebuilding under a possible concurrent reader
+    from pymongraph_spark.graph.store import register_bucketed_external
+
+    known = spark.catalog.tableExists(f"{prefix}_vertices") and spark.catalog.tableExists(
+        f"{prefix}_adjacency"
+    )
+    if not (known or register_bucketed_external(spark, prefix, buckets=8)):
+        g = tpch_graph(spark, sf_dir)
+        save_bucketed(g, prefix, buckets=8)
     gb, adjacency = load_bucketed(spark, prefix)
     _mark_graph_cache_used(spark, prefix)
     visited, _edges = k_hop_bucketed(adjacency, 4, depth=2)
@@ -840,15 +849,12 @@ def g44_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g45_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from pymongraph_spark.graph import store
 
     g = tpch_graph(spark, sf_dir)
     t = load_tables(spark, sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), f"g45_store_{abs(hash(sf_dir)) % 10**8}"
-    )
+    path = scratch_dir("g45_store", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     store.save(g, path)
     v1 = store.versions(path)[-1]
@@ -1208,15 +1214,12 @@ def g53_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g54_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from pymongraph_spark.graph import store
 
     g = tpch_graph(spark, sf_dir)
     t = load_tables(spark, sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), f"g54_store_{abs(hash(sf_dir)) % 10**8}"
-    )
+    path = scratch_dir("g54_store", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     store.save(g, path)
     v1 = store.versions(path)[-1]

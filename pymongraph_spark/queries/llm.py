@@ -744,22 +744,133 @@ def s54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF with LEARNED centroids — s54 takes a caller-supplied seed set; this
-# runs the pure-DataFrame Lloyd's loop (operators/similarity.py
-# kmeans_centroids: broadcast assignment + posexplode partial-agg means,
-# decimal accumulation → partitioning-independent centroids) and then the
-# same cell-equi-join search. Iterative float fixpoint → no SQL oracle;
-# rows-only gate + unit tests pin recall vs the exact s50 baseline and
-# run-to-run determinism.
+# IVF with LEARNED centroids, exact-grid tier (g48 recipe): the Lloyd's
+# loop runs on a scaled-integer grid — floor-quantized inputs, integer
+# L2² assignment, truncated-division mean updates — so the whole learn +
+# probe + re-rank pipeline is bit-identical across engines and the
+# oracle replays it verbatim as unrolled CTEs (fixed iteration count).
+# The float-path operator (kmeans_centroids + ivf_topk, decimal-mean
+# determinism, cosine metric) remains the production API, pinned by the
+# recall/determinism unit tests in test_graph_algos.py.
 # --------------------------------------------------------------------------
-@query("s57_ivf_kmeans_topk")
+_GRID_SCALE = 10**6
+
+
+def _grid_oracle(
+    k_cells: int,
+    iters: int,
+    subdims: int,
+    mode: str,
+    n_queries: int = 8,
+    topk: int = 3,
+    scale: int = _GRID_SCALE,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for the exact-grid k-means family.
+    mode='ivf': single-cell probe + exact integer-L2 re-rank (s57).
+    mode='adc': PQ lookup-table asymmetric distance over the final
+    per-subspace assignment as codes (s59). Mirrors
+    operators/similarity.py grid_* step for step; `//` == Spark `div`
+    (both truncate toward zero, verified)."""
+    parts = [
+        f"""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, dim, CAST(floor(val * {scale}) AS BIGINT) AS qv FROM ex),
+    ranked_ids AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell
+      FROM (SELECT DISTINCT vec_id FROM embeddings)
+    ),
+    seeds AS (SELECT CAST(cell AS BIGINT) AS cell, vec_id
+              FROM ranked_ids WHERE cell < {k_cells}),
+    c0 AS (SELECT s.cell, q.dim, q.qv AS cv FROM seeds s JOIN q USING (vec_id))"""
+    ]
+    # one Lloyd iteration = assign (a), best cell (b), mean update (c)
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , a{i} AS (
+      SELECT q.vec_id, q.dim // {subdims} AS sub, c.cell,
+             SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+      FROM q JOIN c{i - 1} c ON q.dim = c.dim
+      GROUP BY q.vec_id, sub, c.cell
+    ), b{i} AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+        FROM a{i}) WHERE rn = 1
+    ), c{i} AS (
+      SELECT b.cell, q.dim, SUM(q.qv) // COUNT(*) AS cv
+      FROM b{i} b JOIN q ON q.vec_id = b.vec_id AND q.dim // {subdims} = b.sub
+      GROUP BY b.cell, q.dim
+    )""")
+    # final assignment over the learned codebook (corpus cells / codes)
+    parts.append(f"""
+    , af AS (
+      SELECT q.vec_id, q.dim // {subdims} AS sub, c.cell,
+             SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+      FROM q JOIN c{iters} c ON q.dim = c.dim
+      GROUP BY q.vec_id, sub, c.cell
+    ), bf AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+        FROM af) WHERE rn = 1
+    )""")
+    if mode == "ivf":
+        parts.append(f"""
+    , pairs AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bf qb JOIN bf cb ON qb.cell = cb.cell AND qb.sub = cb.sub
+      WHERE qb.vec_id < {n_queries} AND cb.vec_id <> qb.vec_id
+    ), pd AS (
+      SELECT p.query_id, p.neighbor_id,
+             CAST(SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) AS BIGINT) AS l2sq
+      FROM pairs p
+      JOIN q q1 ON q1.vec_id = p.query_id
+      JOIN q q2 ON q2.vec_id = p.neighbor_id AND q2.dim = q1.dim
+      GROUP BY p.query_id, p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, l2sq, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, l2sq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY l2sq, neighbor_id) AS rank
+      FROM pd) WHERE rank <= {topk}""")
+    elif mode == "adc":
+        parts.append(f"""
+    , lut AS (
+      SELECT q.vec_id AS query_id, q.dim // {subdims} AS sub, c.cell,
+             SUM((q.qv - c.cv) * (q.qv - c.cv)) AS part
+      FROM q JOIN c{iters} c ON q.dim = c.dim
+      WHERE q.vec_id < {n_queries}
+      GROUP BY query_id, sub, c.cell
+    ), adct AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.part) AS BIGINT) AS adc
+      FROM bf e JOIN lut l ON l.sub = e.sub AND l.cell = e.cell
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM adct) WHERE rank <= {topk}""")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return "".join(parts)
+
+
+@query("s57_ivf_kmeans_topk", oracle=_grid_oracle(16, 2, 1 << 20, "ivf"))
 def s57_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pymongraph_spark.operators.similarity import ivf_topk, kmeans_centroids
+    from pymongraph_spark.operators.similarity import ivf_kmeans_topk_exact
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    centroids = kmeans_centroids(emb, k=16, max_iter=3)
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, centroids, k=3)
+    return ivf_kmeans_topk_exact(emb, queries, k_clusters=16, iters=2, k=3)
 
 
 # --------------------------------------------------------------------------
@@ -2146,40 +2257,23 @@ def t80_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("s59_pq_adc_topk")
+@query("s59_pq_adc_topk", oracle=_grid_oracle(32, 2, 8, "adc"))
 def s59_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: learn per-subspace codebooks (L2
-    Lloyd's with deduplicated seeds), encode the L2-normalized corpus as
-    m=8 codes, and answer top-3 by asymmetric distance (exact query vs
-    quantized corpus). Iterative float means make cross-engine oracles
-    impractical (rows-only gate, like s57); the machinery is pinned by
-    the codeword-exact ADC unit test (test_similarity_pq.py), where
-    quantization error is zero and ADC must equal true distance."""
-    from pymongraph_spark.operators.similarity import (
-        pq_codebooks,
-        pq_encode,
-        pq_topk_adc,
-    )
-
-    from pymongraph_spark.functions.vectors import l2_normalize
-
-    from pymongraph_spark.functions.vectors import norm as _vnorm
+    """Product-quantization ANN, exact-grid tier: per-subspace integer
+    codebooks (m=8 subspaces of 8 dims, k=32 codewords, 2 Lloyd
+    iterations on the scaled-integer grid), corpus encoded as its final
+    assignment, top-3 by ADC — per-query (sub, cell) lookup-table parts
+    summed along each neighbor's codes. Exact integer arithmetic end to
+    end, so the unrolled-CTE oracle is bit-identical (same g48 recipe as
+    s57). The float PQ stack (pq_codebooks/pq_encode/pq_topk_adc, L2
+    Lloyd's with deduplicated seeds over the normalized corpus) remains
+    the production path, pinned by test_similarity_pq.py (codeword-exact
+    ADC == true distance, determinism, recall floor)."""
+    from pymongraph_spark.operators.similarity import pq_adc_topk_exact
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    # guarded normalization (functions/vectors.py) with the norm STAGED
-    # as its own projection: inlined in the transform lambda it would be
-    # re-evaluated per element (interpreted HOF); an all-zero embedding
-    # would also raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode
-    nemb = (
-        emb.filter(F.size("embedding") > 0)
-        .select("vec_id", "embedding", _vnorm(F.col("embedding")).alias("__n"))
-        .select("vec_id", l2_normalize(F.col("embedding"), F.col("__n")).alias("embedding"))
-        .localCheckpoint(eager=True)
-    )
-    cb = pq_codebooks(nemb, m=8, k=32, max_iter=3)
-    codes = pq_encode(nemb, cb)
-    queries = nemb.filter(F.col("vec_id") < 8)
-    return pq_topk_adc(codes, queries, cb, k=3)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk_exact(emb, queries, m=8, k_codewords=32, iters=2, k=3)
 
 
 @query(

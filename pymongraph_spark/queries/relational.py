@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pymongraph_spark.catalog import load_tables
+from pymongraph_spark.catalog import load_tables, scratch_dir
 from pymongraph_spark.compat import AVG_D, SUM_D, dsum, davg
 from pymongraph_spark.queries.registry import query
 
@@ -749,16 +749,13 @@ def q58_exact_distinct_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def q31_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     l = (
         load_tables(spark, sf_dir)["lineitem"]
         .filter(F.col("l_orderkey") % 100 == 0)
         .select("l_orderkey", "l_returnflag", "l_quantity")
     )
-    base = os.path.join(
-        tempfile.gettempdir(), f"sparkgraph_fmt_{abs(hash(sf_dir)) % 10**8}"
-    )
+    base = scratch_dir("fmt", sf_dir)
     out = None
     for fmt in ["csv", "json", "orc"]:
         path = os.path.join(base, fmt)
@@ -2057,12 +2054,9 @@ def q62_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     roundtrip is written twice to prove overwrite idempotency under the
     oracle: a duplicating reload would double every count."""
     import os
-    import tempfile
 
     events = load_tables(spark, sf_dir)["events"]
-    out = os.path.join(
-        tempfile.gettempdir(), f"q62_part_sink_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = scratch_dir("q62_part_sink", sf_dir)
     with _dynamic_partition_overwrite(spark):
         for _ in range(2):  # idempotent reload: same partitions replaced
             events.write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -2446,14 +2440,11 @@ def q71_locf_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pymongraph_spark.ingest.pyds import register_jsonl_reports
 
     docs = load_tables(spark, sf_dir)["documents"]
-    out = os.path.join(
-        tempfile.gettempdir(), f"q72_jsonl_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = scratch_dir("q72_jsonl", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     docs.select("doc_id", "lang", "n_chars").repartition(4).write.mode(
         "overwrite"
@@ -2892,12 +2883,9 @@ def q78_bloom_filter_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q79_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     docs = load_tables(spark, sf_dir)["documents"]
-    out = os.path.join(
-        tempfile.gettempdir(), f"q79_evo_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = scratch_dir("q79_evo", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     # batch 1: the OLD schema (no n_chars); batch 2 adds the column
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
@@ -2960,14 +2948,11 @@ def q80_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_permissive_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
     docs = load_tables(spark, sf_dir)["documents"]
-    out = os.path.join(
-        tempfile.gettempdir(), f"q81_json_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = scratch_dir("q81_json", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     docs.select("doc_id", "lang", "n_chars").write.json(out)
     with open(os.path.join(out, "zz-bad.json"), "w") as fh:

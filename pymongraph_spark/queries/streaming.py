@@ -7,7 +7,7 @@ events table is semantically a batch query over tumbling windows).
 from __future__ import annotations
 
 import os
-import tempfile
+from pymongraph_spark.catalog import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,10 +20,7 @@ from pymongraph_spark.queries.registry import query
 def _stream_dir(sf_dir: str, name: str) -> str:
     """File-source streams need a DIRECTORY; stage the single parquet file
     into a per-(sf_dir, table) temp dir via symlink (no data copy)."""
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"sparkgraph_stream_{name}_{abs(hash(sf_dir)) % 10**8}",
-    )
+    d = scratch_dir(f"stream_{name}", sf_dir)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
     if not os.path.exists(link):
@@ -327,9 +324,7 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.graph import store
     from pymongraph_spark.ingest.streaming import stream_import
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"st87_ingest_{abs(hash(sf_dir)) % 10**8}"
-    )
+    base = scratch_dir("st87_ingest", sf_dir)
     input_dir = os.path.join(base, "in")
     store_path = os.path.join(base, "store")
     ckpt = os.path.join(base, "ckpt")
@@ -499,9 +494,7 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.catalog import load_tables
     from pymongraph_spark.operators.dedup import minhash_lsh_pairs_incremental
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"st88_neardup_{abs(hash(sf_dir)) % 10**8}"
-    )
+    base = scratch_dir("st88_neardup", sf_dir)
     input_dir = os.path.join(base, "in")
     index_dir = os.path.join(base, "index")
     pairs_dir = os.path.join(base, "pairs")
@@ -634,9 +627,7 @@ def st90_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.catalog import load_tables
     from pymongraph_spark.operators.sink import shard_manifest_from_disk, write_shards
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"st90_shards_{abs(hash(sf_dir)) % 10**8}"
-    )
+    base = scratch_dir("st90_shards", sf_dir)
     input_dir = os.path.join(base, "in")
     shards_dir = os.path.join(base, "shards")
     ckpt = os.path.join(base, "ckpt")

@@ -380,6 +380,46 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.2, f"suspiciously low recall {recall}"
 
 
+def test_ivf_multiprobe_recall_monotone(spark, sf_small):
+    """nprobe is the IVF recall lever: probing more cells only ADDS
+    candidates, so recall@k vs the exact baseline must be monotone
+    non-decreasing in nprobe, nprobe=1 must equal the classic
+    single-cell probe bit-for-bit, and nprobe=|C| must reach exact
+    recall 1.0 (every cell searched == brute force)."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    centroids = kmeans_centroids(emb, k=8, max_iter=2)
+    n_cells = centroids.count()
+
+    def hits(nprobe):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, centroids, k=3, nprobe=nprobe).collect()
+        }
+
+    single = hits(1)
+    default = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, centroids, k=3).collect()
+    }
+    assert single == default  # nprobe=1 IS the classic probe (s54 contract)
+
+    recalls = [len(exact & hits(p)) / len(exact) for p in (1, 2, n_cells)]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must be exact, got {recalls[-1]}"
+
+
 def test_label_propagation_two_cliques_with_bridge(spark):
     from pymongraph_spark.operators.graph_algos import label_propagation
 

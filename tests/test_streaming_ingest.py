@@ -64,7 +64,7 @@ def test_incremental_arrival_and_replay_idempotency(spark, tmp_path):
     assert props["domain"]["asn"] == "65001"
 
 
-def test_store_time_travel_and_retention(spark, tmp_path):
+def test_store_time_travel_and_retention(spark, tmp_path, monkeypatch):
     from pymongraph_spark.graph import store
     from pymongraph_spark.graph.model import PropertyGraph
 
@@ -86,12 +86,20 @@ def test_store_time_travel_and_retention(spark, tmp_path):
     assert store.load(spark, path, version=v1).vertices.count() == 3
     # ...current load sees the newest
     assert store.load(spark, path).vertices.count() == 5
-    # retention: a third save evicts v1
+    # retention is AGE-GATED (same grace policy as the warehouse caches):
+    # a third save puts v1 beyond the keep count, but it was committed
+    # seconds ago — a concurrent time-travel reader could still be on it
+    # — so it must survive this pass...
     store.save(mkgraph(7), path)
+    assert v1 in store.versions(path)
+    assert store.load(spark, path, version=v1).vertices.count() == 3
+    # ...and be collected once the grace window has lapsed
+    monkeypatch.setenv("SPARKGRAPH_GC_GRACE_SECONDS", "0")
+    store.save(mkgraph(9), path)
     assert v1 not in store.versions(path)
     assert len(store.versions(path)) == 2
     assert store.load(spark, path, version=v1) is None
-    assert store.load(spark, path).vertices.count() == 7
+    assert store.load(spark, path).vertices.count() == 9
 
 
 def test_lakehouse_probe_and_merge_routing(spark, tmp_path):
