@@ -27,13 +27,16 @@ import sys
 SCRIPT = """
 import sys
 from pymongraph_spark.session import get_spark
+from pymongraph_spark.queries import QUERIES
 from pymongraph_spark.queries.relational import _ensure_bucketed_pair, q61_bucketed_colocated_join
 
 spark = get_spark(app_name="bktj-probe", cpus=2, shuffle_partitions=4)
 prefix = _ensure_bucketed_pair(spark, sys.argv[1])
 # the attach (not rebuild) must leave the tables queryable end-to-end
 n = q61_bucketed_colocated_join(spark, sys.argv[1]).count()
-print(f"PROBE_OK {prefix} {n}", flush=True)
+# g41's bucketed graph cache follows the same attach-or-build lifecycle
+n41 = QUERIES["g41_bucketed_two_hop"](spark, sys.argv[1]).count()
+print(f"PROBE_OK {prefix} {n} {n41}", flush=True)
 spark.stop()
 """
 
@@ -50,13 +53,19 @@ def _data_file_states(loc: str) -> set[tuple[str, int, int]]:
 
 def test_second_process_reattaches_and_never_disturbs_a_reader(spark, sf_small, tmp_path):
     from pymongraph_spark.graph.store import _warehouse_path
+    from pymongraph_spark.queries import QUERIES
+    from pymongraph_spark.queries.graph import _graph_table_prefix
     from pymongraph_spark.queries.relational import (
         _ensure_bucketed_pair,
         bucketed_orderkey_join,
     )
 
     prefix = _ensure_bucketed_pair(spark, sf_small)
-    locs = [_warehouse_path(spark, f"{prefix}_{t}") for t in ("orders", "lineitem")]
+    QUERIES["g41_bucketed_two_hop"](spark, sf_small).count()  # build g41 cache
+    g41_prefix = _graph_table_prefix(sf_small).replace("tpch_graph_", "g41_graph_")
+    locs = [_warehouse_path(spark, f"{prefix}_{t}") for t in ("orders", "lineitem")] + [
+        _warehouse_path(spark, f"{g41_prefix}_{t}") for t in ("vertices", "adjacency")
+    ]
     before = {loc: _data_file_states(loc) for loc in locs}
     for loc in locs:
         assert before[loc], f"no data files under {loc}"
