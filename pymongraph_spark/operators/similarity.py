@@ -283,21 +283,25 @@ def _ivf_assign_multi(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Rank every vector against ALL centroids and keep its ``nprobe``
-    nearest cells (cosine desc, tie → min cell) — the standard IVF
-    recall lever: searching the union of the p nearest cells instead of
-    only the argmax cell. Same broadcast shape as ivf_assign; the
+    nearest cells (best similarity first, tie → min cell) — the standard
+    IVF recall lever: searching the union of the p nearest cells instead
+    of only the argmax cell. Same broadcast shape as ivf_assign; the
     row_number window partitions by vector over |C| rows each, so the
     sort is per-vector-tiny at any corpus size. Returns one row per
     (vector, probed cell): (id, vec, cell)."""
     c = centroids.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    if metric == "cosine":
+        sim = cosine(df[vec_col], F.col("__cv"))
+    elif metric == "l2":
+        sim = -_l2sq(df[vec_col], F.col("__cv"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}; use 'cosine' or 'l2'")
     scored = (
         _spread_if_narrow(df).join(F.broadcast(c))
-        .select(
-            df[id_col], df[vec_col], F.col("__cid"),
-            cosine(df[vec_col], F.col("__cv")).alias("__sim"),
-        )
+        .select(df[id_col], df[vec_col], F.col("__cid"), sim.alias("__sim"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
     return (
@@ -699,6 +703,7 @@ def ivfpq_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Composed IVF+PQ search — the billion-vector architecture (FAISS
     IVFADC): the coarse quantizer (IVF cells) prunes the corpus to the
@@ -711,14 +716,25 @@ def ivfpq_topk(
     rows) broadcasts against only the probed cells' codes. Corpus cost
     per query drops from n ADC sums to n/C — and the codes the scan
     touches are m bytes per vector, not dim·4. Exactness knobs: more
-    cells (C) prunes harder, more codewords (k) quantizes finer."""
+    cells (C) prunes harder, more codewords (k) quantizes finer, and
+    ``nprobe`` widens the search to the query's p nearest cells
+    (nprobe=1 is the classic single-cell probe, bit-identical to the
+    prior behavior)."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     m, d = _pq_geometry(codebooks)
     _check_pq_dims(queries, vec_col, m, d)
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col, metric="l2")
     # pq_encode validates the corpus dim itself with the shared geometry
     codes = pq_encode(corpus, codebooks, id_col, vec_col, geometry=(m, d))
     coded_cells = corpus_cells.select(id_col, "cell").join(codes, on=id_col)
-    query_cells = ivf_assign(queries, centroids, id_col, vec_col, metric="l2").select(
+    if nprobe == 1:
+        query_cells = ivf_assign(queries, centroids, id_col, vec_col, metric="l2")
+    else:
+        query_cells = _ivf_assign_multi(
+            queries, centroids, nprobe, id_col, vec_col, metric="l2"
+        )
+    query_cells = query_cells.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col), "cell"
     )
     lut = _pq_query_lut(query_cells, codebooks, m, d, id_col, vec_col, carry=("cell",))

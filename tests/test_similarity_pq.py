@@ -121,6 +121,23 @@ def test_ivfpq_composed_search(spark, sf_small):
     again = ivfpq_topk(emb, q, cents, cb, k=3).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
 
+    # multi-probe: nprobe=1 is bit-identical to the default; probing
+    # EVERY cell makes the candidate set the whole corpus, so the result
+    # must equal the unpruned PQ-ADC answer; and coverage is monotone
+    single = ivfpq_topk(emb, q, cents, cb, k=3, nprobe=1).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, single))
+    n_cells = cents.count()
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, q, cents, cb, k=3, nprobe=n_cells).collect()
+    }
+    codes = pq_encode(emb, cb)
+    unpruned = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_adc(codes, q, cb, k=3).collect()
+    }
+    assert full == unpruned
+
 
 def test_pq_geometry_mismatch_raises(spark):
     from pymongraph_spark.operators.similarity import pq_topk_adc
