@@ -144,7 +144,10 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    streaming = _streaming_bench(spark, sf_dir)
+    try:
+        streaming = _streaming_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — never lose the batch timings
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     print(f"# streaming: {streaming}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

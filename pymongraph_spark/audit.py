@@ -40,9 +40,12 @@ def capture_checkpoint_inputs():
     captured: list[DataFrame] = []
     orig = DataFrame.localCheckpoint
 
-    def recording(self, eager=True):
+    def recording(self, *args, **kwargs):
+        # pass-through signature: PySpark 4's localCheckpoint also takes
+        # storageLevel — narrowing it here would TypeError only under
+        # audit, turning a fine query into a phantom lint failure
         captured.append(self)
-        return orig(self, eager=eager)
+        return orig(self, *args, **kwargs)
 
     DataFrame.localCheckpoint = recording
     try:

@@ -198,6 +198,24 @@ def _warehouse_path(spark: SparkSession, table_name: str) -> str:
     return os.path.join(urlparse(wh).path or wh, table_name.lower())
 
 
+def max_bucket_id_on_disk(loc: str) -> int:
+    """Highest bucket id embedded in a bucketed table dir's file names
+    (``part-…_<NNNNN>.c000…``), or -1. A LOWER bound on the bucket count
+    minus one — empty buckets write no file — so it can refute a wrong
+    count declaration but never fully confirm one."""
+    import re
+
+    mx = -1
+    try:
+        for f in os.listdir(loc):
+            m = re.search(r"_(\d{5})\.c000", f)
+            if m:
+                mx = max(mx, int(m.group(1)))
+    except OSError:
+        pass
+    return mx
+
+
 def attach_bucketed_table(
     spark: SparkSession,
     name: str,
@@ -234,6 +252,13 @@ def attach_bucketed_table(
         with open(os.path.join(loc, "_BUCKETS")) as fh:
             buckets = int(fh.read().strip())
     except (OSError, ValueError):
+        # pre-sidecar files: the fallback is a GUESS. The file names carry
+        # a sound lower bound on the true count (bucket ids are embedded;
+        # empty buckets just write no file), so a guess the files provably
+        # can't satisfy is refused → caller rebuilds instead of silently
+        # mis-routing bucketed joins.
+        if max_bucket_id_on_disk(loc) >= buckets_fallback:
+            return False
         buckets = buckets_fallback
     if ddl is None:
         try:
@@ -257,21 +282,31 @@ def register_bucketed_external(
 ) -> bool:
     """Attach a graph's bucketed vertex+adjacency FILES written by an
     earlier process to this session's catalog (see attach_bucketed_table
-    for the mechanism). All-or-nothing: returns False without touching
-    the catalog unless BOTH tables' files are complete."""
+    for the mechanism). All-or-nothing FOR REAL: if the second table's
+    files vanish between the pre-check and its attach (a concurrent GC
+    is exactly the scenario this path exists for), the already-created
+    catalog entries are dropped again — leaving one behind would poison
+    the caller's rebuild fallback (save_bucketed sees tableExists, skips
+    the orphan rmtree, and saveAsTable dies on LOCATION_ALREADY_EXISTS).
+    Dropping is safe: these are EXTERNAL tables (declared with LOCATION),
+    so DROP TABLE removes the catalog entry, never the files."""
     for suffix in _BUCKETED_SPECS:
         loc = _warehouse_path(spark, f"{table_prefix}_{suffix}")
         if not os.path.exists(os.path.join(loc, "_SUCCESS")):
             return False
+    attached: list[str] = []
     for suffix, (ddl, bucket_col) in _BUCKETED_SPECS.items():
-        if not attach_bucketed_table(
-            spark,
-            f"{table_prefix}_{suffix}",
-            bucket_col,
-            ddl=ddl,
-            buckets_fallback=buckets,
+        name = f"{table_prefix}_{suffix}"
+        pre_existing = spark.catalog.tableExists(name)
+        if attach_bucketed_table(
+            spark, name, bucket_col, ddl=ddl, buckets_fallback=buckets
         ):
-            return False
+            if not pre_existing:
+                attached.append(name)
+            continue
+        for created in attached:  # roll back this call's partial attaches
+            spark.sql(f"DROP TABLE IF EXISTS {created}")
+        return False
     return True
 
 

@@ -161,8 +161,13 @@ def tpch_adjacency(spark: SparkSession, sf_dir: str):
 # (_touch_last_used), so a concurrent process that resolved its prefix to
 # the old generation BEFORE testdata regeneration keeps its files alive
 # while it is still querying them; 30 min comfortably exceeds any single
-# query/bench run in this repo. Overridable for tests.
-_GC_GRACE_SECONDS = int(os.environ.get("SPARKGRAPH_GC_GRACE_SECONDS", "1800"))
+# query/bench run in this repo. Overridable for tests — read at CALL
+# time (like store.save's version GC) so setting the env var after
+# import behaves the same for every GC in the repo.
+
+
+def _gc_grace_seconds() -> int:
+    return int(os.environ.get("SPARKGRAPH_GC_GRACE_SECONDS", "1800"))
 
 
 def _mark_graph_cache_used(spark: SparkSession, prefix: str) -> None:
@@ -195,7 +200,7 @@ def _recently_used(path: str) -> bool:
             ts = int(os.stat(path).st_mtime)
         except OSError:
             return False
-    return (time.time() - ts) < _GC_GRACE_SECONDS
+    return (time.time() - ts) < _gc_grace_seconds()
 
 
 def drop_stale_generations(spark: SparkSession, sf_tok: str, gen: str, parse) -> None:

@@ -753,7 +753,11 @@ def s54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # determinism, cosine metric) remains the production API, pinned by the
 # recall/determinism unit tests in test_graph_algos.py.
 # --------------------------------------------------------------------------
-_GRID_SCALE = 10**6
+# single source of truth for the grid constants: the Spark operators.
+from pymongraph_spark.operators.similarity import (  # noqa: E402
+    GRID_SCALE as _GRID_SCALE,
+    _WHOLE_VEC,
+)
 
 
 def _grid_oracle(
@@ -864,7 +868,7 @@ def _grid_oracle(
     return "".join(parts)
 
 
-@query("s57_ivf_kmeans_topk", oracle=_grid_oracle(16, 2, 1 << 20, "ivf"))
+@query("s57_ivf_kmeans_topk", oracle=_grid_oracle(16, 2, _WHOLE_VEC, "ivf"))
 def s57_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.operators.similarity import ivf_kmeans_topk_exact
 

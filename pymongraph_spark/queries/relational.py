@@ -1949,9 +1949,14 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -
     }
     def sidecar_backfill(loc: str) -> None:
         # pre-sidecar saves (older rounds) get the count recorded so every
-        # future attach declares what the files actually satisfy
+        # future attach declares what the files actually satisfy — but only
+        # when the file names' bucket-id lower bound doesn't refute the
+        # count (stamping a provably-wrong guess would make it permanently
+        # authoritative; see store.max_bucket_id_on_disk)
+        from pymongraph_spark.graph.store import max_bucket_id_on_disk
+
         p = os.path.join(loc, "_BUCKETS")
-        if not os.path.exists(p):
+        if not os.path.exists(p) and max_bucket_id_on_disk(loc) < buckets:
             with open(p, "w") as fh:
                 fh.write(str(buckets))
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import time
 
 SCRIPT = """
 import sys
@@ -76,22 +77,36 @@ def test_second_process_reattaches_and_never_disturbs_a_reader(spark, sf_small, 
     script = tmp_path / "probe.py"
     script.write_text(SCRIPT)
     env = dict(os.environ, SPARK_DRIVER_MEMORY="2g", PYTHONPATH="/root/repo")
+    # pipe output to FILES, not PIPEs: Spark startup chatter + progress
+    # bars can exceed the 64KB pipe buffer, and nothing drains it while
+    # the parent busy-loops below — a PIPE would deadlock the suite
+    out_f = open(tmp_path / "probe.out", "w+")
+    err_f = open(tmp_path / "probe.err", "w+")
     proc = subprocess.Popen(
         [sys.executable, str(script), sf_small],
         cwd="/root/repo",  # same cwd => same spark-warehouse
         env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
+        stdout=out_f,
+        stderr=err_f,
         text=True,
     )
     # hammer the bucketed join from this session the whole time the other
     # session is coming up / attaching / querying — the r5 failure mode
     # was exactly a reader dying here with FILE_NOT_EXIST
     reads = 0
-    while proc.poll() is None:
-        assert bucketed_orderkey_join(spark, sf_small).count() == baseline
-        reads += 1
-    out, err = proc.communicate(timeout=60)
+    deadline = time.time() + 300
+    try:
+        while proc.poll() is None:
+            assert time.time() < deadline, "probe timed out"
+            assert bucketed_orderkey_join(spark, sf_small).count() == baseline
+            reads += 1
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    out_f.seek(0), err_f.seek(0)
+    out, err = out_f.read(), err_f.read()
+    out_f.close(), err_f.close()
     assert proc.returncode == 0, f"probe failed:\n{out}\n{err[-4000:]}"
     assert f"PROBE_OK {prefix}" in out, out
     assert reads > 0

@@ -151,7 +151,7 @@ def test_stale_cache_gc_is_age_gated(spark, monkeypatch):
         fh.write(str(int(_time.time())))
     # old: last used beyond the grace window → must be collected
     with open(os.path.join(old, "_LAST_USED"), "w") as fh:
-        fh.write(str(int(_time.time()) - qgraph._GC_GRACE_SECONDS - 10))
+        fh.write(str(int(_time.time()) - qgraph._gc_grace_seconds() - 10))
     try:
         qgraph._drop_stale_graph_caches(spark, keep_prefix)
         assert os.path.isdir(fresh), "recently-used old-gen dir was deleted"
