@@ -10,6 +10,19 @@ back to double. Both engines produce the identical IEEE double.
 
 Use ``dsum``/``davg`` on the Spark side and the matching SQL shapes
 (``SUM_D``/``AVG_D`` templates) on the DuckDB side.
+
+CAVEAT (learned from an sf0.1 parity hit in s55): the decimal-cast trick
+is guaranteed only for values already near a decimal grid (parquet
+DECIMAL columns, money with 2dp, low-precision inputs). For COMPUTED
+irrational doubles (sqrt/log/division outputs) the two engines' casts
+can disagree on the last decimal digit with small but real probability
+(~ulp(x·10^k)/10^-k per cast): Spark converts the binary double exactly
+then rounds HALF_UP, while a multiply-then-round path crosses grid
+midpoints differently. For those, quantize with
+``floor(x * 10^k) AS BIGINT`` instead — floor of an identical IEEE
+product is identical in every engine — then sum the integer units and
+do all later arithmetic on identical doubles in identical op order
+(see s55_embedding_outliers for the full pattern).
 """
 
 from __future__ import annotations

@@ -11,11 +11,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Explicit whitespace class used by every tokenizer/normalizer in this
+# module AND by the DuckDB oracle twins (queries/llm.py _SQL_WS): Java
+# regex \s includes vertical tab (\x0B) while RE2 — DuckDB's engine —
+# does not, so an engine-default \s silently drifts tokenization,
+# shingles, fingerprints and dedup hashes on \x0B. Spelling the class
+# out pins both engines to the same bytes.
+WS = r"[ \t\n\x0B\f\r]"
+
 
 def tokens(c: Column | str) -> Column:
     """Lowercased whitespace tokens, empty strings removed."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != F.lit(""))
+    return F.filter(F.split(F.lower(F.trim(c)), WS + "+"), lambda x: x != F.lit(""))
 
 
 def token_count(c: Column | str) -> Column:
@@ -40,7 +48,7 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 def char_shingles(c: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text."""
     c = F.col(c) if isinstance(c, str) else c
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(c)), WS + "+", " ")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(norm) - (n - 1)),
@@ -53,7 +61,7 @@ def char_shingles(c: Column | str, n: int = 5) -> Column:
 # GPT-2-style pre-tokenizer approximation: contraction suffixes, then
 # space-prefixed letter runs, digit runs, punctuation runs. No lookarounds,
 # so the same pattern runs under Java regex (Spark) and RE2 (DuckDB).
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r']+"
 
 
 def bpe_ish_tokens(c: Column | str) -> Column:
@@ -71,7 +79,7 @@ def bpe_ish_token_count(c: Column | str) -> Column:
 def normalized_text(c: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, collapsed whitespace."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS + "+", " "))
 
 
 def fingerprint(c: Column | str) -> Column:

@@ -185,7 +185,9 @@ DECODED_SCHEMA = (
 def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic binary payload per doc (md5-derived) — stands in for
     a real image/audio blob column so the pipeline is testable here."""
-    payload = F.unhex(F.repeat(F.md5(F.col(text_col)), 4))
+    # coalesce: a NULL text would make the payload NULL and crash the
+    # Arrow decode batch (bytes(None)); the oracles coalesce identically
+    payload = F.unhex(F.repeat(F.md5(F.coalesce(F.col(text_col), F.lit(""))), 4))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.lit("image/fake").alias("media_type"),
@@ -352,7 +354,7 @@ def attach_fake_video(
     payload = F.unhex(
         F.concat(
             *[
-                F.md5(F.concat(F.col(text_col), F.lit(f"#{i}")))
+                F.md5(F.concat(F.coalesce(F.col(text_col), F.lit("")), F.lit(f"#{i}")))
                 for i in range(n_frames)
             ]
         )

@@ -32,7 +32,7 @@ from pymongraph_spark.operators.similarity import brute_force_topk, lsh_topk
 from pymongraph_spark.queries.registry import query
 
 # DuckDB token expression matching functions.text.tokens
-_SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+_SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 # DuckDB word-3-gram shingles matching functions.text.word_shingles(n=3)
 _SQL_SHINGLES = (
     f"list_distinct([array_to_string(toks[i:i+2], ' ') "
@@ -50,7 +50,7 @@ _SQL_SHINGLES = (
     # every group checks the md5+normalization+grouping at every scale,
     # and dup detection is the dup_count column.
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_hash,
            COUNT(*) AS dup_count,
            MIN(doc_id) AS keep_id
     FROM documents
@@ -558,7 +558,7 @@ def t63_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes the byte sum from the md5 hex pairs (16 bytes × 4 repeats).
     oracle="""
     WITH media AS (
-      SELECT doc_id, md5(text) AS h FROM documents
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
     )
     SELECT doc_id,
            CAST(64 AS BIGINT) AS byte_len,
@@ -588,8 +588,8 @@ def m70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
            CAST(list_reduce(
-                 [ (strpos('0123456789abcdef', substr(md5(text || '#' || i), 2*j-1, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(md5(text || '#' || i), 2*j, 1)) - 1)
+                 [ (strpos('0123456789abcdef', substr(md5(coalesce(text, '') || '#' || i), 2*j-1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(coalesce(text, '') || '#' || i), 2*j, 1)) - 1)
                    for j in generate_series(1, 16) ],
                  (a, b) -> a + b) AS DOUBLE) / 16 / 255.0 AS frame_mean
     FROM documents, (VALUES (0), (2), (4), (6)) g(i)
@@ -658,14 +658,14 @@ def t64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r'']+'
            )) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT)
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT)
              AS n_ws_tokens,
            CAST(len(regexp_extract_all(text,
-             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r'']+'
            )) AS DOUBLE)
-             / greatest(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')), 1)
+             / greatest(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x <> '')), 1)
              AS fertility
     FROM documents
     """,
@@ -881,10 +881,16 @@ def s57_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding outlier detection (training-data QA): vectors unusually far
 # from their label centroid (z-score of centroid distance > 2). The
 # corpus is unit-normalized, so NORM outliers are degenerate — distance
-# to the per-label centroid is the meaningful signal. Determinism: the
-# centroid is a per-dimension decimal-exact mean; each squared deviation
-# is decimal-quantized before summing, so the distance is identical in
-# both engines regardless of summation order.
+# to the per-label centroid is the meaningful signal. Determinism: every
+# computed double is quantized to integer UNITS via floor(x * 10^k)
+# BEFORE any cross-row sum — floor of an identical IEEE double is
+# identical in every engine, integer sums are order-free, and all later
+# arithmetic runs on identical doubles in identical op order. (The
+# previous decimal-cast strategy was only probabilistically stable for
+# computed doubles: CAST(double AS DECIMAL) rounds half-up via exact
+# conversion in Spark but through a double multiply in DuckDB, and a
+# sqrt output lands on a disagreeing boundary with ~2e-4 probability
+# per cast — one hit surfaced at sf0.1.)
 # --------------------------------------------------------------------------
 @query(
     "s55_embedding_outliers",
@@ -897,22 +903,28 @@ def s57_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
       SELECT label, dim,
-             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+             CAST(SUM(CAST(floor(val * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS c
       FROM ex GROUP BY label, dim
     ),
     dist AS (
       SELECT ex.vec_id, ex.label,
-             sqrt(CAST(SUM(CAST((ex.val - cent.c) * (ex.val - cent.c) AS DECIMAL(38,12))) AS DOUBLE)) AS d
+             sqrt(CAST(SUM(CAST(floor((ex.val - cent.c) * (ex.val - cent.c) * 1e15)
+                                AS BIGINT)) AS DOUBLE) / 1e15) AS d
       FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
       GROUP BY ex.vec_id, ex.label
     ),
     stats AS (
       SELECT label,
-             CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_d,
+             CAST(SUM(CAST(floor(d * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS mean_d,
              sqrt(greatest(
-                  CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
-                  - (CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
-                    * (CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)),
+                  CAST(SUM(CAST(floor(d * d * 1e12) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e12
+                  - (CAST(SUM(CAST(floor(d * 1e12) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) / 1e12)
+                    * (CAST(SUM(CAST(floor(d * 1e12) AS BIGINT)) AS DOUBLE)
+                         / COUNT(*) / 1e12),
                   0.0)) AS std_d
       FROM dist GROUP BY label
     )
@@ -924,31 +936,38 @@ def s57_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s55_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
-    dec = "decimal(38,12)"
+
+    def units(col, scale):
+        # floor(x·10^k) as BIGINT: identical IEEE product → identical floor
+        # in every engine, unlike CAST(double AS DECIMAL) (see block doc)
+        return F.floor(col * F.lit(scale))
+
     ex = emb.select(
         "vec_id", "label",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "val"),
     )
     cent = ex.groupBy("label", "dim").agg(
-        (F.sum(F.col("val").cast(dec)).cast("double") / F.count(F.lit(1))).alias("c")
+        (F.sum(units(F.col("val"), 1e12)).cast("double") / F.count(F.lit(1)) / F.lit(1e12))
+        .alias("c")
     )
+    diff2 = (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
     dist = (
         ex.join(cent, on=["label", "dim"])
         .groupBy("vec_id", "label")
         .agg(
-            F.sqrt(
-                F.sum(((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).cast(dec))
-                .cast("double")
-            ).alias("d")
+            F.sqrt(F.sum(units(diff2, 1e15)).cast("double") / F.lit(1e15)).alias("d")
         )
     )
+    mean_expr = (
+        F.sum(units(F.col("d"), 1e12)).cast("double") / F.count(F.lit(1)) / F.lit(1e12)
+    )
     stats = dist.groupBy("label").agg(
-        (F.sum(F.col("d").cast(dec)).cast("double") / F.count(F.lit(1))).alias("mean_d"),
+        mean_expr.alias("mean_d"),
         F.sqrt(
             F.greatest(
-                F.sum((F.col("d") * F.col("d")).cast(dec)).cast("double") / F.count(F.lit(1))
-                - (F.sum(F.col("d").cast(dec)).cast("double") / F.count(F.lit(1)))
-                * (F.sum(F.col("d").cast(dec)).cast("double") / F.count(F.lit(1))),
+                F.sum(units(F.col("d") * F.col("d"), 1e12)).cast("double")
+                / F.count(F.lit(1)) / F.lit(1e12)
+                - mean_expr * mean_expr,
                 F.lit(0.0),
             )
         ).alias("std_d"),
@@ -1347,7 +1366,7 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
                           for i in generate_series(1, 8)],
                          (acc, x) -> acc * 16 + x) % 8 AS shard_id,
-             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_tokens
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tokens
       FROM documents
     )
     SELECT CAST(shard_id AS INT) AS shard_id,
@@ -1474,11 +1493,19 @@ def t68_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t69_grouped_map_doc_stats",
     oracle="""
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(MAX_BY(doc_id, n_chars * 4294967296 - doc_id) AS BIGINT) AS longest_doc_id
-    FROM documents GROUP BY lang
+    WITH agg AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang
+    ),
+    top AS (
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    )
+    SELECT a.lang, a.n_docs, a.total_chars, CAST(t.doc_id AS BIGINT) AS longest_doc_id
+    FROM agg a JOIN top t ON a.lang = t.lang
     """,
 )
 def t69_grouped_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,8 +1538,8 @@ def t69_grouped_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the gate compares the metadata plane.
 # --------------------------------------------------------------------------
 _M72_HEXB = (
-    "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1)"
+    "(strpos('0123456789abcdef', substr(md5(coalesce(text, '')), {p}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), {p1}, 1)) - 1)"
 )
 
 
@@ -1544,7 +1571,9 @@ def m72_resize_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     hexb = lambda p: (
-        F.conv(F.substring(F.md5("text"), p, 2), 16, 10).cast("int")
+        F.conv(
+            F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), p, 2), 16, 10
+        ).cast("int")
     )
     media = attach_fake_media(docs).join(
         docs.select(
@@ -1570,7 +1599,7 @@ def m72_resize_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m73_byte_histogram_features",
     oracle="""
     SELECT doc_id, CAST(b AS INT) AS bin,
-           CAST(4 * len(list_filter([strpos('0123456789abcdef', substr(md5(text), 2*j - 1, 1)) - 1
+           CAST(4 * len(list_filter([strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2*j - 1, 1)) - 1
                                      for j in generate_series(1, 16)],
                                     d -> d = b)) AS DOUBLE) / 64 AS value
     FROM documents, (SELECT unnest(generate_series(0, 15)) AS b) bins
@@ -1600,7 +1629,7 @@ def m73_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(8000 AS INT) AS width,
            CAST(64 AS INT) AS height,
            CAST(1 AS INT) AS n_channels,
-           list_reduce([abs(((doc_id * 31 + i * 7) % 256) - 128) / 128.0
+           list_reduce([abs((((doc_id * 31 + i * 7) % 256 + 256) % 256) - 128) / 128.0
                         for i in generate_series(0, 63)],
                        (a, b) -> a + b) / 64 AS mean_intensity
     FROM documents
@@ -1631,7 +1660,7 @@ def m74_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(8 AS INT) AS width,
            CAST(8 AS INT) AS height,
            CAST(3 AS INT) AS n_channels,
-           list_reduce([((doc_id * 13 + i * 5) % 256) / 256.0
+           list_reduce([(((doc_id * 13 + i * 5) % 256 + 256) % 256) / 256.0
                         for i in generate_series(0, 63)],
                        (a, b) -> a + b) / 64 AS mean_intensity
     FROM documents
@@ -1655,8 +1684,8 @@ def m75_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark and DuckDB share this normalization: lowercase → strip
 # non-alphanumeric → collapse whitespace → trim. Only difference is
 # DuckDB's explicit 'g' flag (Spark regexp_replace is global by default).
-_NORM_RE_STRIP = r"[^a-z0-9\s]"
-_NORM_RE_WS = r"\s+"
+_NORM_RE_STRIP = r"[^a-z0-9 \t\n\x0B\f\r]"
+_NORM_RE_WS = r"[ \t\n\x0B\f\r]+"
 
 
 @query(
@@ -1666,7 +1695,7 @@ _NORM_RE_WS = r"\s+"
       SELECT source,
              length(text) AS nb,
              length(trim(regexp_replace(regexp_replace(lower(text),
-                          '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS na
+                          '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS na
       FROM documents
     )
     SELECT source,
@@ -1703,7 +1732,9 @@ def t73_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             nb.alias("chars_raw"),
             na.alias("chars_norm"),
-            ((nb - na).cast("double") / nb).alias("removed_ratio"),
+            # try_divide: a source whose docs are all empty has SUM(nb)=0 —
+            # the oracle yields NULL; plain / would raise under ANSI
+            F.try_divide((nb - na).cast("double"), nb).alias("removed_ratio"),
         )
     )
 
@@ -1841,7 +1872,7 @@ def t75_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(CAST(total_tokens AS DOUBLE) / g) AS weight
       FROM per, tot
     ),
-    z AS (SELECT list_reduce(list(weight ORDER BY source), (a, b) -> a + b) AS z FROM w)
+    z AS (SELECT list_reduce(list(weight ORDER BY source NULLS FIRST), (a, b) -> a + b) AS z FROM w)
     SELECT source, n_docs, total_tokens, weight, weight / z AS norm_weight
     FROM w, z
     """,
@@ -2562,6 +2593,7 @@ def t84_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH ev AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, event_id, event_type, us,
@@ -2583,7 +2615,10 @@ def t84_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def t85_trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir)["events"]
+    # drop NULL-ts events explicitly: Spark window ordering puts NULL
+    # keys FIRST while DuckDB defaults to NULLS LAST, so an untimed event
+    # would silently shift session boundaries differently per engine
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = e.select("user_id", "event_id", "event_type", us.alias("us")).withColumn(
@@ -2871,8 +2906,8 @@ def t86_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id,
              list_reduce(
-               [CAST(CASE WHEN ((doc_id*13 + ((k // 7) * 8 + (k % 7)) * 5) % 256)
-                             > ((doc_id*13 + ((k // 7) * 8 + (k % 7) + 1) * 5) % 256)
+               [CAST(CASE WHEN ((doc_id*13 + ((k // 7) * 8 + (k % 7)) * 5) % 256 + 256) % 256
+                             > ((doc_id*13 + ((k // 7) * 8 + (k % 7) + 1) * 5) % 256 + 256) % 256
                           THEN 1 ELSE 0 END AS BIGINT) * (CAST(1 AS BIGINT) << k)
                 for k in generate_series(0, 55)],
                (a, b) -> a + b) AS dhash
@@ -3130,6 +3165,10 @@ def t90_arrow_udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf("bigint", useArrow=True)
     def n_vowels(text: str) -> int:
+        # None-safe: the oracle emits the row with NULL n_vowels for a
+        # NULL text; an unguarded .lower() would crash the whole task
+        if text is None:
+            return None
         return sum(1 for ch in text.lower() if ch in "aeiou")
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -3176,12 +3215,13 @@ def t91_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             self._lang = row["lang"]
             self._n += 1
-            self._chars += int(row["n_chars"])
-            self._mx = (
-                int(row["n_chars"])
-                if self._mx is None
-                else max(self._mx, int(row["n_chars"]))
-            )
+            # NULL n_chars: count the row, skip the sums — exactly what
+            # the oracle's NULL-skipping SUM/MAX do (int(None) would
+            # otherwise kill the Python worker)
+            v = row["n_chars"]
+            if v is not None:
+                self._chars += int(v)
+                self._mx = int(v) if self._mx is None else max(self._mx, int(v))
 
         def terminate(self):
             if self._n:
@@ -3437,8 +3477,8 @@ def t94_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f AS INT) AS frame_idx,
            CAST(16 AS INT) AS n_samples,
            sqrt(list_reduce(
-             [ (abs(((doc_id * 31 + (f * 16 + i) * 7) % 256) - 128) / 128.0)
-               * (abs(((doc_id * 31 + (f * 16 + i) * 7) % 256) - 128) / 128.0)
+             [ (abs((((doc_id * 31 + (f * 16 + i) * 7) % 256 + 256) % 256) - 128) / 128.0)
+               * (abs((((doc_id * 31 + (f * 16 + i) * 7) % 256 + 256) % 256) - 128) / 128.0)
                for i in generate_series(0, 15)],
              (a, b) -> a + b) / 16) AS rms
     FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f)
@@ -3463,8 +3503,8 @@ def m77_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
                  '[0-9]+', '#', 'g'),
-                 '[^a-z#\\s]', '', 'g'),
-                 '\\s+', ' ', 'g'))) AS content_hash,
+                 '[^a-z# \\t\\n\\x0B\\f\\r]', '', 'g'),
+                 '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_hash,
            COUNT(*) AS dup_count,
            MIN(doc_id) AS keep_id
     FROM documents
@@ -3477,10 +3517,10 @@ def d56_aggressive_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(F.lower("text"), r"[0-9]+", "#"),
-                r"[^a-z#\s]",
+                r"[^a-z# \t\n\x0B\f\r]",
                 "",
             ),
-            r"\s+",
+            r"[ \t\n\x0B\f\r]+",
             " ",
         )
     )
@@ -3553,9 +3593,13 @@ def t95_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = b.join(F.broadcast(t), on="event_type").select(
         "event_type",
         "bucket",
+        # try_divide: an event_type seen only in one half of the month has
+        # ta or tb = 0 — the oracle's DuckDB division yields NULL and
+        # still emits the row, while a plain Spark / would throw
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode
         F.abs(
-            F.col("na").cast("double") / F.col("ta")
-            - F.col("nb").cast("double") / F.col("tb")
+            F.try_divide(F.col("na").cast("double"), F.col("ta"))
+            - F.try_divide(F.col("nb").cast("double"), F.col("tb"))
         ).alias("ad"),
         "ta",
         "tb",

@@ -199,3 +199,33 @@ def test_containment_catches_quote_jaccard_misses(spark):
     }
     assert got == {(1, 2, 1.0)}
     assert token_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_whitespace_class_agrees_with_duckdb_on_vertical_tab(spark):
+    """Engine-default \\s regexes silently drift on vertical tab: Java's
+    \\s includes \\x0B, RE2's (DuckDB) does not. The tokenizers and their
+    SQL twins pin one explicit class — this test runs BOTH engines on a
+    \\x0B-bearing document and requires identical tokens, token counts,
+    and normalized text (the code-review finding that motivated WS)."""
+    import duckdb
+
+    from pymongraph_spark.functions.text import normalized_text, tokens
+    from pymongraph_spark.queries.llm import _SQL_TOKS
+
+    text = "alpha\x0Bbeta \t gamma\x0B\x0Bdelta"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    srow = df.select(
+        tokens("text").alias("toks"), normalized_text("text").alias("norm")
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [text])
+    otoks, onorm = con.execute(
+        f"SELECT {_SQL_TOKS.replace('(text)', '(text)')}, "
+        "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) "
+        "FROM t"
+    ).fetchone()
+
+    assert list(srow["toks"]) == list(otoks) == ["alpha", "beta", "gamma", "delta"]
+    assert srow["norm"] == onorm == "alpha beta gamma delta"
