@@ -219,7 +219,11 @@ def q10_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # nulls_last: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST —
+    # a NULL ts would shift every lag/running value in the partition
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return e.select(
         "event_id",
@@ -327,7 +331,11 @@ def q15_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
         big.intersect(bld).select(F.lit("intersect").alias("op"), "c_custkey")
-        .unionByName(big.exceptAll(bld).distinct()
+        # subtract() IS SQL EXCEPT (set difference). exceptAll().distinct()
+        # is NOT: it subtracts multiplicities first, so a key with more
+        # copies on the left than the right would survive — a silent
+        # divergence on duplicate-key data
+        .unionByName(big.subtract(bld)
                      .select(F.lit("except").alias("op"), "c_custkey"))
     )
 
@@ -472,15 +480,17 @@ def q21_string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(json_extract_string(props, '$.k')) AS avg_k
     FROM events GROUP BY event_type
     """,
 )
 def q22_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # try_cast both sides (q83's standard): a non-numeric or wider k is
+    # NULL-and-skipped, not a DuckDB ConversionException / Spark ANSI abort
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
@@ -521,17 +531,28 @@ def q23_top_lineitems_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id,
            p.user_id,
            (SELECT max(s.ts) FROM events s
-             WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts)
+             WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+               AND s.ts IS NOT NULL
+               AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id <= p.event_id)))
              IS NOT NULL AS has_prior_signup,
            CAST(date_diff('second',
                (SELECT max(s.ts) FROM events s
-                 WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts),
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.ts IS NOT NULL
+                   AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id <= p.event_id))),
                p.ts) AS BIGINT) AS secs_since_signup
-    FROM events p WHERE p.event_type = 'purchase'
+    FROM events p WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
     """,
 )
 def q24_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir)["events"]
+    # the window's ROWS frame is ordered by (ts, event_id), so a signup
+    # SHARING the purchase's timestamp is "prior" only when its event_id
+    # is lower — the oracle spells out that exact tuple condition instead
+    # of a bare s.ts <= p.ts (which would include same-ts LATER signups).
+    # Timestampless events are excluded on both sides: engines disagree
+    # on NULL ordering inside windows, and an as-of against no timestamp
+    # is meaningless anyway.
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
     tagged = e.select(
         "event_id",
         "user_id",
@@ -850,7 +871,7 @@ def q33_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(l_quantity) > 250
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250
     )
     GROUP BY c_custkey, o_orderkey, o_totalprice
     """,
@@ -859,7 +880,10 @@ def q34_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     big = (
         t["lineitem"].groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
+        # dsum, not a raw double sum: l_quantity is DOUBLE in the parquet,
+        # and an order straddling the 250 threshold by one ulp of
+        # accumulation order would flip membership between engines
+        .agg(dsum("l_quantity").alias("__q"))
         .filter(F.col("__q") > 250)
         .select("l_orderkey")
     )
@@ -1025,9 +1049,11 @@ def q37_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            (
-                dsum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
-                / dsum("volume")
+            # try_divide: a year whose volumes all cancel to 0 is NULL in
+            # the oracle; plain / would abort under ANSI
+            F.try_divide(
+                dsum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))),
+                dsum("volume"),
             ).alias("mkt_share")
         )
     )
@@ -1287,7 +1313,9 @@ def q46_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        # try_divide: DuckDB division by zero yields NULL (MIN skips it);
+        # plain / would abort the Spark job under ANSI on l_quantity = 0
+        .agg(F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))).alias("unit_cost"))
     )
     best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
     p = t["part"].filter(F.col("p_size") == 15)
@@ -1522,7 +1550,9 @@ def q30_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     sec = F.unix_timestamp("ts")
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("sec").asc_nulls_last(), "event_id"  # DuckDB null order
+    )
     flagged = e.select("user_id", "event_id", sec.alias("sec")).withColumn(
         "is_new",
         F.when(
@@ -1655,10 +1685,10 @@ def q52_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_from_json_typed",
     oracle="""
     SELECT event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+           CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
            COUNT(*) AS n
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 20
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 20
     GROUP BY 1, 2
     """,
 )
@@ -2113,7 +2143,7 @@ def q63_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros("ts").asc_nulls_last())  # DuckDB null order
         .rangeBetween(-600_000_000, 0)
     )
     return e.select(
@@ -2322,7 +2352,9 @@ def q68_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q69_hot_part_suppliers",
     oracle="""
     WITH part_qty AS (
-      SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY l_partkey
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_partkey
     )
     SELECT s_name, s_acctbal FROM supplier
     WHERE s_suppkey IN (
@@ -2337,7 +2369,9 @@ def q68_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q69_hot_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li, supp = t["lineitem"], t["supplier"]
-    part_qty = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    # dsum: the 95%-of-max cutoff is only engine-stable if the per-part
+    # sums are order-free (l_quantity is DOUBLE in the parquet)
+    part_qty = li.groupBy("l_partkey").agg(dsum("l_quantity").alias("qty"))
     maxq = part_qty.agg(F.max("qty").alias("maxq"))
     hot = (
         part_qty.crossJoin(F.broadcast(maxq))
@@ -2371,9 +2405,9 @@ def q69_hot_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q70_variant_typed_paths",
     oracle="""
     SELECT event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS BIGINT) AS k_mod,
+           CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS BIGINT) AS k_mod,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE json_extract_string(props, '$.missing') IS NULL
     GROUP BY 1, 2
@@ -2411,7 +2445,7 @@ def q71_locf_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"), "event_id")
+        .orderBy(F.unix_micros("ts").asc_nulls_last(), "event_id")  # DuckDB null order
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
@@ -3021,12 +3055,15 @@ def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_filter("m", lambda k, v: v >= 5), lambda k, v: v * 2
         ).alias("hot"),
     ).filter(F.size(F.map_keys("hot")) > 0)
+    # sort the ENTRY STRUCTS (by key, the oracle's ORDER BY event_type),
+    # then render — sorting the rendered "key:count" strings would order
+    # by the ':' byte wherever one key is a prefix of another
     entry_strs = F.transform(
-        F.map_entries("hot"),
+        F.sort_array(F.map_entries("hot")),
         lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
     )
     return hot.select(
-        "user_id", F.array_join(F.sort_array(entry_strs), ",").alias("hot_types")
+        "user_id", F.array_join(entry_strs, ",").alias("hot_types")
     )
 
 
@@ -3043,7 +3080,7 @@ def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cells AS (
       SELECT event_id,
-             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             TRY_TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
       FROM events
     )
@@ -3371,8 +3408,8 @@ def q89_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_suppkey NOT IN (
-      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    WHERE NOT EXISTS (
+      SELECT 1 FROM supplier s WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey
     )
     GROUP BY p.p_brand, p.p_size
     """,
@@ -3423,7 +3460,9 @@ def q90_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q91_scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"  # DuckDB null order
+    )
     vf = F.date_format("o_orderdate", "yyyy-MM-dd")
     h = o.select(
         F.col("o_custkey").alias("c_custkey"),
