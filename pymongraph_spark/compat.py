@@ -48,4 +48,10 @@ def davg(c: Column | str) -> Column:
 # DuckDB-side SQL templates matching dsum/davg. Usage:
 #   SUM_D.format("l_quantity")  ->  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
 SUM_D = "CAST(SUM(CAST({} AS DECIMAL(38,6))) AS DOUBLE)"
+
+# Floor-half-up-on-the-double-product quantization to 1e-6 units — the
+# engine-agnostic twin of the stateful operators' numpy accumulation
+# (floor(v*1e6 + 0.5) is the same IEEE multiply/add/floor everywhere,
+# immune to the decimal-cast disagreement documented above).
+MICRO_SUM = "(CAST(SUM(CAST(floor({} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)"
 AVG_D = "(CAST(SUM(CAST({} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({}))"

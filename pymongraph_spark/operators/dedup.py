@@ -547,6 +547,70 @@ def minhash_lsh_pairs_neutral(
         sigd.unpersist()
 
 
+def minhash_index_frames(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The write-once materialization of an LSH index shard: the
+    (doc_id, shingles) verification frame and the (doc_id, band, key)
+    banded frame for a batch — what "re-bandable from stored signatures"
+    means in practice. A streaming/daily pipeline writes these two frames
+    per ingested batch and probes FUTURE batches against the stored
+    index with minhash_lsh_probe_index: the corpus text is never
+    re-shingled or re-minhashed (st88 previously re-hashed the whole
+    accumulated corpus every micro-batch). Both frames are eagerly
+    materialized; the signature cache is released before returning."""
+    sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
+    try:
+        sh = sigd.select("doc_id", "shingles").localCheckpoint(eager=True)
+        bb = banded.localCheckpoint(eager=True)
+    finally:
+        sigd.unpersist()
+    return sh, bb
+
+
+def minhash_lsh_probe_index(
+    new_shingles: DataFrame,
+    new_bands: DataFrame,
+    index_shingles: DataFrame,
+    index_bands: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a new batch's index frames against a STORED index: candidate
+    generation is one equi-join on (band, key); verification joins touch
+    only the two shingle frames. Identical math to
+    minhash_lsh_pairs_incremental — just with the corpus side's hashing
+    amortized into the one-time index write. Returns
+    (doc_id_new, doc_id_corpus, jaccard >= threshold)."""
+    candidates = (
+        new_bands.select("band", "key", F.col("doc_id").alias("doc_id_new"))
+        .join(
+            index_bands.select("band", "key", F.col("doc_id").alias("doc_id_corpus")),
+            on=["band", "key"],
+        )
+        .select("doc_id_new", "doc_id_corpus")
+        .distinct()
+    )
+    verified = candidates.join(
+        new_shingles.select(F.col("doc_id").alias("doc_id_new"), F.col("shingles").alias("sh_a")),
+        on="doc_id_new",
+    ).join(
+        index_shingles.select(
+            F.col("doc_id").alias("doc_id_corpus"), F.col("shingles").alias("sh_b")
+        ),
+        on="doc_id_corpus",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return verified.select(
+        "doc_id_new", "doc_id_corpus", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -398,7 +398,7 @@ def g32_two_hop_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT id FROM hop1
       )
     )
-    SELECT (SELECT COUNT(*) FROM hop2) AS n_vertices,
+    SELECT (SELECT COUNT(*) FROM hop2 h JOIN v ON h.id = v.id) AS n_vertices,
            (SELECT COUNT(*) FROM e
              WHERE src IN (SELECT id FROM hop2) AND dst IN (SELECT id FROM hop2)) AS n_edges
     """,
@@ -1208,14 +1208,20 @@ def g53_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g54_store_cdc",
     oracle=ORACLE_GRAPH_CTE
     + """
-    , doomed AS (SELECT c_custkey*4 AS id FROM customer WHERE c_mktsegment = 'BUILDING')
-    SELECT 'edge' AS entity, 'delete' AS op,
-           (SELECT COUNT(*) FROM e WHERE src IN (SELECT id FROM doomed)
-                                      OR dst IN (SELECT id FROM doomed)) AS n
-    UNION ALL
-    SELECT 'vertex', 'delete', (SELECT COUNT(*) FROM v WHERE id IN (SELECT id FROM doomed))
-    UNION ALL
-    SELECT 'vertex', 'insert', 3
+    , doomed AS (SELECT c_custkey*4 AS id FROM customer WHERE c_mktsegment = 'BUILDING'),
+    rows_ AS (
+      SELECT 'edge' AS entity, 'delete' AS op,
+             (SELECT COUNT(*) FROM e WHERE src IN (SELECT id FROM doomed)
+                                        OR dst IN (SELECT id FROM doomed)) AS n
+      UNION ALL
+      SELECT 'vertex', 'delete', (SELECT COUNT(*) FROM v WHERE id IN (SELECT id FROM doomed))
+      UNION ALL
+      SELECT 'vertex', 'insert', 3
+    )
+    -- store.changes().groupBy emits only observed groups; a generation
+    -- with no BUILDING customers must not make the oracle fabricate
+    -- zero-count rows the Spark side cannot produce
+    SELECT entity, op, n FROM rows_ WHERE n > 0
     """,
 )
 def g54_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymongraph_spark.compat import SUM_D, dsum
+from pymongraph_spark.compat import MICRO_SUM, SUM_D, dsum
 from pymongraph_spark.queries.registry import query
 
 
@@ -99,7 +99,7 @@ def st80_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous one starts a NEW session, hence >= (not >) below.
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -108,7 +108,12 @@ def st80_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- the cumulative window carries the SAME (ts, event_id)
+             -- tie-break as flagged: ORDER BY ts alone leaves same-ts
+             -- peers in unspecified ROWS order, which could split a
+             -- timestamp tie across sessions where Spark's
+             -- session_window always merges it
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
@@ -190,13 +195,16 @@ def st82_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st84_stateful_user_stats",
-    # applyInPandasWithState accumulates on the same 1e-6 decimal grid as
-    # SUM_D, so the custom stateful operator's final state equals the
-    # batch aggregate bit-for-bit.
+    # applyInPandasWithState accumulates floor(v*1e6 + 0.5) integer units;
+    # MICRO_SUM is the same IEEE arithmetic in SQL, so the operator's
+    # final state equals the batch aggregate bit-for-bit on ANY values
+    # (the old SUM_D pairing relied on 2dp inputs: numpy rounded the
+    # product half-even while the decimal cast rounded the exact value
+    # half-up).
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_events,
-           {SUM_D.format('value')} AS total_value,
+           {MICRO_SUM.format('value')} AS total_value,
            MAX(value) AS max_value
     FROM events
     GROUP BY user_id
@@ -388,6 +396,11 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so it shares that oracle shape. Both sides carry watermarks; the
     # range condition lets Spark evict join state older than watermark -
     # 5 min, which is what makes the join runnable on an unbounded stream.
+    # pair-INCLUSION must bound the RAW timestamp gap, exactly as the
+    # streaming join's interval condition compares raw microseconds — a
+    # date_diff('second') bound (floor-second counting) would disagree on
+    # pairs whose true gap falls in (300, 301); the reported gap_seconds
+    # stays the floor-second diff on both sides
     oracle="""
     SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
            a.user_id,
@@ -395,7 +408,8 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND a.event_id < b.event_id
-     AND abs(date_diff('second', a.ts, b.ts)) <= 300
+     AND b.ts >= a.ts - INTERVAL 5 MINUTE
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
     """,
 )
 def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,11 +506,15 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from pymongraph_spark.catalog import load_tables
-    from pymongraph_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from pymongraph_spark.operators.dedup import (
+        minhash_index_frames,
+        minhash_lsh_probe_index,
+    )
 
     base = scratch_dir("st88_neardup", sf_dir)
     input_dir = os.path.join(base, "in")
-    index_dir = os.path.join(base, "index")
+    index_sh_dir = os.path.join(base, "index_shingles")
+    index_bb_dir = os.path.join(base, "index_bands")
     pairs_dir = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
@@ -515,12 +533,20 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.localCheckpoint(eager=True)
-        if os.path.isdir(index_dir):
-            idx = spark.read.parquet(index_dir)
-            pairs = minhash_lsh_pairs_incremental(
-                batch, idx, n=3, num_hashes=64, bands=16, threshold=0.5
-            )
+        # hash the ARRIVING batch once into its index frames; the standing
+        # index is probed as stored parquet — the corpus is never
+        # re-shingled or re-minhashed per micro-batch (previously every
+        # wave re-ran the 64-permutation signature over the whole
+        # accumulated corpus, O(corpus) hashing per batch)
+        sh, bb = minhash_index_frames(batch_df, n=3, num_hashes=64, bands=16)
+        if os.path.isdir(index_sh_dir):
+            pairs = minhash_lsh_probe_index(
+                sh,
+                bb,
+                spark.read.parquet(index_sh_dir),
+                spark.read.parquet(index_bb_dir),
+                threshold=0.5,
+            ).localCheckpoint(eager=True)
             hi = F.col("doc_id_new") % 4 > F.col("doc_id_corpus") % 4
             oriented = (
                 pairs.filter(F.col("doc_id_new") % 4 != F.col("doc_id_corpus") % 4)
@@ -535,7 +561,8 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             oriented.write.mode("append").parquet(pairs_dir)
-        batch.write.mode("append").parquet(index_dir)
+        sh.write.mode("append").parquet(index_sh_dir)
+        bb.write.mode("append").parquet(index_bb_dir)
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -556,7 +583,7 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st89_transform_with_state",
     # transformWithStateInPandas (Spark 4's stateful successor API —
     # named typed state handles instead of one opaque tuple): per-type
-    # running stats accumulate on the same 1e-6 decimal grid as SUM_D,
+    # running stats accumulate floor(v*1e6 + 0.5) units (MICRO_SUM twin),
     # so the final streaming state equals the batch aggregate
     # bit-for-bit and the whole path sits under the hash gate. The new
     # API needs protobuf (absent in this container) — tws.py probes and
@@ -565,7 +592,7 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           {SUM_D.format('value')} AS total_value,
+           {MICRO_SUM.format('value')} AS total_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events

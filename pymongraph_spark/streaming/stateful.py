@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -33,11 +34,19 @@ def _update(
     n, total_micros, mx = state.get if state.exists else (0, 0, float("-inf"))
     for pdf in pdfs:
         n += len(pdf)
-        # exact integer accumulation on the 1e-6 decimal grid (same
-        # round-half-even quantization as compat.dsum) — a float running
-        # sum would be arrival-order-dependent and break oracle parity
-        total_micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
-        mx = max(mx, float(pdf["value"].max()))
+        # exact integer accumulation in 1e-6 units via floor(v*1e6 + 0.5)
+        # — the identical IEEE multiply/add/floor the oracle's MICRO_SUM
+        # template runs, so no engine can disagree on any value (numpy's
+        # .round() was half-even on the product while the decimal-cast
+        # oracle was half-up on the exact value — compat.py documents the
+        # class). NULL values are skipped, exactly like SQL SUM/MAX.
+        v = pdf["value"].dropna()
+        if len(v):
+            total_micros += int(
+                np.floor(v.to_numpy(dtype="float64") * 1_000_000.0 + 0.5)
+                .astype("int64").sum()
+            )
+            mx = max(mx, float(v.max()))
     state.update((n, total_micros, mx))
     yield pd.DataFrame(
         [{

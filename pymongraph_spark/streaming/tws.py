@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -56,14 +57,18 @@ class RunningTypeStats(StatefulProcessor):
             n, total_micros, mn, mx = 0, 0, float("inf"), float("-inf")
         for pdf in rows:
             n += len(pdf)
-            # exact integer accumulation on the 1e-6 grid (same
-            # round-half-even quantization as compat.dsum): a float
-            # running sum would be arrival-order-dependent
-            total_micros += int(
-                (pdf["value"] * 1_000_000).round().astype("int64").sum()
-            )
-            mn = min(mn, float(pdf["value"].min()))
-            mx = max(mx, float(pdf["value"].max()))
+            # floor(v*1e6 + 0.5) in 1e-6 units — identical IEEE ops to the
+            # oracle's MICRO_SUM template (see streaming/stateful.py and
+            # compat.py for why the decimal-cast route could disagree);
+            # NULLs skipped like SQL SUM/MIN/MAX
+            v = pdf["value"].dropna()
+            if len(v):
+                total_micros += int(
+                    np.floor(v.to_numpy(dtype="float64") * 1_000_000.0 + 0.5)
+                    .astype("int64").sum()
+                )
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
         self._stats.update((n, total_micros, mn, mx))
         yield pd.DataFrame(
             [{
@@ -130,11 +135,14 @@ def running_type_stats_classic(events_stream: DataFrame) -> DataFrame:
             n, total_micros, mn, mx = 0, 0, float("inf"), float("-inf")
         for pdf in pdfs:
             n += len(pdf)
-            total_micros += int(
-                (pdf["value"] * 1_000_000).round().astype("int64").sum()
-            )
-            mn = min(mn, float(pdf["value"].min()))
-            mx = max(mx, float(pdf["value"].max()))
+            v = pdf["value"].dropna()  # same quantization contract as above
+            if len(v):
+                total_micros += int(
+                    np.floor(v.to_numpy(dtype="float64") * 1_000_000.0 + 0.5)
+                    .astype("int64").sum()
+                )
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
         state.update((n, total_micros, mn, mx))
         yield pd.DataFrame(
             [{
