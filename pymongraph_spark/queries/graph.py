@@ -736,6 +736,26 @@ def g42_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(g.edges, source=4, max_depth=3, undirected=True)
 
 
+def _part_cooccurrence(t: dict) -> DataFrame:
+    """Part co-purchase projection shared by g43/g47/g49 (and their
+    oracles): undirected src<dst edges between parts appearing in the
+    same order at least twice. ONE definition — the n >= 2 threshold
+    must stay in lock-step with the g43 oracle's HAVING clause."""
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+
+
 # --------------------------------------------------------------------------
 # Triangle counting — per-vertex counts over the part co-occurrence
 # projection (parts appearing together in ≥2 distinct orders; the derived
@@ -768,19 +788,7 @@ def g43_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.operators.graph_algos import triangle_count
 
     t = load_tables(spark, sf_dir)
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    co = _part_cooccurrence(t)
     return triangle_count(co)
 
 
@@ -935,19 +943,7 @@ def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.operators.graph_algos import k_core
 
     t = load_tables(spark, sf_dir)
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    co = _part_cooccurrence(t)
     return k_core(co, k=3)
 
 
@@ -961,19 +957,7 @@ def g49_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.operators.graph_algos import label_propagation
 
     t = load_tables(spark, sf_dir)
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    co = _part_cooccurrence(t)
     verts = (
         co.select(F.col("src").alias("id"))
         .unionByName(co.select(F.col("dst").alias("id")))

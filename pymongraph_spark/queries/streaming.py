@@ -46,6 +46,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _run_to_memory(frame: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Drain a streaming frame through an availableNow memory sink and
+    return the sink table — the one start-and-drain sequence every batch-
+    checkable streaming query shares (uuid'd sink name so concurrent
+    queries never collide)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        frame.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return frame.sparkSession.table(name)
+
+
 def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet → 1h tumbling windows per
     event_type with a 1h watermark → availableNow → memory sink."""
@@ -64,16 +81,7 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = f"win_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(stream, "win_events", "complete")
 
 
 @query(
@@ -126,7 +134,6 @@ def st80_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st81_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"sess_events_{uuid.uuid4().hex[:8]}"
     stream = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -142,15 +149,7 @@ def st81_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(stream, "sess_events", "complete")
 
 
 @query(
@@ -171,7 +170,6 @@ def st81_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st82_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"slide_events_{uuid.uuid4().hex[:8]}"
     stream = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -185,12 +183,7 @@ def st82_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "total_value",
         )
     )
-    q = (
-        stream.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(stream, "slide_events", "complete")
 
 
 @query(
@@ -214,13 +207,7 @@ def st84_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.streaming.stateful import running_user_stats
 
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    name = f"state_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    sink = _run_to_memory(running_user_stats(stream), "state_events", "update")
     # update mode emits one row per user per micro-batch; the final state
     # is the row with the largest n_events (cumulative count is monotone
     # even when values are negative)
@@ -228,7 +215,7 @@ def st84_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(name)
+        sink
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_value", "max_value")
@@ -258,14 +245,9 @@ def st83_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
     )
     deduped = deduped_event_stream(doubled, ["event_id"])
-    name = f"dedup_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    sink = _run_to_memory(deduped, "dedup_events", "append")
     return (
-        spark.table(name)
+        sink
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     )
@@ -297,13 +279,7 @@ def st85_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
-    name = f"enrich_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(agg, "enrich_events", "complete")
 
 
 @query(
@@ -444,15 +420,10 @@ def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
         & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTES"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
     )
-    name = f"ssjoin_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    sink = _run_to_memory(joined, "ssjoin_events", "append")
     # the gap is floor-second arithmetic, same as the oracle's date_diff
     return (
-        spark.table(name)
+        sink
         .filter(F.col("event_id_a") < F.col("event_id_b"))
         .select(
             "event_id_a",
@@ -603,20 +574,14 @@ def st89_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.streaming.tws import running_type_stats
 
     stream = _events_stream(spark, sf_dir).select("event_type", "value")
-    name = f"tws_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_type_stats(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    sink = _run_to_memory(running_type_stats(stream), "tws_events", "update")
     # update mode emits one row per key per micro-batch; the final state
     # is the row with the largest n_events (cumulative count is monotone)
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
     return (
-        spark.table(name)
+        sink
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("event_type", "n_events", "total_value", "min_value", "max_value")
