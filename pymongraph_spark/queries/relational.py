@@ -3080,7 +3080,7 @@ def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cells AS (
       SELECT event_id,
-             TRY_TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
       FROM events
     )
