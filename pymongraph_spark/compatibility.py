@@ -107,6 +107,16 @@ class MongoGraph:
         # dependency error (mongraph.py:84-85), not StopIteration
         writes._validate_label(label, set(data), self._type_dependency)
         if identify:
+            # reference dedup (mongraph.py:90-94): find_one over the FULL
+            # identify dict; when a matching vertex exists, return ITS id
+            # with nothing stored — inserting data here would create a
+            # second vertex the reference never creates
+            pred = F.col("label") == F.lit(label)
+            for k, v in identify.items():
+                pred = pred & (F.col("props").getItem(k) == F.lit(str(v)))
+            hit = self._graph.find_one(pred).collect()
+            if hit:
+                return int(hit[0]["id"])
             key_field, key_value = next(iter(identify.items()))
             # reference stores data's value on key collision; keep id
             # hashing consistent with what is stored
@@ -243,10 +253,23 @@ class GraphImporter(MongoGraph):
         from pymongraph_spark.ingest.importer import import_from_json
 
         incoming = import_from_json(self._spark, [json_data])
-        merged_v = self._graph.vertices.unionByName(
-            incoming.vertices.join(self._graph.vertices.select("id"), on="id", how="left_anti")
+        # Reference re-import semantics (graph_importer.py per report):
+        # insert_vertex on an EXISTING vertex is a no-op, but the report's
+        # update_vertex calls (detected_prop, residual fields) still run
+        # against it — so incoming props $set-MERGE onto existing vertices
+        # (later report wins per key) rather than being discarded by a
+        # whole-vertex anti-join, which would leave detected_prop stale on
+        # every incremental re-import. New vertices insert as-is; edges
+        # keep first-insert-wins.
+        existing_ids = self._graph.vertices.select("id")
+        updates = incoming.vertices.join(existing_ids, on="id", how="left_semi").select(
+            "id", "props"
         )
-        merged_e = self._graph.edges.unionByName(
+        updated = writes.update_vertices(self._graph, updates)
+        merged_v = updated.vertices.unionByName(
+            incoming.vertices.join(existing_ids, on="id", how="left_anti")
+        )
+        merged_e = updated.edges.unionByName(
             incoming.edges.join(self._graph.edges.select("id"), on="id", how="left_anti")
         )
         self._commit(PropertyGraph(merged_v, merged_e))

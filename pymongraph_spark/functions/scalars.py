@@ -28,14 +28,22 @@ def classify_resource(c: Column | str) -> Column:
 def parse_ratio(c: Column | str) -> Column:
     """F3 — '"detected/checker"' → float ratio (graph_importer.py:109-110).
 
-    B8 intent: malformed/missing prob strings yield NULL (cast failure →
-    null; avg skips nulls) instead of the reference's ValueError crash.
-    """
+    B8 intent: malformed/missing prob strings yield NULL (avg skips
+    nulls) instead of the reference's ValueError crash. STRICT like the
+    importer's ``map(int, split('/'))``: exactly two '/'-separated
+    integer tokens — a lax parse (grab elements 1-2, float casts) would
+    accept '1/2/3' or '2.5/10' that the graph-import path rejects,
+    giving two answers for the same data."""
     c = F.col(c) if isinstance(c, str) else c
     parts = F.split(F.trim(c), "/")
-    num = F.element_at(parts, 1).cast("double")
-    den = F.element_at(parts, 2).cast("double")
-    return F.when(den.isNotNull() & (den != 0) & num.isNotNull(), num / den)
+    int_re = r"^[+-]?[0-9]+$"
+    # try_element_at: a string with no '/' has one token, and ANSI
+    # element_at would throw instead of yielding the B8 NULL
+    num_s = F.trim(F.try_element_at(parts, F.lit(1)))
+    den_s = F.trim(F.try_element_at(parts, F.lit(2)))
+    ok = (F.size(parts) == 2) & num_s.rlike(int_re) & den_s.rlike(int_re)
+    return F.when(ok & (den_s.cast("double") != 0),
+                  num_s.cast("double") / den_s.cast("double"))
 
 
 def flatten_indexed(prefix: str, arr: Column) -> Column:

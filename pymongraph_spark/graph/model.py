@@ -135,11 +135,18 @@ class PropertyGraph:
 def _as_predicate(predicate, props_col: str = "props") -> Column:
     """dict {field: value} → conjunction of equality tests, checking typed
     columns when present else the props map; Column passes through."""
+    if predicate is None:
+        # reference filter-less calls (find_one({}), delete_node(None))
+        # mean "match anything" — the deterministic min-id pick downstream
+        # then mirrors Mongo's first-document semantics
+        return F.lit(True)
     if isinstance(predicate, Column):
         return predicate
     if isinstance(predicate, str):
         return F.expr(predicate)
     if isinstance(predicate, dict):
+        if not predicate:
+            return F.lit(True)
         conds = []
         for k, v in predicate.items():
             if k in ("id", "label", "src", "dst"):

@@ -99,12 +99,18 @@ def upsert_edges(
         e = e.withColumn("label", F.lit(label))
     if "props" not in e.columns:
         e = e.withColumn("props", F.lit(None).cast("map<string,string>"))
+    # cast FIRST, then hash: edge_id over the raw columns would hash
+    # '123' (string) differently from 123 (long), giving the same
+    # directed triple two ids and defeating the W2 dedup
     e = e.select(
-        edge_id(F.col("src"), F.col("dst"), F.col("label")).alias("id"),
-        F.col("src").cast("long"),
-        F.col("dst").cast("long"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
         "label",
         "props",
+    )
+    e = e.select(
+        edge_id(F.col("src"), F.col("dst"), F.col("label")).alias("id"),
+        "src", "dst", "label", "props",
     ).dropDuplicates(["id"])
     if validate_endpoints:
         ids = g.vertices.select("id")
@@ -137,11 +143,48 @@ def insert_nodes(
     return upsert_edges(g2, new_edges, label=edge_label)
 
 
+def _fold_updates(updates: DataFrame) -> DataFrame:
+    """Collapse duplicate ids in an updates frame into ONE $set map per id
+    by applying them in encounter order (later maps win per key) — the
+    reference applies sequential update_one calls; a left join against
+    duplicate ids would instead FAN OUT the target into one row per
+    update, breaking id uniqueness for every downstream join."""
+    u = updates.select("id", F.col("props").alias("__new_props"))
+
+    def _by_ord(left, right):  # structs with map fields aren't orderable
+        return (
+            F.when(left["__ord"] < right["__ord"], -1)
+            .when(left["__ord"] > right["__ord"], 1)
+            .otherwise(0)
+        )
+
+    return (
+        u.withColumn("__ord", F.monotonically_increasing_id())
+        .groupBy("id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__ord"), F.col("__new_props").alias("p"))),
+                    _by_ord,
+                ),
+                F.expr("map()").cast("map<string,string>"),
+                lambda acc, s: F.map_concat(
+                    F.map_filter(
+                        acc, lambda k, _: ~F.array_contains(F.map_keys(s["p"]), k)
+                    ),
+                    s["p"],
+                ),
+            ).alias("__new_props")
+        )
+    )
+
+
 def update_vertices(g: PropertyGraph, updates: DataFrame) -> PropertyGraph:
     """U1 batch property merge (mongraph.py:195-203). ``updates`` has
     columns [id, props: map]; $set semantics = map_concat with update keys
-    winning (Spark resolves duplicate map keys as LAST_WIN by default)."""
-    u = updates.select("id", F.col("props").alias("__new_props"))
+    winning. Duplicate ids in ``updates`` are folded in encounter order
+    first (sequential update_one semantics), never fanned out."""
+    u = _fold_updates(updates)
     merged = (
         g.vertices.join(u, on="id", how="left")
         .withColumn(
@@ -165,8 +208,9 @@ def update_vertices(g: PropertyGraph, updates: DataFrame) -> PropertyGraph:
 
 
 def update_edges(g: PropertyGraph, updates: DataFrame) -> PropertyGraph:
-    """U2 — same merge on edges (mongraph.py:205-213)."""
-    u = updates.select("id", F.col("props").alias("__new_props"))
+    """U2 — same merge on edges (mongraph.py:205-213), duplicate update
+    ids folded like update_vertices."""
+    u = _fold_updates(updates)
     merged = (
         g.edges.join(u, on="id", how="left")
         .withColumn(
@@ -199,9 +243,13 @@ def delete_vertices(g: PropertyGraph, target) -> PropertyGraph:
         doomed = target.select("id")
     else:
         doomed = g.vertices.filter(_as_predicate(target)).select("id")
-    # doomed is deliberately NOT persisted: it is a map-only filter over
-    # the vertex frame, and the three anti-joins below re-derive it more
-    # cheaply than pinning executor storage for the session's lifetime.
+    # PIN the doomed id set (ids only — graph-sized, ContextCleaner-freed,
+    # not a cache-manager persist): the three anti-joins below must all
+    # see the SAME rows, and re-deriving a predicate over a
+    # nondeterministic upstream plan (e.g. an unpersisted dropDuplicates
+    # picking among duplicate-key rows) could match differently per join,
+    # leaving dangling edges — the exact invariant D1 promises.
+    doomed = doomed.localCheckpoint(eager=True)
     vertices = g.vertices.join(doomed, on="id", how="left_anti")
     edges = (
         g.edges.join(doomed.withColumnRenamed("id", "src"), on="src", how="left_anti")

@@ -13,11 +13,13 @@ Architecture (Spark-first, two layers):
    the one place Python is genuinely warranted (SURVEY §2.10 maps the
    recursion to data-parallel flattening).
 
-2. **Merge** — everything that shuffles is DataFrame ops: the A1
-   ``detected_prop`` aggregation (groupBy + null-skipping avg,
-   graph_importer.py:131-138 with the B8 intent), first-insert-wins /
-   last-update-wins property merges, natural-key vertex dedup and
-   (src, dst, label) edge dedup — all JVM-side expressions, no UDFs.
+2. **Merge** — everything that shuffles is DataFrame ops:
+   first-insert-wins / last-update-wins property merges, natural-key
+   vertex dedup and (src, dst, label) edge dedup — all JVM-side
+   expressions, no UDFs. (The A1 ``detected_prop`` avg is visit-local
+   by construction — one report body — so it is computed in the parse
+   layer at its exact reference position, graph_importer.py:131-138
+   with the B8 skip-malformed intent.)
 
 Reference write semantics preserved exactly:
 - ``insert_vertex`` with ``identify`` → FIRST insert wins, later inserts
@@ -71,7 +73,8 @@ _IPV4_RE = re.compile(
 
 # Long staging format emitted by the parser.
 #   kind: 'v' insert-vertex | 'u' update-vertex | 'e' insert-edge
-#       | 'd' detection-ratio sample (feeds the A1 aggregate)
+#       | 'x' dead-lettered input (ratio column retained for schema
+#       stability; the A1 avg is computed visit-locally in the parser)
 STAGING_SCHEMA = (
     "ord bigint, seq bigint, kind string, label string, key string, "
     "src_label string, src_key string, dst_label string, dst_key string, "
@@ -108,7 +111,11 @@ def flatten_report(report: dict, ord_: int = 0) -> list[tuple]:
             src[0] if src else None, src[1] if src else None,
             dst[0] if dst else None, dst[1] if dst else None,
             edge_label,
-            {k: ("" if v is None else str(v)) for k, v in props.items()} if props else None,
+            # `is not None`: an EMPTY props dict must become an empty map,
+            # not NULL — map_concat(acc, NULL) nulls the whole vertex fold
+            {k: ("" if v is None else str(v)) for k, v in props.items()}
+            if props is not None
+            else None,
             ratio,
         ))
         seq += 1
@@ -152,29 +159,36 @@ def flatten_report(report: dict, ord_: int = 0) -> list[tuple]:
                  props={"date": resolve.get("date")})
             walk(rec)
 
-        # detections (:96-128) + A1 samples (:131-138)
-        saw_detection = False
+        # detections (:96-128) + the A1 detected_prop update (:131-138).
+        # The ratio avg is computed VISIT-LOCALLY (a visit's detections
+        # all live in this one report body — no distributed agg needed)
+        # and emitted as an update row AT ITS REFERENCE POSITION: after
+        # the detections, BEFORE whois/residuals. That preserves the
+        # reference's ordering semantics exactly — a later visit of the
+        # same resource wins, and a literal 'detected_prop' residual
+        # field (applied later in the same visit, :153-168) overrides the
+        # computed value. (A fixed-seq distributed aggregate averaged
+        # ACROSS visits and beat residuals — both divergences.)
+        ratios: list[float] = []
         for detect_element in LEGITIMATE_LIST + MALICIOUS_LIST:
             for detect in body.get(detect_element) or []:
                 data_hash = detect.get("hash", "")
                 data_time = detect.get("datetime", "")
                 data_prob = detect.get("prob", "")
-                saw_detection = True
-                ratio = None
                 try:  # B8 intent: malformed prob → skipped sample, not crash
                     detected, checker = map(int, str(data_prob).strip().split("/"))
-                    ratio = (1.0 * detected / checker) if checker else None
+                    if checker:
+                        ratios.append(1.0 * detected / checker)
                 except (ValueError, AttributeError):
-                    ratio = None
+                    pass
                 vlabel = "legitimate" if detect_element in LEGITIMATE_LIST else "malicious"
                 elabel = "trusted" if detect_element in LEGITIMATE_LIST else "threat"
                 emit("v", vlabel, data_hash, props={
                     "hash": data_hash, "datetime": data_time, "probability": data_prob,
                 })
                 emit("e", src=me, dst=(vlabel, data_hash), edge_label=elabel)
-                emit("d", label, name, ratio=ratio)
-        if not saw_detection:
-            emit("d", label, name, ratio=None)  # still gets detected_prop=0.0
+        dp = (sum(ratios) / len(ratios)) if ratios else 0.0
+        emit("u", label, name, props={"detected_prop": dp})
 
         # whois contacts (:141-151): owner vertex, belongTo owner→resource
         contacts = (body.get("whois") or {}).get("contacts") or {}
@@ -224,7 +238,16 @@ def staging_frame(spark: SparkSession, reports: DataFrame) -> DataFrame:
                     continue
                 if not isinstance(report, dict):
                     continue
-                out.extend(flatten_report(report, int(ord_)))
+                try:
+                    out.extend(flatten_report(report, int(ord_)))
+                except Exception:  # noqa: BLE001 — valid JSON, hostile shape
+                    # (string body, scalar list entries, non-dict whois
+                    # contact, ...): dead-letter like a parse failure —
+                    # one malformed record must not kill a 100 TB ingest
+                    out.append((
+                        int(ord_), 0, "x", None, None, None, None, None,
+                        None, None, {"raw": str(raw)[:4096]}, None,
+                    ))
             yield pd.DataFrame(out, columns=_COLS)
 
     return reports.mapInPandas(parse, schema=STAGING_SCHEMA)
@@ -240,10 +263,12 @@ def corrupt_records(staging: DataFrame) -> DataFrame:
 def build_graph_tables(staging: DataFrame) -> PropertyGraph:
     """Staging rows → (vertices, edges), all JVM-side.
 
-    - A1: detected_prop = per-(resource, report) avg of non-null ratios,
-      0.0 when none parse (graph_importer.py:131-138 + B8 intent); becomes
-      an update row at the report's position (later reports overwrite,
-      matching the reference's per-report update_vertex).
+    - A1: detected_prop arrives as a normal update row emitted by the
+      parser at its per-VISIT reference position (avg of parseable
+      ratios, 0.0 when none — graph_importer.py:131-138 + B8 intent), so
+      later visits overwrite earlier ones and a literal residual
+      'detected_prop' field wins within a visit, exactly like the
+      reference's update_vertex ordering.
     - vertex props: first insert wins, then updates fold left in
       (ord, seq) order with later keys winning ($set semantics).
     - edges: dedup on (src, dst, label), first occurrence's props win.
@@ -258,22 +283,13 @@ def build_graph_tables(staging: DataFrame) -> PropertyGraph:
     """
     staging = staging.persist()
 
-    detected = (
-        staging.filter(F.col("kind") == "d")
-        .groupBy("label", "key", "ord")
-        .agg(F.coalesce(F.avg("ratio"), F.lit(0.0)).alias("dp"))
-        .select(
-            "label", "key", "ord",
-            F.lit(2_000_000_000).alias("seq"),  # after any in-report update
-            F.create_map(F.lit("detected_prop"), F.col("dp").cast("string")).alias("props"),
-        )
-    )
-
     inserts = staging.filter(F.col("kind") == "v").select("label", "key", "ord", "seq", "props")
     updates = (
         staging.filter(F.col("kind") == "u")
+        # a NULL-props update is a no-op; letting it into the fold would
+        # null the accumulator (map_concat(acc, NULL) = NULL)
+        .filter(F.col("props").isNotNull())
         .select("label", "key", "ord", "seq", "props")
-        .unionByName(detected)
     )
 
     base = inserts.groupBy("label", "key").agg(

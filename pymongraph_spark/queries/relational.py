@@ -621,11 +621,12 @@ def q25_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_matches(addr, '^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])$') AS is_ip,
            CASE WHEN regexp_matches(addr, '^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])$')
                 THEN 'ip' ELSE 'domain' END AS resource_label,
-           CASE WHEN TRY_CAST(string_split(trim(ratio_str), '/')[2] AS DOUBLE) IS NOT NULL
+           CASE WHEN len(string_split(trim(ratio_str), '/')) = 2
+                 AND regexp_matches(trim(string_split(trim(ratio_str), '/')[1]), '^[+-]?[0-9]+$')
+                 AND regexp_matches(trim(string_split(trim(ratio_str), '/')[2]), '^[+-]?[0-9]+$')
                  AND TRY_CAST(string_split(trim(ratio_str), '/')[2] AS DOUBLE) <> 0
-                 AND TRY_CAST(string_split(trim(ratio_str), '/')[1] AS DOUBLE) IS NOT NULL
-                THEN TRY_CAST(string_split(trim(ratio_str), '/')[1] AS DOUBLE)
-                     / TRY_CAST(string_split(trim(ratio_str), '/')[2] AS DOUBLE)
+                THEN TRY_CAST(trim(string_split(trim(ratio_str), '/')[1]) AS DOUBLE)
+                     / TRY_CAST(trim(string_split(trim(ratio_str), '/')[2]) AS DOUBLE)
            END AS ratio
     FROM s
     """,

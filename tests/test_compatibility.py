@@ -129,3 +129,41 @@ def test_change_collection_round_trip(spark):
     mg.change_collection("other_vertices", "other_edges")
     found2 = mg.search_vertex({"name": "second.example"})
     assert [d["_id"] for d in found2] == [vid2]
+
+
+def test_insert_vertex_identify_lookup_returns_existing(mg):
+    """Reference dedup (mongraph.py:90-94): when a vertex matching the
+    FULL identify dict exists, insert_vertex returns its id and stores
+    NOTHING — data must not spawn a second vertex."""
+    vid = mg.insert_vertex("domain", {"name": "lookup.example"}, {"name": "lookup.example"})
+    got = mg.insert_vertex("domain", identify={"name": "lookup.example"},
+                           data={"name": "stored.example"})
+    assert got == vid
+    assert mg.search_vertex({"name": "stored.example"}) == []  # nothing stored
+
+
+def test_empty_and_none_filters_match_anything(mg):
+    """Reference find_one({})/delete_node(None) semantics: filter-less
+    calls match everything (deterministic min-id first), never crash."""
+    mg.insert_vertex("domain", {"name": "a.example"}, {"name": "a.example"})
+    mg.insert_vertex("domain", {"name": "b.example"}, {"name": "b.example"})
+    assert len(mg.search_vertex({})) == 2
+    assert mg.delete_node(None) is True  # deletes the min-id vertex
+    assert len(mg.search_vertex({})) == 1
+
+
+def test_facade_reimport_refreshes_existing_vertex(spark):
+    """The reference's primary workflow — incremental re-import — runs
+    update_vertex against EXISTING vertices: a second report for the same
+    resource must land its residual fields and recompute detected_prop,
+    not be discarded by a whole-vertex anti-join."""
+    from pymongraph_spark.compatibility import GraphImporter
+
+    gi = GraphImporter(spark)
+    gi.import_from_json({"bad.example": {
+        "detected-downloaded": [{"hash": "h1", "datetime": "2020-01-01", "prob": "1/2"}],
+    }})
+    gi.import_from_json({"bad.example": {"ttl": 60}})
+    doc = gi.search_vertex({"name": "bad.example"})[0]
+    assert doc["ttl"] == "60"                     # second report's residual landed
+    assert float(doc["detected_prop"]) == 0.0     # recomputed by the second visit

@@ -261,3 +261,46 @@ def test_g2_midtier_broadcast_join_matches(spark, monkeypatch):
     )
     assert used_join["flag"], "broadcast-join tier never used"
     assert _names_of(g, got_v) == expected_names
+
+
+def test_update_vertices_folds_duplicate_ids(spark):
+    """Duplicate ids in an updates frame apply SEQUENTIALLY (reference
+    update_one semantics) — never fan the vertex out into multiple rows."""
+    from pymongraph_spark.graph.model import PropertyGraph
+    from pymongraph_spark.graph.writes import update_vertices, upsert_vertices
+
+    g = PropertyGraph.empty(spark)
+    data = spark.createDataFrame([("a.example",)], "name: string")
+    g = upsert_vertices(g, "domain", data, key="name")
+    vid = g.vertices.collect()[0]["id"]
+    updates = spark.createDataFrame(
+        [(vid, {"x": "1"}), (vid, {"y": "2"}), (vid, {"x": "3"})],
+        "id: long, props: map<string,string>",
+    )
+    g2 = update_vertices(g, updates)
+    rows = g2.vertices.filter(F.col("id") == vid).collect()
+    assert len(rows) == 1  # no fan-out
+    props = dict(rows[0]["props"])
+    assert props["y"] == "2"
+    assert props["x"] == "3"  # later duplicate wins
+    assert props["name"] == "a.example"
+
+
+def test_upsert_edges_triple_dedup_is_type_insensitive(spark):
+    """The same directed (src, dst, label) triple arriving as string-typed
+    and long-typed columns must still be ONE edge — the id hash runs on
+    the post-cast longs (W2)."""
+    from pymongraph_spark.graph.model import PropertyGraph
+    from pymongraph_spark.graph.writes import upsert_edges, upsert_vertices
+
+    g = PropertyGraph.empty(spark)
+    data = spark.createDataFrame([("a.example",), ("b.example",)], "name: string")
+    g = upsert_vertices(g, "domain", data, key="name")
+    ids = sorted(r["id"] for r in g.vertices.collect())
+    as_long = spark.createDataFrame([(ids[0], ids[1])], "src: long, dst: long")
+    as_str = spark.createDataFrame(
+        [(str(ids[0]), str(ids[1]))], "src: string, dst: string"
+    )
+    g = upsert_edges(g, as_long, label="resolve")
+    g = upsert_edges(g, as_str, label="resolve")
+    assert g.edges.count() == 1

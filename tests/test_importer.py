@@ -180,3 +180,79 @@ def test_flatten_indexed_null_empty_and_values(spark):
     assert out["a"] == {"vals_0": "x", "vals_1": "y"}
     assert out["b"] == {}
     assert out["c"] is None
+
+
+def test_empty_residual_collection_does_not_wipe_props(spark):
+    """An empty residual list/dict is a no-op update (reference
+    update_vertex({})), NOT a NULL props row — which would null the whole
+    vertex fold via map_concat(acc, NULL)."""
+    g = import_from_json(spark, [{"a.com": {"categories": [], "server": {}, "ttl": 5}}])
+    rows = {dict(r["props"] or {}).get("name"): dict(r["props"] or {})
+            for r in g.vertices.collect()}
+    assert "a.com" in rows
+    assert rows["a.com"]["name"] == "a.com"
+    assert rows["a.com"]["ttl"] == "5"
+    assert rows["a.com"]["detected_prop"] == "0.0"
+
+
+def test_hostile_shapes_dead_letter_not_poison_pill(spark):
+    """Valid-JSON-but-unexpected shapes (string body, scalar subdomain
+    entries, string whois contact) must quarantine like parse failures —
+    never fail the Spark job."""
+    from pymongraph_spark.ingest.importer import corrupt_records, staging_frame
+
+    reports = spark.createDataFrame(
+        [
+            (0, '{"a.com": "hello"}'),                                   # string body
+            (1, '{"b.com": {"observed-subdomains": ["x"]}}'),            # scalar entry
+            (2, '{"c.com": {"whois": {"contacts": {"admin": "email"}}}}'),  # string contact
+            (3, '{"ok.com": {"ttl": 1}}'),                               # fine
+            (4, 'not json at all'),                                      # parse failure
+        ],
+        "ord: bigint, value: string",
+    )
+    staging = staging_frame(spark, reports)
+    bad = {r["ord"] for r in corrupt_records(staging).collect()}
+    assert bad == {0, 1, 2, 4}
+    g = import_from_json(spark, reports)
+    names = {dict(r["props"] or {}).get("name") for r in g.vertices.collect()}
+    assert "ok.com" in names  # the good record still lands
+
+
+def test_detected_prop_last_visit_wins_and_residual_overrides(spark):
+    """Reference ordering semantics (graph_importer.py:131-168): the
+    computed detected_prop update runs per VISIT (a later visit of the
+    same resource wins — no cross-visit averaging), and a literal
+    'detected_prop' residual field is applied after the computed update
+    within its visit, so it wins."""
+    report = {
+        "root.example": {
+            "observed-subdomains": [
+                # visit 1 of c.example: one parseable detection → 0.5
+                {"domain": {"c.example": {
+                    "detected-downloaded": [
+                        {"hash": "h1", "datetime": "2020-01-01", "prob": "1/2"}
+                    ],
+                }}},
+                # visit 2 of c.example: no detections → 0.0 (last wins)
+                {"domain": {"c.example": {}}},
+            ],
+        }
+    }
+    g = import_from_json(spark, [report])
+    props = {dict(r["props"] or {}).get("name"): dict(r["props"] or {})
+             for r in g.vertices.collect()}
+    assert float(props["c.example"]["detected_prop"]) == 0.0
+
+    report2 = {
+        "d.example": {
+            "detected-downloaded": [
+                {"hash": "h2", "datetime": "2020-01-01", "prob": "1/2"}
+            ],
+            "detected_prop": "0.99",  # residual literal beats the computed 0.5
+        }
+    }
+    g2 = import_from_json(spark, [report2])
+    props2 = {dict(r["props"] or {}).get("name"): dict(r["props"] or {})
+              for r in g2.vertices.collect()}
+    assert props2["d.example"]["detected_prop"] == "0.99"

@@ -229,3 +229,26 @@ def test_whitespace_class_agrees_with_duckdb_on_vertical_tab(spark):
 
     assert list(srow["toks"]) == list(otoks) == ["alpha", "beta", "gamma", "delta"]
     assert srow["norm"] == onorm == "alpha beta gamma delta"
+
+
+def test_parse_ratio_strict_matches_importer_semantics(spark):
+    """F3 must agree with the graph importer's map(int, split('/')):
+    exactly two integer tokens — lax shapes ('1/2/3', '2.5/10') are NULL,
+    whitespace-padded integers parse like Python int()."""
+    from pymongraph_spark.functions.scalars import parse_ratio
+
+    cases = [
+        ("1/2", 0.5),
+        (" 3/4 ", 0.75),
+        ("1 / 2", 0.5),        # int() strips per-token whitespace
+        ("0/60", 0.0),
+        ("1/0", None),          # zero checker → skipped sample
+        ("1/2/3", None),        # extra segment — importer raises → skip
+        ("2.5/10", None),       # non-integer — importer raises → skip
+        ("garbage", None),
+        ("", None),
+        ("-1/2", -0.5),         # int() accepts signs
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "prob: string")
+    got = [r["r"] for r in df.select(parse_ratio("prob").alias("r")).collect()]
+    assert got == [v for _, v in cases]
