@@ -64,20 +64,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver's correctness gate records only the first 50 registry
-    entries per round, so the order rotates by verification staleness:
-    the OLDEST-gated cohort leads (regenerated testdata can silently
-    break old greens — round-3's schema drift proved it — so refreshing
-    stale evidence outranks everything), then queries that have never
-    received a driver row (pre-verified locally at sf0.01 via
-    scripts/gate_precheck.py before each round, so they carry less risk
-    than stale greens), then the rest round-ascending, name as tie-break.
-    The whole registry cycles through the gate every ceil(N/50) rounds.
+    entries per round, so the order rotates by verification staleness.
+    Queries that have NEVER received a driver row lead (rank 0): local
+    sf0.01 prechecks via scripts/gate_precheck.py are mitigation, but
+    the driver gate is the hard signal, and ranking never-gated queries
+    behind stale greens provably starves them once the gated population
+    settles into window-sized cohorts (the round-6 verdict caught
+    exactly that steady state: three 50-query cohorts cycling forever).
+    After the never-gated block, gated queries follow in ascending
+    last-gated-round order (stalest first — regenerated testdata can
+    silently break old greens; round-3's schema drift proved it), name
+    as tie-break. Once every query has a driver row, the registry
+    cycles through the gate every ceil(N/50) rounds.
     """
     last = _last_gated_round()
-    oldest = min(last.values()) if last else 0
-    never_rank = oldest + 0.5  # right after the stalest gated cohort
 
-    ordered = sorted(QUERIES, key=lambda k: (last.get(k, never_rank), k))
+    ordered = sorted(QUERIES, key=lambda k: (last.get(k, 0), k))
     return {k: QUERIES[k] for k in ordered}
 
 
