@@ -28,6 +28,55 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_SCRATCH_GRACE_SECS = 600
+
+
+def _sweep_dead_scratch(temp_root: str) -> None:
+    """Reclaim sibling ``sparkgraph_*`` scratch dirs whose embedded PID is
+    no longer alive. PID-keyed names make concurrent-process rmtree races
+    impossible, but they also mean a dead process's dirs are never reused
+    — without this sweep every run permanently orphans its stream-staging
+    and sink outputs under /tmp, unbounded on long-lived hosts. Age grace:
+    only dirs idle past _SCRATCH_GRACE_SECS are touched (covers the
+    create-then-check window and PID-recycling edge reads). A live PID —
+    including a recycled one — always skips: conservative, at worst the
+    orphan waits for a later sweep."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        names = os.listdir(temp_root)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("sparkgraph_"):
+            continue
+        parts = name.split("_")
+        if len(parts) < 4:
+            continue
+        try:
+            pid = int(parts[-2])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner alive → untouchable
+        except ProcessLookupError:
+            pass  # owner dead → candidate
+        except OSError:
+            continue  # EPERM etc.: treat as alive
+        path = os.path.join(temp_root, name)
+        try:
+            if now - os.stat(path).st_mtime < _SCRATCH_GRACE_SECS:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def scratch_dir(kind: str, sf_dir: str) -> str:
     """Process-scoped scratch path for queries that write and read back
     (demo sinks, store round-trips, stream staging dirs). Keyed by PID so
@@ -37,10 +86,11 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
     attach-or-build because these dirs are throwaway fixtures, not
     shared caches. The salted-hash suffix keeps same-process re-runs
     idempotent under one stable name; orphans of dead processes are
-    small, never reattached (the name embeds the dead pid), and live
-    under the OS-reclaimed temp root."""
+    reclaimed by _sweep_dead_scratch at every creation (age-gated,
+    liveness-checked), so long-lived hosts don't accumulate them."""
     import tempfile
 
+    _sweep_dead_scratch(tempfile.gettempdir())
     return os.path.join(
         tempfile.gettempdir(),
         f"sparkgraph_{kind}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",

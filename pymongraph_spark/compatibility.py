@@ -250,20 +250,31 @@ class GraphImporter(MongoGraph):
     same entry point, executed through the batch staging pipeline."""
 
     def import_from_json(self, json_data: dict, is_malicious: bool = False) -> None:
-        from pymongraph_spark.ingest.importer import import_from_json
+        from pymongraph_spark.ingest import importer
 
-        incoming = import_from_json(self._spark, [json_data])
+        reports = self._spark.createDataFrame(
+            [(0, json.dumps(json_data))], "ord bigint, value string"
+        )
+        # Parse once (eager checkpoint); the graph build and the
+        # update-only fold both read the staging rows.
+        staging = importer.staging_frame(self._spark, reports).localCheckpoint(
+            eager=True
+        )
+        incoming = importer.build_graph_tables(staging)
         # Reference re-import semantics (graph_importer.py per report):
-        # insert_vertex on an EXISTING vertex is a no-op, but the report's
-        # update_vertex calls (detected_prop, residual fields) still run
-        # against it — so incoming props $set-MERGE onto existing vertices
-        # (later report wins per key) rather than being discarded by a
-        # whole-vertex anti-join, which would leave detected_prop stale on
-        # every incremental re-import. New vertices insert as-is; edges
-        # keep first-insert-wins.
+        # insert_vertex on an EXISTING vertex is a no-op (mongraph.py:
+        # 90-97) — its insert-origin props (detection hash/datetime/
+        # probability, whois contact fields, the seed name/address) keep
+        # the FIRST import's values — while the report's update_vertex
+        # calls (detected_prop, residual fields, graph_importer.py:
+        # 131-168) still $set onto it. So only UPDATE-KIND staging props
+        # merge onto existing vertices; insert-kind props only seed new
+        # vertices. Edges keep first-insert-wins.
         existing_ids = self._graph.vertices.select("id")
-        updates = incoming.vertices.join(existing_ids, on="id", how="left_semi").select(
-            "id", "props"
+        updates = (
+            importer.update_props_frame(staging)
+            .join(existing_ids, on="id", how="left_semi")
+            .select("id", "props")
         )
         updated = writes.update_vertices(self._graph, updates)
         merged_v = updated.vertices.unionByName(

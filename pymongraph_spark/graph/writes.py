@@ -145,11 +145,28 @@ def insert_nodes(
 
 def _fold_updates(updates: DataFrame) -> DataFrame:
     """Collapse duplicate ids in an updates frame into ONE $set map per id
-    by applying them in encounter order (later maps win per key) — the
+    by applying them in application order (later maps win per key) — the
     reference applies sequential update_one calls; a left join against
     duplicate ids would instead FAN OUT the target into one row per
-    update, breaking id uniqueness for every downstream join."""
-    u = updates.select("id", F.col("props").alias("__new_props"))
+    update, breaking id uniqueness for every downstream join.
+
+    Ordering: if the caller supplies an explicit ``ord`` column (like the
+    importer's staging ``(ord, seq)``, pre-combined), duplicates fold in
+    that order regardless of the frame's lineage. Otherwise the fallback
+    is monotonically_increasing_id(), which preserves the caller's row
+    order ONLY for shuffle-free inputs (after any shuffle the ids reflect
+    partition layout) — callers with conflicting duplicate-id updates
+    downstream of a shuffle must pass ``ord``."""
+    if "ord" in updates.columns:
+        u = updates.select(
+            "id",
+            F.col("props").alias("__new_props"),
+            F.col("ord").cast("bigint").alias("__ord"),
+        )
+    else:
+        u = updates.select("id", F.col("props").alias("__new_props")).withColumn(
+            "__ord", F.monotonically_increasing_id()
+        )
 
     def _by_ord(left, right):  # structs with map fields aren't orderable
         return (
@@ -159,8 +176,7 @@ def _fold_updates(updates: DataFrame) -> DataFrame:
         )
 
     return (
-        u.withColumn("__ord", F.monotonically_increasing_id())
-        .groupBy("id")
+        u.groupBy("id")
         .agg(
             F.aggregate(
                 F.array_sort(
@@ -181,9 +197,10 @@ def _fold_updates(updates: DataFrame) -> DataFrame:
 
 def update_vertices(g: PropertyGraph, updates: DataFrame) -> PropertyGraph:
     """U1 batch property merge (mongraph.py:195-203). ``updates`` has
-    columns [id, props: map]; $set semantics = map_concat with update keys
-    winning. Duplicate ids in ``updates`` are folded in encounter order
-    first (sequential update_one semantics), never fanned out."""
+    columns [id, props: map] plus an optional ``ord`` bigint giving the
+    application order for duplicate ids; $set semantics = map_concat with
+    update keys winning. Duplicate ids in ``updates`` are folded in that
+    order first (sequential update_one semantics), never fanned out."""
     u = _fold_updates(updates)
     merged = (
         g.vertices.join(u, on="id", how="left")

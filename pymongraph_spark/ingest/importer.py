@@ -260,6 +260,68 @@ def corrupt_records(staging: DataFrame) -> DataFrame:
     )
 
 
+def _cmp_ord_seq(l, r):  # maps aren't orderable → compare (ord, seq) explicitly
+    return (
+        F.when(l["ord"] < r["ord"], -1)
+        .when(l["ord"] > r["ord"], 1)
+        .when(l["seq"] < r["seq"], -1)
+        .when(l["seq"] > r["seq"], 1)
+        .otherwise(0)
+    )
+
+
+def _set_fold(base_col, upds_col):
+    """$set-fold an (ord,seq)-sorted array of update structs onto a base
+    map: later keys win. Overwritten keys are dropped from the
+    accumulator before concat — explicit so we don't depend on
+    mapKeyDedupPolicy."""
+    return F.when(upds_col.isNull(), base_col).otherwise(
+        F.aggregate(
+            upds_col,
+            base_col,
+            lambda acc, u: F.map_concat(
+                F.map_filter(
+                    acc, lambda k, _: ~F.array_contains(F.map_keys(u["props"]), k)
+                ),
+                u["props"],
+            ),
+        )
+    )
+
+
+def _update_folds(staging: DataFrame) -> DataFrame:
+    """(label, key) → (ord,seq)-sorted array of update-kind props."""
+    return (
+        staging.filter(F.col("kind") == "u")
+        # a NULL-props update is a no-op; letting it into the fold would
+        # null the accumulator (map_concat(acc, NULL) = NULL)
+        .filter(F.col("props").isNotNull())
+        .groupBy("label", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ord", "seq", "props")), _cmp_ord_seq
+            ).alias("upds")
+        )
+    )
+
+
+def update_props_frame(staging: DataFrame) -> DataFrame:
+    """(id, props) of ONLY the update-kind staging rows, folded in
+    (ord, seq) order with later keys winning.
+
+    This is what the reference's re-import applies to an ALREADY-EXISTING
+    vertex: insert_vertex on an existing vertex is a no-op
+    (mongraph.py:90-97), so only the report's update_vertex calls
+    (detected_prop, residual fields — graph_importer.py:131-168) land.
+    Insert-origin props must never overwrite an existing vertex's values."""
+    return _update_folds(staging).select(
+        vertex_id(F.col("label"), F.col("key")).alias("id"),
+        _set_fold(F.expr("map()").cast("map<string,string>"), F.col("upds")).alias(
+            "props"
+        ),
+    )
+
+
 def build_graph_tables(staging: DataFrame) -> PropertyGraph:
     """Staging rows → (vertices, edges), all JVM-side.
 
@@ -284,50 +346,17 @@ def build_graph_tables(staging: DataFrame) -> PropertyGraph:
     staging = staging.persist()
 
     inserts = staging.filter(F.col("kind") == "v").select("label", "key", "ord", "seq", "props")
-    updates = (
-        staging.filter(F.col("kind") == "u")
-        # a NULL-props update is a no-op; letting it into the fold would
-        # null the accumulator (map_concat(acc, NULL) = NULL)
-        .filter(F.col("props").isNotNull())
-        .select("label", "key", "ord", "seq", "props")
-    )
 
     base = inserts.groupBy("label", "key").agg(
         F.min_by("props", F.struct("ord", "seq")).alias("base_props")
     )
-    def _cmp(l, r):  # maps aren't orderable → compare (ord, seq) explicitly
-        return (
-            F.when(l["ord"] < r["ord"], -1)
-            .when(l["ord"] > r["ord"], 1)
-            .when(l["seq"] < r["seq"], -1)
-            .when(l["seq"] > r["seq"], 1)
-            .otherwise(0)
-        )
-
-    upd = updates.groupBy("label", "key").agg(
-        F.array_sort(F.collect_list(F.struct("ord", "seq", "props")), _cmp).alias("upds")
-    )
+    upd = _update_folds(staging)
     vertices = (
         base.join(upd, on=["label", "key"], how="left")
         .select(
             vertex_id(F.col("label"), F.col("key")).alias("id"),
             "label",
-            F.when(F.col("upds").isNull(), F.col("base_props"))
-            .otherwise(
-                F.aggregate(
-                    F.col("upds"),
-                    F.col("base_props"),
-                    # $set: drop overwritten keys from acc, then concat —
-                    # explicit so we don't depend on mapKeyDedupPolicy
-                    lambda acc, u: F.map_concat(
-                        F.map_filter(
-                            acc, lambda k, _: ~F.array_contains(F.map_keys(u["props"]), k)
-                        ),
-                        u["props"],
-                    ),
-                )
-            )
-            .alias("props"),
+            _set_fold(F.col("base_props"), F.col("upds")).alias("props"),
         )
     )
 

@@ -1949,6 +1949,26 @@ def _bucketed_pair_prefix(sf_dir: str) -> str:
     return f"bktj_{sf_tok}_{h.hexdigest()[:8]}"
 
 
+def _sidecar_backfill(loc: str, buckets: int) -> None:
+    """Record the bucket count for a pre-sidecar save (older rounds) so
+    every future attach declares what the files actually satisfy — but
+    only when the file names CONFIRM it: every bucket id 0..buckets-1
+    present on disk means the observed max equals buckets-1. A mere
+    can't-refute lower bound (max < buckets-1) is also compatible with a
+    save that used FEWER buckets, and stamping the guess would make it
+    permanently authoritative, silently mis-routing bucketed joins; such
+    saves stay on the per-attach fallback path (which re-checks the
+    refutation bound on every attach) or get rebuilt."""
+    import os
+
+    from pymongraph_spark.graph.store import max_bucket_id_on_disk
+
+    p = os.path.join(loc, "_BUCKETS")
+    if not os.path.exists(p) and max_bucket_id_on_disk(loc) == buckets - 1:
+        with open(p, "w") as fh:
+            fh.write(str(buckets))
+
+
 def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -> str:
     """Materialize orders+lineitem as co-bucketed tables (bucketBy the
     join key, same bucket count both sides) so orderkey joins run
@@ -1978,30 +1998,17 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 16) -
         "orders": ("o_orderkey", ["o_orderkey", "o_orderpriority"]),
         "lineitem": ("l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
     }
-    def sidecar_backfill(loc: str) -> None:
-        # pre-sidecar saves (older rounds) get the count recorded so every
-        # future attach declares what the files actually satisfy — but only
-        # when the file names' bucket-id lower bound doesn't refute the
-        # count (stamping a provably-wrong guess would make it permanently
-        # authoritative; see store.max_bucket_id_on_disk)
-        from pymongraph_spark.graph.store import max_bucket_id_on_disk
-
-        p = os.path.join(loc, "_BUCKETS")
-        if not os.path.exists(p) and max_bucket_id_on_disk(loc) < buckets:
-            with open(p, "w") as fh:
-                fh.write(str(buckets))
-
     tables = None
     for t, (key, cols) in specs.items():
         name = f"{prefix}_{t}"
         loc = _warehouse_path(spark, name)
         if spark.catalog.tableExists(name):
             _touch_last_used(loc)
-            sidecar_backfill(loc)
+            _sidecar_backfill(loc, buckets)
             continue
         if attach_bucketed_table(spark, name, key, buckets_fallback=buckets):
             _touch_last_used(loc)
-            sidecar_backfill(loc)
+            _sidecar_backfill(loc, buckets)
             continue
         # No complete files on disk: build. An orphaned partial write
         # (dead JVM mid-write — no _SUCCESS, so no reader can be on it)

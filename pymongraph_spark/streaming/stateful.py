@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
-STATE_SCHEMA = "n bigint, total_micros bigint, mx double"
+STATE_SCHEMA = "n bigint, nv bigint, total_micros bigint, mx double"
 
 
 def _update(
@@ -31,7 +31,9 @@ def _update(
     if state.hasTimedOut:
         state.remove()
         return
-    n, total_micros, mx = state.get if state.exists else (0, 0, float("-inf"))
+    n, nv, total_micros, mx = (
+        state.get if state.exists else (0, 0, 0, float("-inf"))
+    )
     for pdf in pdfs:
         n += len(pdf)
         # exact integer accumulation in 1e-6 units via floor(v*1e6 + 0.5)
@@ -42,18 +44,21 @@ def _update(
         # class). NULL values are skipped, exactly like SQL SUM/MAX.
         v = pdf["value"].dropna()
         if len(v):
+            nv += len(v)
             total_micros += int(
                 np.floor(v.to_numpy(dtype="float64") * 1_000_000.0 + 0.5)
                 .astype("int64").sum()
             )
             mx = max(mx, float(v.max()))
-    state.update((n, total_micros, mx))
+    state.update((n, nv, total_micros, mx))
+    # nv == 0 (no non-null value ever seen): SQL SUM/MAX yield NULL, so
+    # emit None — not 0.0/-inf, which the oracle would reject
     yield pd.DataFrame(
         [{
             "user_id": user_id,
             "n_events": n,
-            "total_value": total_micros / 1_000_000,
-            "max_value": mx,
+            "total_value": total_micros / 1_000_000 if nv else None,
+            "max_value": mx if nv else None,
         }]
     )
 

@@ -38,6 +38,7 @@ OUTPUT_SCHEMA = (
 _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
+        StructField("nv", LongType()),
         StructField("total_micros", LongType()),
         StructField("mn", DoubleType()),
         StructField("mx", DoubleType()),
@@ -52,9 +53,9 @@ class RunningTypeStats(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         (event_type,) = key
         if self._stats.exists():
-            n, total_micros, mn, mx = self._stats.get()
+            n, nv, total_micros, mn, mx = self._stats.get()
         else:
-            n, total_micros, mn, mx = 0, 0, float("inf"), float("-inf")
+            n, nv, total_micros, mn, mx = 0, 0, 0, float("inf"), float("-inf")
         for pdf in rows:
             n += len(pdf)
             # floor(v*1e6 + 0.5) in 1e-6 units — identical IEEE ops to the
@@ -63,20 +64,23 @@ class RunningTypeStats(StatefulProcessor):
             # NULLs skipped like SQL SUM/MIN/MAX
             v = pdf["value"].dropna()
             if len(v):
+                nv += len(v)
                 total_micros += int(
                     np.floor(v.to_numpy(dtype="float64") * 1_000_000.0 + 0.5)
                     .astype("int64").sum()
                 )
                 mn = min(mn, float(v.min()))
                 mx = max(mx, float(v.max()))
-        self._stats.update((n, total_micros, mn, mx))
+        self._stats.update((n, nv, total_micros, mn, mx))
+        # nv == 0: SQL SUM/MIN/MAX over no non-null values are NULL —
+        # emit None, never 0.0/inf/-inf
         yield pd.DataFrame(
             [{
                 "event_type": event_type,
                 "n_events": n,
-                "total_value": total_micros / 1_000_000,
-                "min_value": mn,
-                "max_value": mx,
+                "total_value": total_micros / 1_000_000 if nv else None,
+                "min_value": mn if nv else None,
+                "max_value": mx if nv else None,
             }]
         )
 
@@ -130,34 +134,35 @@ def running_type_stats_classic(events_stream: DataFrame) -> DataFrame:
             state.remove()
             return
         if state.exists:
-            n, total_micros, mn, mx = state.get
+            n, nv, total_micros, mn, mx = state.get
         else:
-            n, total_micros, mn, mx = 0, 0, float("inf"), float("-inf")
+            n, nv, total_micros, mn, mx = 0, 0, 0, float("inf"), float("-inf")
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].dropna()  # same quantization contract as above
             if len(v):
+                nv += len(v)
                 total_micros += int(
                     np.floor(v.to_numpy(dtype="float64") * 1_000_000.0 + 0.5)
                     .astype("int64").sum()
                 )
                 mn = min(mn, float(v.min()))
                 mx = max(mx, float(v.max()))
-        state.update((n, total_micros, mn, mx))
+        state.update((n, nv, total_micros, mn, mx))
         yield pd.DataFrame(
             [{
                 "event_type": event_type,
                 "n_events": n,
-                "total_value": total_micros / 1_000_000,
-                "min_value": mn,
-                "max_value": mx,
+                "total_value": total_micros / 1_000_000 if nv else None,
+                "min_value": mn if nv else None,
+                "max_value": mx if nv else None,
             }]
         )
 
     return events_stream.groupBy("event_type").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType="n bigint, total_micros bigint, mn double, mx double",
+        stateStructType="n bigint, nv bigint, total_micros bigint, mn double, mx double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -189,3 +189,39 @@ def test_q61_bucketed_pair_join_is_exchange_free(spark, sf_small):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_sidecar_backfill_requires_confirmed_count(tmp_path):
+    """_BUCKETS backfill only when the file names CONFIRM the count (max
+    observed bucket id == buckets-1). Files compatible with a smaller
+    count (max id < buckets-1) must NOT be stamped — a wrong sidecar is
+    permanently authoritative and silently mis-routes bucketed joins."""
+    import os
+
+    from pymongraph_spark.queries.relational import _sidecar_backfill
+
+    def fake_dir(name, max_id):
+        d = tmp_path / name
+        d.mkdir()
+        for i in (0, max_id):
+            (d / f"part-0000{i}-abc_{i:05d}.c000.snappy.parquet").touch()
+        (d / "_SUCCESS").touch()
+        return str(d)
+
+    # plausibly an 8-bucket save: refutable guess → no stamp
+    ambiguous = fake_dir("amb", 7)
+    _sidecar_backfill(ambiguous, 16)
+    assert not os.path.exists(os.path.join(ambiguous, "_BUCKETS"))
+
+    # all 16 bucket ids possible and max == 15: confirmed → stamped
+    confirmed = fake_dir("conf", 15)
+    _sidecar_backfill(confirmed, 16)
+    with open(os.path.join(confirmed, "_BUCKETS")) as fh:
+        assert fh.read().strip() == "16"
+
+    # existing sidecar is never overwritten
+    with open(os.path.join(confirmed, "_BUCKETS"), "w") as fh:
+        fh.write("8")
+    _sidecar_backfill(confirmed, 16)
+    with open(os.path.join(confirmed, "_BUCKETS")) as fh:
+        assert fh.read().strip() == "8"

@@ -95,3 +95,42 @@ def test_importer_releases_staging_cache(spark):
     g = import_from_json(spark, reports)
     assert g.vertices.count() >= 1
     assert _n_cached_plans(spark) == before
+
+
+def test_dead_pid_scratch_sweep(tmp_path):
+    """scratch_dir's sweep reclaims sparkgraph_* dirs whose embedded PID
+    is dead AND past the grace window — live-PID and young dirs survive
+    (the unbounded-/tmp-orphan leak the r6 advice flagged)."""
+    import os
+    import time
+
+    from pymongraph_spark.catalog import _SCRATCH_GRACE_SECS, _sweep_dead_scratch
+
+    dead_pid = None
+    for cand in range(300000, 300050):
+        try:
+            os.kill(cand, 0)
+        except ProcessLookupError:
+            dead_pid = cand
+            break
+        except OSError:
+            continue
+    assert dead_pid is not None
+
+    old = time.time() - _SCRATCH_GRACE_SECS - 60
+    dead_old = tmp_path / f"sparkgraph_st87_ingest_{dead_pid}_12345678"
+    dead_young = tmp_path / f"sparkgraph_fmt_{dead_pid}_23456789"
+    live_old = tmp_path / f"sparkgraph_fmt_{os.getppid()}_34567890"
+    unrelated = tmp_path / "other_dir_1_2"
+    for d in (dead_old, dead_young, live_old, unrelated):
+        d.mkdir()
+        (d / "part-0.parquet").touch()
+    os.utime(dead_old, (old, old))
+    os.utime(live_old, (old, old))
+
+    _sweep_dead_scratch(str(tmp_path))
+
+    assert not dead_old.exists()      # dead + old → reclaimed
+    assert dead_young.exists()        # dead but inside grace → kept
+    assert live_old.exists()          # owner alive → untouchable
+    assert unrelated.exists()         # non-sparkgraph names ignored

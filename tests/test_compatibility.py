@@ -167,3 +167,29 @@ def test_facade_reimport_refreshes_existing_vertex(spark):
     doc = gi.search_vertex({"name": "bad.example"})[0]
     assert doc["ttl"] == "60"                     # second report's residual landed
     assert float(doc["detected_prop"]) == 0.0     # recomputed by the second visit
+
+
+def test_facade_reimport_keeps_insert_origin_props(spark):
+    """Reference insert_vertex on an EXISTING vertex is a no-op
+    (mongraph.py:90-97): a re-imported detection vertex (same hash, new
+    datetime/probability) and a re-imported whois owner vertex keep the
+    FIRST import's insert-origin values; only update_vertex-origin props
+    (detected_prop, residual fields) refresh."""
+    from pymongraph_spark.compatibility import GraphImporter
+
+    gi = GraphImporter(spark)
+    gi.import_from_json({"bad.example": {
+        "detected-downloaded": [{"hash": "h1", "datetime": "2020-01-01", "prob": "1/2"}],
+        "whois": {"contacts": {"admin": {"email": "a@x.example", "org": "first-org"}}},
+    }})
+    gi.import_from_json({"bad.example": {
+        "detected-downloaded": [{"hash": "h1", "datetime": "2024-09-09", "prob": "3/4"}],
+        "whois": {"contacts": {"admin": {"email": "a@x.example", "org": "second-org"}}},
+    }})
+    det = gi.search_vertex({"hash": "h1"})[0]
+    assert det["datetime"] == "2020-01-01"        # insert-origin: first import wins
+    assert det["probability"] == "1/2"
+    owner = gi.search_vertex({"email": "a@x.example"})[0]
+    assert owner["org"] == "first-org"            # insert-origin: first import wins
+    res = gi.search_vertex({"name": "bad.example"})[0]
+    assert float(res["detected_prop"]) == 0.75    # update-origin: recomputed

@@ -286,6 +286,30 @@ def test_update_vertices_folds_duplicate_ids(spark):
     assert props["name"] == "a.example"
 
 
+def test_update_vertices_explicit_ord_survives_shuffle(spark):
+    """With an explicit ``ord`` column, duplicate-id updates fold in that
+    order even when the updates frame's lineage has shuffled (where
+    monotonically_increasing_id would reflect partition layout instead of
+    the caller's intended order)."""
+    from pyspark.sql import functions as SF
+
+    from pymongraph_spark.graph.model import PropertyGraph
+    from pymongraph_spark.graph.writes import update_vertices, upsert_vertices
+
+    g = PropertyGraph.empty(spark)
+    data = spark.createDataFrame([("b.example",)], "name: string")
+    g = upsert_vertices(g, "domain", data, key="name")
+    vid = g.vertices.collect()[0]["id"]
+    updates = spark.createDataFrame(
+        [(vid, {"x": "late"}, 2), (vid, {"x": "early", "z": "9"}, 1)],
+        "id: long, props: map<string,string>, ord: bigint",
+    ).repartition(8, SF.col("props"))  # shuffle: row order now arbitrary
+    g2 = update_vertices(g, updates)
+    props = dict(g2.vertices.filter(F.col("id") == vid).collect()[0]["props"])
+    assert props["x"] == "late"  # ord=2 wins regardless of partition layout
+    assert props["z"] == "9"
+
+
 def test_upsert_edges_triple_dedup_is_type_insensitive(spark):
     """The same directed (src, dst, label) triple arriving as string-typed
     and long-typed columns must still be ONE edge — the id hash runs on

@@ -73,6 +73,77 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     assert latest[20]["n_events"] == 1
 
 
+def test_stateful_all_null_group_emits_nulls(spark, tmp_path):
+    """A group whose values are all NULL must emit NULL total/max (SQL
+    SUM/MAX over no non-null values), never 0.0/-inf — the latent gate
+    divergence the r6 advice flagged (stateful.py has_values guard)."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    _write_batch(spark, tmp_path, src, "b1",
+                 [(1, T0, 30, None), (2, T0, 30, None), (3, T0, 40, 2.5)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        running_user_stats(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[30]["n_events"] == 2
+    assert got[30]["total_value"] is None
+    assert got[30]["max_value"] is None
+    assert got[40]["total_value"] == pytest.approx(2.5)
+    assert got[40]["max_value"] == pytest.approx(2.5)
+
+
+def test_tws_classic_all_null_group_emits_nulls(spark, tmp_path):
+    """Same NULL-group contract for the tws classic fallback (min too)."""
+    from pymongraph_spark.streaming.tws import running_type_stats_classic
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    tschema = "event_type string, ts timestamp, value double"
+    df = spark.createDataFrame([("a", T0, None), ("b", T0, 4.0)], tschema)
+    stage = tmp_path / "stage" / "b1"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    src.mkdir(parents=True, exist_ok=True)
+    shutil.copy(part, str(src / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema(tschema).parquet(str(src))
+        .select("event_type", "value")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        running_type_stats_classic(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["event_type"]: r for r in spark.read.parquet(out).collect()}
+    assert got["a"]["n_events"] == 1
+    assert got["a"]["total_value"] is None
+    assert got["a"]["min_value"] is None
+    assert got["a"]["max_value"] is None
+    assert got["b"]["min_value"] == pytest.approx(4.0)
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     src = tmp_path / "src"
     out = str(tmp_path / "out")
