@@ -764,17 +764,25 @@ def _part_cooccurrence(t: dict) -> DataFrame:
 # skew-bounded); the oracle is the naive a<b<c three-way join — different
 # algorithms, identical triangle set.
 # --------------------------------------------------------------------------
-@query(
-    "g43_triangle_counts",
-    oracle="""
+# DuckDB CTE recomputing _part_cooccurrence verbatim — shared prefix for
+# every oracle over the co-purchase projection (g43/g49/g55), so the
+# n >= 2 threshold can never drift between them.
+ORACLE_COOCCUR_CTE = """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     ),
-    eg AS (SELECT p1, p2 FROM pairs WHERE n >= 2),
-    tri AS (
+    eg AS MATERIALIZED (SELECT p1, p2 FROM pairs WHERE n >= 2)
+"""
+
+
+@query(
+    "g43_triangle_counts",
+    oracle=ORACLE_COOCCUR_CTE
+    + """
+    , tri AS (
       SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
       FROM eg e1 JOIN eg e2 ON e1.p2 = e2.p1
                  JOIN eg e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
@@ -933,10 +941,12 @@ def g46_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# k-core decomposition — iterative peeling is not expressible in SQL
-# recursion (deletion is non-monotone), so this ships rows-only with
-# golden-graph unit tests; run over the part co-occurrence projection
-# (same substrate as g43).
+# k-core decomposition — peel-to-FIXPOINT is not expressible in SQL
+# recursion (deletion is non-monotone), so g47 ships rows-only with
+# golden-graph unit tests; its exact-twin anchor g55 below runs the SAME
+# peel under a fixed round budget, which IS oracle-checkable (the g48/s57
+# recipe). Both run over the part co-occurrence projection (same
+# substrate as g43).
 # --------------------------------------------------------------------------
 @query("g47_kcore_parts")
 def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,13 +957,88 @@ def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(co, k=3)
 
 
-@query("g49_label_propagation")
+_G55_ROUNDS = 8
+
+
+def _g55_oracle(rounds: int = _G55_ROUNDS, k: int = 3) -> str:
+    """Unrolled synchronous peel: d{r} degrees on the surviving edge set,
+    k{r} the >= k survivors, s{r} the induced edges — the identical
+    update rule k_core runs per iteration, as chained CTEs."""
+    parts = [ORACLE_COOCCUR_CTE, ", s0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM eg)"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , d{r} AS MATERIALIZED (
+      SELECT id, COUNT(*) AS deg FROM (
+        SELECT u AS id FROM s{r - 1} UNION ALL SELECT v FROM s{r - 1}) GROUP BY id
+    ), k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE deg >= {k})
+    , s{r} AS MATERIALIZED (
+      SELECT s.u, s.v FROM s{r - 1} s
+      JOIN k{r} a ON s.u = a.id JOIN k{r} b ON s.v = b.id
+    )""")
+    parts.append(
+        f"SELECT DISTINCT id FROM "
+        f"(SELECT u AS id FROM s{rounds} UNION ALL SELECT v FROM s{rounds})"
+    )
+    return "".join(parts)
+
+
+@query("g55_kcore_exact", oracle=_g55_oracle())
+def g55_kcore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g47's exact-twin anchor (VERDICT r6 #4, the g48/s57 recipe): the
+    SAME k_core peel capped at a FIXED round budget. State-after-R-rounds
+    is engine-checkable — the oracle unrolls R synchronous peel rounds as
+    chained CTEs — and the operator's early convergence break cannot
+    diverge from it: once the peel reaches a fixpoint, further rounds are
+    idempotent, so equality holds whether or not the peel converged by
+    round R. All-integer state (vertex ids, counts): bit-exact across
+    engines."""
+    from pymongraph_spark.operators.graph_algos import k_core
+
+    t = load_tables(spark, sf_dir)
+    co = _part_cooccurrence(t)
+    return k_core(co, k=3, max_iter=_G55_ROUNDS)
+
+
+def _g49_oracle(iters: int = 5) -> str:
+    """Unrolled deterministic synchronous LPA: m{k} neighbor-label votes,
+    b{k} the argmax (count DESC, label ASC — the exact tie-break
+    label_propagation uses), l{k} the adopted labels. All-integer state,
+    so the fixed-iteration sweep is bit-identical across engines."""
+    parts = [
+        ORACLE_COOCCUR_CTE,
+        ", und AS (SELECT p1 AS src, p2 AS dst FROM eg"
+        " UNION ALL SELECT p2, p1 FROM eg)",
+        ", l0 AS (SELECT id, id AS community FROM"
+        " (SELECT p1 AS id FROM eg UNION SELECT p2 FROM eg))",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    , m{k} AS MATERIALIZED (
+      SELECT u.src AS id, p.community AS community, COUNT(*) AS cnt
+      FROM und u JOIN l{k - 1} p ON u.dst = p.id
+      GROUP BY u.src, p.community
+    ), b{k} AS MATERIALIZED (
+      SELECT id, community AS new_c FROM (
+        SELECT id, community,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, community ASC) AS rn
+        FROM m{k}) WHERE rn = 1
+    ), l{k} AS MATERIALIZED (
+      SELECT p.id, COALESCE(b.new_c, p.community) AS community
+      FROM l{k - 1} p LEFT JOIN b{k} b ON b.id = p.id
+    )""")
+    parts.append(f"SELECT id, community FROM l{iters}")
+    return "".join(parts)
+
+
+@query("g49_label_propagation", oracle=_g49_oracle())
 def g49_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-purchase graph (same edge
     frame as g47's k-core): deterministic synchronous LPA, fixed 5
-    rounds. Iterative argmax label voting has no SQL-recursion oracle
-    (rows-only gate); semantics are pinned by the golden-graph unit
-    tests in test_graph_algos.py."""
+    rounds. The sweep is fully deterministic (argmax neighbor label,
+    ties to the smallest label) over integer state, so — unlike the
+    randomized-order LPA of the literature — a fixed-iteration unrolled
+    CTE oracle pins it exactly (VERDICT r6 #4); golden-graph unit tests
+    in test_graph_algos.py pin the operator besides."""
     from pymongraph_spark.operators.graph_algos import label_propagation
 
     t = load_tables(spark, sf_dir)
