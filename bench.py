@@ -29,6 +29,9 @@ HEADLINE = [
     "g30_degree_by_label",
     "g32_two_hop_customer1",
     "g37_connected_components_placed",
+    "g43_triangle_counts",
+    # multimodal (mapInPandas WAV decode — the Python-batch hot path)
+    "m74_wav_decode_real",
     # LLM pipeline
     "d40_exact_dedup",
     "d42_minhash_lsh_pairs",
