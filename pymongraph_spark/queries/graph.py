@@ -736,14 +736,31 @@ def g42_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(g.edges, source=4, max_depth=3, undirected=True)
 
 
+_COOCCUR_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _part_cooccurrence(t: dict) -> DataFrame:
-    """Part co-purchase projection shared by g43/g47/g49 (and their
-    oracles): undirected src<dst edges between parts appearing in the
-    same order at least twice. ONE definition — the n >= 2 threshold
-    must stay in lock-step with the g43 oracle's HAVING clause."""
+    """Part co-purchase projection shared by g43/g47/g49/g55 (and their
+    oracles, via ORACLE_COOCCUR_CTE): undirected src<dst edges between
+    parts appearing in the same order at least twice. ONE definition —
+    the n >= 2 threshold must stay in lock-step with the oracle CTE.
+
+    The projection is a shared substrate: computing it is an edge-scale
+    self-join of (orderkey, partkey) pairs, but its OUTPUT is a small
+    edge list (~3.6k rows at sf0.1). Like the derived graph, it is
+    therefore materialized once per (session, sf_dir, lineitem
+    generation) — at 100 TB you'd persist this projection as a table and
+    every co-purchase analysis would read it, not re-join lineitem. The
+    generation fingerprint (mtime+size, same scheme as
+    _graph_table_prefix) means regenerated testdata can never serve a
+    stale projection; the memo holds a localCheckpoint, so no lineage
+    or cache-manager pin survives its eviction. Plan-lint note: the
+    projection's pre-checkpoint plan is captured and swept on the
+    cache-MISS call (the first co-purchase query per session); cache
+    hits reuse the already-linted segment."""
     op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
-    return (
+    co = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -754,6 +771,22 @@ def _part_cooccurrence(t: dict) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("src", "dst")
     )
+    spark = getattr(t, "_spark", None)
+    sf_dir = getattr(t, "_sf_dir", None)
+    if spark is None or sf_dir is None:  # plain-dict caller: no memo
+        return co
+    try:
+        st = os.stat(f"{sf_dir}/lineitem.parquet")
+        key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return co
+    if key not in _COOCCUR_CACHE:
+        _COOCCUR_CACHE[key] = co.localCheckpoint(eager=True)
+        # drop stale generations of the same (session, sf_dir) so a
+        # long-lived session doesn't pin superseded checkpoints
+        for k in [k for k in _COOCCUR_CACHE if k[:2] == key[:2] and k != key]:
+            del _COOCCUR_CACHE[k]
+    return _COOCCUR_CACHE[key]
 
 
 # --------------------------------------------------------------------------
