@@ -3714,3 +3714,239 @@ def s61_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated spans — the exact-substring dedup shape of
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# 2022), re-expressed relationally: instead of a suffix array, overlapping
+# token 5-grams are exploded with their positions, grams occurring in >1
+# document mark their positions as covered, and per-document maximal
+# repeated spans are recovered with the classic interval-merge
+# (gaps-and-islands) window. Scale shape: the explode is map-only; the
+# cross-doc test is a partial-aggregating groupBy on uniform md5 keys
+# (never corpus x corpus); the span merge windows are per-document
+# (bounded by doc length, perfectly partitionable). All-integer output.
+# --------------------------------------------------------------------------
+_T96_N = 5
+
+
+@query(
+    "t96_cross_doc_repeated_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - {_T96_N - 1})) AS p, toks
+      FROM tk WHERE len(toks) >= {_T96_N}
+    ),
+    h AS (
+      SELECT doc_id, p, p + {_T96_N - 1} AS e,
+             md5(array_to_string(toks[p:p+{_T96_N - 1}], ' ')) AS hh
+      FROM g
+    ),
+    rep AS (SELECT hh FROM h GROUP BY hh HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (SELECT doc_id, p, e FROM h JOIN rep USING (hh)),
+    isl AS (
+      SELECT doc_id, p, e,
+             CASE WHEN p > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cov
+    ),
+    isl2 AS (
+      SELECT doc_id, p, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(island AS INT) AS span_idx,
+           CAST(MIN(p) AS BIGINT) AS start_tok,
+           CAST(MAX(e) AS BIGINT) AS end_tok,
+           CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_len
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def t96_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document maximal spans of tokens covered by some 5-gram that
+    also occurs in ANOTHER document — the removal targets of
+    exact-substring dedup. Positions are 1-based token indices;
+    overlapping/adjacent covered intervals merge into one span."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = _T96_N
+    staged = docs.filter(token_count("text") >= n).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    g = staged.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("p"),
+        (F.col("p") + (n - 1)).cast("bigint").alias("e"),
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("p"), n))).alias("hh"),
+    )
+    rep = (
+        g.groupBy("hh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("hh")
+    )
+    cov = g.join(rep, on="hh", how="left_semi").select("doc_id", "p", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = cov.withColumn(
+        "ni",
+        (F.col("p") > F.coalesce(F.max("e").over(w_prev), F.lit(-999)) + 1).cast(
+            "int"
+        ),
+    ).withColumn("island", F.sum("ni").over(w_run))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("start_tok"),
+        F.max("e").alias("end_tok"),
+        (F.max("e") - F.min("p") + 1).alias("span_len"),
+    ).select(
+        "doc_id",
+        F.col("island").cast("int").alias("span_idx"),
+        "start_tok",
+        "end_tok",
+        "span_len",
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance selection ("Data Selection for Language Models
+# via Importance Resampling", Xie et al., 2023): score every raw-pool
+# document by how much more likely its hashed-token features are under a
+# TARGET distribution (here: the src0-src3 sources) than under the raw
+# pool, then keep the top-k. The published method sums log probability
+# ratios; to stay bit-exact across engines the per-feature log-ratio
+# weight is replaced by an integer quantized ratio
+#   w_f = ((tgt_f+1) * (raw_total+B) * 1000) // ((raw_f+1) * (tgt_total+B))
+# (add-1 smoothing over B=256 hashed buckets, cross-multiplied so the
+# whole statistic is bigint arithmetic — same exactness discipline as the
+# md5-HLL twin q76). A float log-sum variant is a drop-in swap at scale.
+# Scale shape: one explode + two partial-agg passes build the broadcast
+# 256-row weight table; scoring is a map-side broadcast join + per-doc
+# agg; the final top-k is TakeOrderedAndProject (a heap, never a global
+# sort).
+# --------------------------------------------------------------------------
+_T97_TARGET = ("src0", "src1", "src2", "src3")
+_T97_K = 20
+
+# DuckDB fold reproducing Spark's conv(substr(md5(tok),1,8),16,10)%256
+_SQL_TOK_BUCKET = """
+    list_reduce([CAST(strpos('0123456789abcdef',
+                      substr(md5(tok), i, 1)) - 1 AS BIGINT)
+                 for i in generate_series(1, 8)],
+                (acc, x) -> acc * 16 + x) % 256
+"""
+
+
+@query(
+    "t97_dsir_importance_selection",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source IN {_T97_TARGET} AS is_tgt,
+             {_SQL_TOK_BUCKET} AS fb
+      FROM tk
+    ),
+    cnt AS (
+      SELECT fb,
+             SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c,
+             SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS raw_c
+      FROM f GROUP BY fb
+    ),
+    tot AS (
+      SELECT SUM(tgt_c) AS tgt_total, SUM(raw_c) AS raw_total FROM cnt
+    ),
+    w AS (
+      SELECT fb,
+             ((tgt_c + 1) * (raw_total + 256) * 1000)
+               // ((raw_c + 1) * (tgt_total + 256)) AS wf
+      FROM cnt, tot
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.wf) AS BIGINT) AS score
+      FROM f JOIN w USING (fb)
+      WHERE NOT f.is_tgt
+      GROUP BY f.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, score,
+             CAST(score // n_tokens AS BIGINT) AS avg_milli,
+             ROW_NUMBER() OVER (ORDER BY score // n_tokens DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, score, avg_milli, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_T97_K}
+    """,
+)
+def t97_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k raw-pool documents by hashed-ngram importance under the
+    target sources, integer-exact quantized-ratio DSIR."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    f = (
+        docs.select(
+            "doc_id",
+            F.col("source").isin(*_T97_TARGET).alias("is_tgt"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 256)
+            .alias("fb"),
+        )
+    )
+    cnt = f.groupBy("fb").agg(
+        F.sum(F.col("is_tgt").cast("bigint")).alias("tgt_c"),
+        F.sum((~F.col("is_tgt")).cast("bigint")).alias("raw_c"),
+    )
+    tot = cnt.agg(
+        F.sum("tgt_c").alias("tgt_total"), F.sum("raw_c").alias("raw_total")
+    )
+    w = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "fb",
+            (F.col("tgt_c") + 1).alias("num_a"),
+            (F.col("raw_total") + 256).alias("num_b"),
+            (F.col("raw_c") + 1).alias("den_a"),
+            (F.col("tgt_total") + 256).alias("den_b"),
+        )
+        .select(
+            "fb",
+            # bigint floor-division end to end — never a double in the path
+            F.expr("div(num_a * num_b * 1000, den_a * den_b)").alias("wf"),
+        )
+    )
+    scored = (
+        f.filter(~F.col("is_tgt"))
+        .join(F.broadcast(w), on="fb")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("wf").cast("bigint").alias("score"),
+        )
+        .withColumn("avg_milli", F.expr("div(score, n_tokens)").cast("bigint"))
+    )
+    top = scored.orderBy(F.desc("avg_milli"), F.asc("doc_id")).limit(_T97_K)
+    w_rank = Window.orderBy(F.desc("avg_milli"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
