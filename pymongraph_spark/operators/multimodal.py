@@ -587,7 +587,10 @@ def dhash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def wav_frame_energy(
-    media: DataFrame, frame_size: int = 16, id_col: str = "doc_id"
+    media: DataFrame,
+    frame_size: int = 16,
+    id_col: str = "doc_id",
+    with_quantized_energy: bool = False,
 ) -> DataFrame:
     """Frame-level RMS energy over REAL WAV decode (the stdlib ``wave``
     container parse, same path as _wav_decode): each payload's PCM
@@ -595,7 +598,14 @@ def wav_frame_energy(
     primitive of an audio curation pipeline. Amplitudes are k/128 exact
     dyadics and sqrt is IEEE correctly rounded, so frame energies are
     bit-identical across engines. Trailing partial frames are kept with
-    their true sample count."""
+    their true sample count.
+
+    ``with_quantized_energy`` adds an ``energy_q`` bigint column — the
+    INTEGER sum of squared raw amplitude magnitudes (Σk² for 8-bit
+    |b-128|, Σv² for 16-bit) — so downstream thresholding (voiced/
+    silence classification) is pure integer comparison, immune to any
+    float-boundary ambiguity. Kept optional so m77's gated schema is
+    unchanged."""
     import io
     import math
     import struct
@@ -603,7 +613,7 @@ def wav_frame_energy(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, fidx, ns, rms = [], [], [], []
+            ids, fidx, ns, rms, eq = [], [], [], [], []
             for doc_id, mt, payload in zip(
                 pdf[id_col], pdf["media_type"], pdf["payload"]
             ):
@@ -613,29 +623,35 @@ def wav_frame_energy(
                     sampwidth = w.getsampwidth()
                     raw = w.readframes(w.getnframes())
                 if sampwidth == 1:
-                    amps = [abs(b - 128) / 128.0 for b in raw]
+                    quant = [abs(b - 128) for b in raw]
+                    scale = 128.0
                 elif sampwidth == 2:
                     vals = struct.unpack(f"<{len(raw) // 2}h", raw)
-                    amps = [abs(v) / 32768.0 for v in vals]
+                    quant = [abs(v) for v in vals]
+                    scale = 32768.0
                 else:
                     raise ValueError(f"unsupported PCM sample width {sampwidth}")
-                for f in range(0, len(amps), frame_size):
-                    frame = amps[f : f + frame_size]
+                for f in range(0, len(quant), frame_size):
+                    kframe = quant[f : f + frame_size]
+                    frame = [k / scale for k in kframe]
                     ids.append(int(doc_id))
                     fidx.append(f // frame_size)
                     ns.append(len(frame))
                     # math.sqrt, not **0.5: pow(x, 0.5) is not IEEE
                     # correctly rounded and drifts 1 ulp from SQL sqrt
                     rms.append(math.sqrt(sum(a * a for a in frame) / len(frame)))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(fidx, dtype="int32"),
-                    "n_samples": pd.Series(ns, dtype="int32"),
-                    "rms": pd.Series(rms, dtype="float64"),
-                }
-            )
+                    eq.append(sum(k * k for k in kframe))
+            cols = {
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "rms": pd.Series(rms, dtype="float64"),
+            }
+            if with_quantized_energy:
+                cols["energy_q"] = pd.Series(eq, dtype="int64")
+            yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        batches, schema=f"{id_col} bigint, frame_idx int, n_samples int, rms double"
-    )
+    schema = f"{id_col} bigint, frame_idx int, n_samples int, rms double"
+    if with_quantized_energy:
+        schema += ", energy_q bigint"
+    return media.mapInPandas(batches, schema=schema)

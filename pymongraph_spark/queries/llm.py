@@ -3950,3 +3950,97 @@ def t97_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     top = scored.orderBy(F.desc("avg_milli"), F.asc("doc_id")).limit(_T97_K)
     w_rank = Window.orderBy(F.desc("avg_milli"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Voiced-segment extraction over real WAV decode — the VAD / silence-
+# trimming shape of a speech-data curation pipeline: frames whose
+# quantized energy clears a threshold are "voiced", and consecutive
+# voiced frames merge into maximal segments (the same interval-merge
+# window idiom as t96, here per clip). Thresholding is on the INTEGER
+# Σk² energy (wav_frame_energy's with_quantized_energy column), so the
+# voiced/silence split is exact in both engines — no float boundary can
+# flip a frame. Scale shape: decode is map-only mapInPandas over Arrow
+# batches; the merge windows are per-doc (4 frames here, bounded by clip
+# length in general); payloads never shuffle.
+# --------------------------------------------------------------------------
+_M78_ENERGY_T = 90_000
+
+
+@query(
+    "m78_voiced_segments",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, f AS frame_idx,
+             list_reduce(
+               [ abs((((doc_id * 31 + (f * 16 + i) * 7) % 256 + 256) % 256) - 128)
+                 * abs((((doc_id * 31 + (f * 16 + i) * 7) % 256 + 256) % 256) - 128)
+                 for i in generate_series(0, 15)],
+               (a, b) -> a + b) AS energy_q
+      FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f)
+    ),
+    v AS (SELECT doc_id, frame_idx, energy_q FROM fr WHERE energy_q >= {_M78_ENERGY_T}),
+    isl AS (
+      SELECT doc_id, frame_idx, energy_q,
+             CASE WHEN frame_idx > COALESCE(MAX(frame_idx) OVER (
+                    PARTITION BY doc_id ORDER BY frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM v
+    ),
+    isl2 AS (
+      SELECT doc_id, frame_idx, energy_q,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) AS seg
+      FROM isl
+    )
+    SELECT doc_id, CAST(seg AS INT) AS seg_idx,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(MAX(frame_idx) AS INT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy_q) AS BIGINT) AS energy_q_sum
+    FROM isl2 GROUP BY doc_id, seg
+    """,
+)
+def m78_voiced_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of voiced (energy ≥ T) 16-sample frames per clip,
+    from the genuine RIFF/WAV parse — fake=False end to end."""
+    from pymongraph_spark.operators.multimodal import attach_wav_audio, wav_frame_energy
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    frames = wav_frame_energy(
+        attach_wav_audio(docs), frame_size=16, with_quantized_energy=True
+    )
+    v = frames.filter(F.col("energy_q") >= _M78_ENERGY_T).select(
+        "doc_id", "frame_idx", "energy_q"
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = v.withColumn(
+        "ni",
+        (
+            F.col("frame_idx")
+            > F.coalesce(F.max("frame_idx").over(w_prev), F.lit(-999)) + 1
+        ).cast("int"),
+    ).withColumn("seg", F.sum("ni").over(w_run))
+    return isl.groupBy("doc_id", "seg").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy_q").cast("bigint").alias("energy_q_sum"),
+    ).select(
+        "doc_id",
+        F.col("seg").cast("int").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "energy_q_sum",
+    )
