@@ -974,3 +974,70 @@ def minhash_estimation_report(
     finally:
         sigd.unpersist()
     return out
+
+
+def semdedup(
+    emb: DataFrame,
+    k_clusters: int = 16,
+    iters: int = 2,
+    threshold_l2sq: int = 1_300_000_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then mark semantic duplicates WITHIN clusters
+    only — a vector is removed when a lower-id vector in the SAME cluster
+    sits within the distance threshold. The cluster scoping is the whole
+    point at 100 TB: pairwise comparison never crosses cluster
+    boundaries, and k grows with the corpus so per-cluster candidate
+    counts stay bounded (the published method uses k ≈ n/1000-ish; one
+    runaway cluster is a salting candidate, same playbook as skew.py).
+
+    Exact tier for the oracle gate: clustering is the integer-grid
+    Lloyd's from operators/similarity.py (floor(val·1e6) quantization,
+    truncated-division mean updates — bit-identical in any engine), and
+    "within threshold" is an integer L2² comparison, so no float boundary
+    can flip a removal. For unit-normalized vectors l2sq ≈ scale²·2(1−cos):
+    the default 1.3e12 corresponds to cosine ≳ 0.35.
+
+    Returns (vec_id, cell, removed, dup_of): one row per input vector,
+    `removed` ∈ {0,1}, `dup_of` = the smallest same-cluster id within
+    threshold (NULL for kept rows).
+    """
+    from pymongraph_spark.operators.similarity import (
+        _WHOLE_VEC,
+        GRID_SCALE,
+        _l2sq_arr,
+        grid_assign,
+        grid_kmeans_codebook,
+        grid_seeds,
+        quantize_arr,
+        quantize_dims,
+    )
+
+    qd = quantize_dims(emb, id_col, vec_col, GRID_SCALE)
+    seeds = grid_seeds(emb, k_clusters, id_col)
+    cent = grid_kmeans_codebook(qd, seeds, iters, _WHOLE_VEC)
+    cells = grid_assign(qd, cent, _WHOLE_VEC).select("vec_id", "cell")
+    arr = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="__q").join(
+        cells, "vec_id"
+    )
+    a = arr.select(F.col("vec_id").alias("id_a"), F.col("__q").alias("__qa"), "cell")
+    b = arr.select(F.col("vec_id").alias("id_b"), F.col("__q").alias("__qb"), "cell")
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", _l2sq_arr(F.col("__qa"), F.col("__qb")).alias("l2sq")
+        )
+        .filter(F.col("l2sq") <= F.lit(int(threshold_l2sq)))
+    )
+    rem = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return cells.join(rem, on="vec_id", how="left").select(
+        "vec_id",
+        "cell",
+        F.col("dup_of").isNotNull().cast("int").alias("removed"),
+        "dup_of",
+    )

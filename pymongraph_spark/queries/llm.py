@@ -768,11 +768,14 @@ def _grid_oracle(
     n_queries: int = 8,
     topk: int = 3,
     scale: int = _GRID_SCALE,
+    threshold: int = 0,
 ) -> str:
     """Unrolled-CTE DuckDB oracle for the exact-grid k-means family.
     mode='ivf': single-cell probe + exact integer-L2 re-rank (s57).
     mode='adc': PQ lookup-table asymmetric distance over the final
-    per-subspace assignment as codes (s59). Mirrors
+    per-subspace assignment as codes (s59).
+    mode='semdedup': within-cluster integer-L2² pairs under `threshold`
+    mark the higher id removed (d58). Mirrors
     operators/similarity.py grid_* step for step; `//` == Spark `div`
     (both truncate toward zero, verified)."""
     parts = [
@@ -863,6 +866,26 @@ def _grid_oracle(
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY adc, neighbor_id) AS rank
       FROM adct) WHERE rank <= {topk}""")
+    elif mode == "semdedup":
+        parts.append(f"""
+    , pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bf a JOIN bf b ON a.cell = b.cell AND a.sub = b.sub
+                         AND a.vec_id < b.vec_id
+    ), pd AS (
+      SELECT p.id_a, p.id_b,
+             SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) AS l2sq
+      FROM pr p
+      JOIN q q1 ON q1.vec_id = p.id_a
+      JOIN q q2 ON q2.vec_id = p.id_b AND q2.dim = q1.dim
+      GROUP BY p.id_a, p.id_b
+      HAVING SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) <= {threshold}
+    ), rem AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pd GROUP BY id_b
+    )
+    SELECT c.vec_id, c.cell,
+           CAST(r.dup_of IS NOT NULL AS INT) AS removed, r.dup_of
+    FROM (SELECT vec_id, cell FROM bf) c LEFT JOIN rem r USING (vec_id)""")
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return "".join(parts)
@@ -3108,11 +3131,19 @@ def t88_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t89_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
+    return _bigram_lm_per_doc(docs)
+
+
+def _bigram_lm_per_doc(docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """t89's per-document mean bigram conditional probability, with the
+    grouping keys parameterized so callers can carry doc-constant columns
+    (t99 carries lang). The sorted (w1, w2, p) fold keeps the double sum
+    order-free — identical in Spark and DuckDB."""
     tk = docs.filter(token_count("text") >= 2).select(
-        "doc_id", tokens("text").alias("toks")
+        *keys, tokens("text").alias("toks")
     )
     bg = tk.select(
-        "doc_id",
+        *keys,
         F.explode(
             F.zip_with(
                 F.slice("toks", 1, F.size("toks") - 1),
@@ -3120,15 +3151,15 @@ def t89_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    ).select(*keys, "b.w1", "b.w2")
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
         bg.join(c2, on=["w1", "w2"])
         .join(c1, on="w1")
-        .select("doc_id", "w1", "w2", (F.col("c2").cast("double") / F.col("c1")).alias("p"))
+        .select(*keys, "w1", "w2", (F.col("c2").cast("double") / F.col("c1")).alias("p"))
     )
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (
             F.aggregate(
@@ -4043,4 +4074,187 @@ def m78_voiced_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_frame",
         "n_frames",
         "energy_q_sum",
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al., 2023) — cluster-scoped semantic dedup: k-means
+# partitions the embedding space, and near-duplicate pruning runs WITHIN
+# clusters only, so pairwise work never crosses cluster boundaries and k
+# scales with the corpus. Distinct from d44/d47 (global LSH candidate
+# generation): here the candidate generator IS the learned clustering.
+# Exact tier: integer-grid Lloyd's (the s57/s59 recipe) + integer-L2²
+# threshold — every removal decision is bigint arithmetic in both
+# engines. Threshold 1.3e12 ≈ cosine 0.35 on the unit-norm corpus.
+# Scale shape: the within-cell self-join is an equi-join on cell;
+# verification touches same-cell pairs only.
+# --------------------------------------------------------------------------
+_D58_T = 1_300_000_000_000
+
+
+@query(
+    "d58_semdedup",
+    oracle=_grid_oracle(16, 2, _WHOLE_VEC, "semdedup", threshold=_D58_T),
+)
+def d58_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import semdedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return semdedup(emb, k_clusters=16, iters=2, threshold_l2sq=_D58_T)
+
+
+# --------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix — the corpus-level contamination /
+# provenance diagnostic: for every ordered source pair, the number of
+# distinct word 3-grams they share, with Jaccard and containment in
+# integer per-mille (bigint cross-multiplied division, no float path).
+# Containment is asymmetric (benchmark-in-pretraining leakage reads as
+# high containment of the small source in the big one), so all ordered
+# pairs are emitted. Scale shape: distinct (source, gram) is a partial
+# agg; the self-join key is the gram, whose fan-out is bounded by the
+# source count squared — never doc×doc; the totals join is a broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "t98_source_overlap_matrix",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source, array_to_string(toks[p:p+2], ' ') AS gram
+      FROM tk, LATERAL UNNEST(generate_series(1, len(toks) - 2)) AS u(p)
+      WHERE len(toks) >= 3
+    ),
+    n AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.inter_grams,
+           na.n_grams AS n_a, nb.n_grams AS n_b,
+           i.inter_grams * 1000 // (na.n_grams + nb.n_grams - i.inter_grams)
+             AS jaccard_milli,
+           i.inter_grams * 1000 // na.n_grams AS containment_milli
+    FROM inter i
+    JOIN n na ON na.source = i.src_a
+    JOIN n nb ON nb.source = i.src_b
+    """,
+)
+def t98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = docs.filter(token_count("text") >= 3).select(
+        "source", tokens("text").alias("toks")
+    )
+    g = (
+        tk.select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("p"),
+            "toks",
+        )
+        .select(
+            "source", F.concat_ws(" ", F.slice("toks", F.col("p"), 3)).alias("gram")
+        )
+        .distinct()
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        g.alias("a")
+        .join(g.alias("b"), on="gram")
+        .filter(F.col("a.source") != F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_grams"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                n.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "inter_grams",
+            "n_a",
+            "n_b",
+            F.expr("div(inter_grams * 1000, n_a + n_b - inter_grams)").alias(
+                "jaccard_milli"
+            ),
+            F.expr("div(inter_grams * 1000, n_a)").alias("containment_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al., 2020): score every
+# document with the corpus bigram LM (t89's exact pipeline, lang carried
+# through), then split each language into head/middle/tail terciles by
+# predictability — the standard pretraining-data quality triage. ntile
+# is deterministic here because avg_prob is the bit-identical sorted-fold
+# double from t89 and ties break on doc_id. Scale shape: t89's partial
+# aggs + one per-lang window (bounded partitions).
+# --------------------------------------------------------------------------
+@query(
+    "t99_perplexity_buckets",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tk, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id, bg.lang, bg.w1, bg.w2,
+             CAST(c2.c AS DOUBLE) / c1.c AS p
+      FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+              JOIN c1 ON bg.w1 = c1.w1
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(p ORDER BY w1, w2, p)), (a, b) -> a + b)
+               / COUNT(*) AS avg_prob
+      FROM scored GROUP BY doc_id, lang
+    ),
+    t AS (
+      SELECT doc_id, lang, n_bigrams, avg_prob,
+             CAST(ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY avg_prob DESC, doc_id) AS INT) AS tercile
+      FROM per_doc
+    )
+    SELECT doc_id, lang, n_bigrams, avg_prob, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM t
+    """,
+)
+def t99_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_doc = _bigram_lm_per_doc(docs, keys=("doc_id", "lang"))
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_prob"), F.asc("doc_id"))
+    tercile = F.ntile(3).over(w).cast("int")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_prob",
+        tercile.alias("tercile"),
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

@@ -513,3 +513,34 @@ def test_scc_path_dag_trims_in_few_rounds(spark):
     v, e = _vng(spark, 25, [(i, i + 1) for i in range(24)])
     got = _scc_sets(strongly_connected_components(v, e, max_rounds=15))
     assert got == [[i] for i in range(25)]
+
+
+def test_semdedup_invariants(spark):
+    """Cluster-scoped removal: an exact duplicate ALWAYS shares its twin's
+    cell (identical assignment, deterministic tie-break), so the higher id
+    must be removed with dup_of = the lower id; distinct far-apart unit
+    vectors survive a near-zero threshold; removed <=> dup_of non-null;
+    dup_of is a smaller same-cell id."""
+    from pymongraph_spark.operators.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [0.70710678, 0.70710678, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(emb, k_clusters=2, iters=1, threshold_l2sq=10).collect()
+    assert len(out) == 6
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[1].removed == 1 and by_id[1].dup_of == 0
+    assert by_id[0].removed == 0 and by_id[0].dup_of is None
+    for vid in (2, 3, 4, 5):
+        assert by_id[vid].removed == 0
+    for r in out:
+        assert (r.removed == 1) == (r.dup_of is not None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cell == r.cell
