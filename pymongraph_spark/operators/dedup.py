@@ -1041,3 +1041,84 @@ def semdedup(
         F.col("dup_of").isNotNull().cast("int").alias("removed"),
         "dup_of",
     )
+
+
+def bloom_decontaminate(
+    train_grams: DataFrame,
+    eval_grams: DataFrame,
+    m_bits: int = 65536,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Dolma-style Bloom-filter decontamination (Soldaini et al., 2024
+    build their dedup/decontamination on a Bloom filter for exactly this
+    reason): the eval-set n-grams are folded into an m-bit filter that is
+    a BROADCAST PLAN CONSTANT — at 100 TB the probe side never shuffles,
+    versus the semi-join decontamination (t86/d52) whose gram exchange
+    scales with the corpus. No false negatives by construction; false
+    positives are bounded by the fill factor and reported per doc by the
+    caller's exact twin.
+
+    The filter is stored as ceil(m/63) bigint words with 63 usable bits
+    each — bit 63 is never set because DuckDB raises on `1 << 63` while
+    Spark wraps, and the oracle twin must replay the exact same words.
+    Hash family: md5(seed || ':' || gram), first 12 hex chars (48 bits)
+    mod m — cross-engine reproducible, seeds 0..n_hashes-1.
+
+    Returns one row per train doc: (doc_id, bloom_flagged) where
+    bloom_flagged = 1 iff ANY of the doc's grams hits all n_hashes
+    positions.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col,
+            gram_col,
+            F.explode(seeds).alias("seed"),
+        ).select(
+            id_col,
+            gram_col,
+            "seed",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("seed"), F.col(gram_col))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+            ).alias("pos"),
+        )
+
+    words = (
+        positions(eval_grams.select(F.lit(0).alias(id_col), gram_col).distinct())
+        .groupBy(F.expr("pos div 63").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    probe = positions(train_grams)
+    # left join: a probe position whose word was never touched by the
+    # eval set has no row in `words` — coalesce(bits, 0) below reads it
+    # as all-zero, i.e. a guaranteed miss
+    hits = probe.join(
+        F.broadcast(words), F.expr("pos div 63") == F.col("w"), "left"
+    )
+    gram_hits = hits.groupBy(id_col, gram_col).agg(
+        F.sum(
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+                )
+                != 0
+            ).cast("int")
+        ).alias("nh")
+    )
+    return gram_hits.groupBy(id_col).agg(
+        F.max((F.col("nh") == n_hashes).cast("int")).alias("bloom_flagged")
+    )

@@ -4258,3 +4258,193 @@ def t99_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def _sql_md5_fold(expr: str, nchars: int, mod: int) -> str:
+    """DuckDB fold reproducing Spark's conv(substr(md5(expr),1,nchars),16,10)
+    (% mod) — the same recipe as _SQL_TOK_BUCKET, parameterized."""
+    return (
+        f"list_reduce([CAST(strpos('0123456789abcdef', "
+        f"substr(md5({expr}), i, 1)) - 1 AS BIGINT) "
+        f"for i in generate_series(1, {nchars})], "
+        f"(acc, x) -> acc * 16 + x) % {mod}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (the Dolma toolkit's mechanism, Soldaini
+# et al., 2024): the eval set's 3-gram shingles are folded into a 65536-
+# bit Bloom filter (1024-ish bigint words, 63 usable bits each — DuckDB
+# raises on 1<<63), which at 100 TB is a broadcast plan constant — the
+# train-side probe is map-only, versus t86/d52's semi-join whose gram
+# exchange scales with the corpus. No false negatives by construction;
+# the query emits the exact semi-join verdict alongside so the gate
+# hash-checks BOTH the filter bits and the false-positive accounting.
+# Same 80/10/10 md5 split and shingle definition as t86.
+# --------------------------------------------------------------------------
+_D59_SEED_FOLD = _sql_md5_fold("CAST(s.seed AS VARCHAR) || ':' || gram", 12, 65536)
+
+
+@query(
+    "d59_bloom_decontamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket, unnest({_SQL_SHINGLES}) AS gram
+      FROM (SELECT doc_id, bucket, toks FROM b WHERE len(toks) >= 3)
+    ),
+    ev AS (SELECT DISTINCT gram FROM sh WHERE bucket >= 90),
+    pos_ev AS (
+      SELECT {_D59_SEED_FOLD} AS pos
+      FROM ev, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    words AS (
+      SELECT pos // 63 AS w,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      FROM pos_ev GROUP BY pos // 63
+    ),
+    tr AS (SELECT DISTINCT doc_id, gram FROM sh WHERE bucket < 80),
+    probe AS (
+      SELECT tr.doc_id, tr.gram, {_D59_SEED_FOLD} AS pos
+      FROM tr, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    gh AS (
+      SELECT p.doc_id, p.gram,
+             SUM(CASE WHEN (COALESCE(w.bits, 0)
+                            & (1::BIGINT << CAST(p.pos % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM probe p LEFT JOIN words w ON w.w = p.pos // 63
+      GROUP BY p.doc_id, p.gram
+    ),
+    bl AS (
+      SELECT doc_id, MAX(CASE WHEN nh = 3 THEN 1 ELSE 0 END) AS bf
+      FROM gh GROUP BY doc_id
+    ),
+    ex AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)
+    SELECT bl.doc_id,
+           CAST(bl.bf AS INT) AS bloom_flagged,
+           CAST(ex.doc_id IS NOT NULL AS INT) AS exact_flagged,
+           CAST(bl.bf = 1 AND ex.doc_id IS NULL AS INT) AS false_positive
+    FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
+    """,
+)
+def d59_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import bloom_decontaminate, shingled
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sh = (
+        shingled(docs, n=3)
+        .join(docs.select("doc_id", bucket.alias("bucket")), "doc_id")
+        .select("doc_id", "bucket", F.explode("shingles").alias("gram"))
+    )
+    ev = sh.filter(F.col("bucket") >= 90).select("gram").distinct()
+    tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    bl = bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3)
+    ex = (
+        tr.join(ev, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ex", F.lit(1))
+    )
+    return bl.join(ex, "doc_id", "left").select(
+        "doc_id",
+        F.col("bloom_flagged").cast("int").alias("bloom_flagged"),
+        F.coalesce("__ex", F.lit(0)).cast("int").alias("exact_flagged"),
+        ((F.col("bloom_flagged") == 1) & F.col("__ex").isNull())
+        .cast("int")
+        .alias("false_positive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al., 2021 §A1.1): the named
+# per-document filter rules, each emitted as its own flag next to the
+# measured value it thresholds, so downstream selection can audit WHICH
+# rule killed a document (t62's single composite score can't). All
+# measurements are integer (per-mille via bigint cross-multiplied
+# division); the battery is a map-only projection — no shuffle at any
+# scale. Bounds are the published ones (50-100k words, mean word length
+# 3-10, ≥80% alphabetic words, ≥2 distinct stopwords).
+# --------------------------------------------------------------------------
+_SQL_STOPS = "['" + "', '".join(STOPWORDS) + "']"
+
+
+@query(
+    "t100_gopher_quality_rules",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                              (a, b) -> a + b) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_distinct(toks), {_SQL_STOPS}))
+               AS BIGINT) AS n_stop
+      FROM tk WHERE len(toks) >= 1
+    )
+    SELECT doc_id, n_words,
+           sum_len * 1000 // n_words AS mean_word_len_milli,
+           n_alpha * 1000 // n_words AS alpha_frac_milli,
+           n_stop,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_word_count,
+           CAST(sum_len * 1000 // n_words BETWEEN 3000 AND 10000 AS INT)
+             AS ok_mean_word_len,
+           CAST(n_alpha * 1000 // n_words >= 800 AS INT) AS ok_alpha_words,
+           CAST(n_stop >= 2 AS INT) AS ok_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND sum_len * 1000 // n_words BETWEEN 3000 AND 10000
+                AND n_alpha * 1000 // n_words >= 800
+                AND n_stop >= 2 AS INT) AS pass_all
+    FROM m
+    """,
+)
+def t100_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = tokens("text")
+    m = docs.filter(token_count("text") >= 1).select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    mean_len = F.expr("div(sum_len * 1000, n_words)")
+    alpha_frac = F.expr("div(n_alpha * 1000, n_words)")
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = mean_len.between(3000, 10000)
+    ok_alpha = alpha_frac >= 800
+    ok_stops = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len_milli"),
+        alpha_frac.alias("alpha_frac_milli"),
+        "n_stop",
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_mwl.cast("int").alias("ok_mean_word_len"),
+        ok_alpha.cast("int").alias("ok_alpha_words"),
+        ok_stops.cast("int").alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stops).cast("int").alias("pass_all"),
+    )

@@ -544,3 +544,20 @@ def test_semdedup_invariants(spark):
         if r.dup_of is not None:
             assert r.dup_of < r.vec_id
             assert by_id[r.dup_of].cell == r.cell
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """A Bloom filter can false-positive but NEVER false-negative: every
+    train doc containing an eval gram must be flagged. The clean doc's
+    outcome is deterministic (fixed md5 hash family) and at 60 set bits
+    of 65536 its false-positive odds are ~1e-12 per gram — pinned 0."""
+    from pymongraph_spark.operators.dedup import bloom_decontaminate
+
+    ev = spark.createDataFrame([(f"g{i}",) for i in range(20)], "gram string")
+    tr = spark.createDataFrame(
+        [(1, "g3"), (1, "zz1"), (2, "zz2"), (2, "zz3"), (3, "g7"), (3, "g8")],
+        "doc_id long, gram string",
+    )
+    out = {r.doc_id: r.bloom_flagged for r in bloom_decontaminate(tr, ev).collect()}
+    assert out[1] == 1 and out[3] == 1
+    assert out[2] == 0
