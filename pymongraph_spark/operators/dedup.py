@@ -1005,20 +1005,21 @@ def semdedup(
     threshold (NULL for kept rows).
     """
     from pymongraph_spark.operators.similarity import (
-        _WHOLE_VEC,
         GRID_SCALE,
         _l2sq_arr,
-        grid_assign,
-        grid_kmeans_codebook,
+        grid_kmeans_cells_fast,
         grid_seeds,
         quantize_arr,
         quantize_dims,
     )
 
     qd = quantize_dims(emb, id_col, vec_col, GRID_SCALE)
+    qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")
     seeds = grid_seeds(emb, k_clusters, id_col)
-    cent = grid_kmeans_codebook(qd, seeds, iters, _WHOLE_VEC)
-    cells = grid_assign(qd, cent, _WHOLE_VEC).select("vec_id", "cell")
+    # broadcast-matrix assignment: k must grow with the corpus here, and
+    # the exploded-row grid_assign measured 23.7× for 10× data at scaled
+    # k (SCALE_PROBE_corpus_sf1.json) — the fast path is bit-identical
+    cells, _ = grid_kmeans_cells_fast(qd, qa, seeds, iters)
     arr = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="__q").join(
         cells, "vec_id"
     )

@@ -1019,3 +1019,78 @@ def pq_adc_topk_exact(
     )
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def grid_assign_whole_fast(qarr: DataFrame, cent: DataFrame) -> DataFrame:
+    """Whole-vector nearest-centroid assignment WITHOUT the row explosion:
+    grid_assign generates n·dim·k rows through a shuffle (fine at the
+    oracle tier's k=16, measured 23.7× for 10× data once k scales with n
+    — SCALE_PROBE_corpus_sf1.json), and a pure-Column argmin over a
+    broadcast array constant evaluates higher-order lambdas per element
+    (measured just as slow at n·k·dim = 205M element visits). This path
+    is the production shape: the k×dim centroid matrix is driver-scale
+    METADATA (k=100k × dim=64 ≈ 51 MB — what Spark MLlib's KMeans
+    broadcasts every iteration), collected once and closed over by an
+    Arrow-batched pandas_udf whose body is one int64 matmul —
+    ‖q−c‖² = ‖q‖² + ‖c‖² − 2·q·cᵀ, exact in int64 (|qv| ≤ 1e6,
+    dim 64 ⇒ every term < 2⁶³), argmin per batch. numpy argmin returns
+    the FIRST minimum and rows are sorted by cell, so ties break to the
+    smallest cell — bit-identical to grid_assign's min_by
+    struct("d","cell"). n rows stay n rows, zero shuffle, zero
+    row-at-a-time Python. Returns (vec_id, cell).
+
+    qarr: (vec_id, qarr array<long>) from quantize_arr(out="qarr").
+    cent: (cell, dim, cv) — the grid_kmeans_codebook output shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        cent.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("dv"))
+        .select("cell", F.transform("dv", lambda s: s["cv"]).alias("vec"))
+        .orderBy("cell")
+        .collect()
+    )
+    cells_arr = np.array([r.cell for r in rows], dtype=np.int64)
+    cmat = np.array([r.vec for r in rows], dtype=np.int64)  # k×dim
+    c_sq = (cmat * cmat).sum(axis=1)  # k
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)  # b×dim
+            d = (q * q).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (q @ cmat.T)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells_arr[d.argmin(axis=1)]}
+            )
+
+    return qarr.select("vec_id", "qarr").mapInPandas(
+        assign, schema="vec_id bigint, cell bigint"
+    )
+
+
+def grid_kmeans_cells_fast(
+    qdims: DataFrame, qarr: DataFrame, seeds: DataFrame, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Whole-vector Lloyd's with the broadcast-matrix assignment: per
+    iteration, assignment is grid_assign_whole_fast (map-only) and the
+    mean update is the same n·dim partial agg as grid_kmeans_codebook.
+    Semantically identical to grid_kmeans_codebook(…, _WHOLE_VEC) +
+    grid_assign — pinned by test_grid_fast_assignment_matches_slow.
+    Returns (final cells (vec_id, cell), final centroid table)."""
+    cent = (
+        seeds.join(qdims, "vec_id")
+        .select("cell", "dim", F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        best = grid_assign_whole_fast(qarr, cent)
+        cent = (
+            best.join(qdims, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.expr("sum(qv) div count(1)").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return grid_assign_whole_fast(qarr, cent), cent

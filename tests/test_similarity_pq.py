@@ -178,3 +178,39 @@ def test_s61_jl_rerank_recall_vs_exact(spark):
     assert len(hits) / len(exact) >= 0.6
     for pair in hits:
         assert exact[pair] == jl[pair]  # stage 2 is exact, bit-for-bit
+
+
+def test_grid_fast_assignment_matches_slow(spark, sf_small):
+    """The broadcast-matrix assignment (grid_assign_whole_fast /
+    grid_kmeans_cells_fast) must be BIT-IDENTICAL to the exploded-row
+    grid_assign + grid_kmeans_codebook whole-vector path on the real
+    corpus — same integer L2², same (d, cell) tie-break — because d58's
+    oracle replays the slow path's arithmetic step for step."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        _WHOLE_VEC,
+        GRID_SCALE,
+        grid_assign,
+        grid_kmeans_cells_fast,
+        grid_kmeans_codebook,
+        grid_seeds,
+        quantize_arr,
+        quantize_dims,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    qd = quantize_dims(emb, scale=GRID_SCALE)
+    qa = quantize_arr(emb, scale=GRID_SCALE, out="qarr")
+    seeds = grid_seeds(emb, 16)
+
+    cent_slow = grid_kmeans_codebook(qd, seeds, 2, _WHOLE_VEC)
+    slow = {
+        (r.vec_id, r.cell)
+        for r in grid_assign(qd, cent_slow, _WHOLE_VEC).select("vec_id", "cell").collect()
+    }
+    cells_fast, cent_fast = grid_kmeans_cells_fast(qd, qa, seeds, 2)
+    fast = {(r.vec_id, r.cell) for r in cells_fast.collect()}
+    assert fast == slow
+    assert {(r.cell, r.dim, r.cv) for r in cent_fast.collect()} == {
+        (r.cell, r.dim, r.cv) for r in cent_slow.collect()
+    }
