@@ -3968,13 +3968,18 @@ def t97_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("div(num_a * num_b * 1000, den_a * den_b)").alias("wf"),
         )
     )
+    # pre-aggregate to (doc, bucket) counts BEFORE the weight join: the
+    # scoring join then carries ≤256 rows per doc instead of one row per
+    # token — same sums (Σ_tokens wf == Σ_buckets cnt·wf, all bigint)
     scored = (
         f.filter(~F.col("is_tgt"))
+        .groupBy("doc_id", "fb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .join(F.broadcast(w), on="fb")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("wf").cast("bigint").alias("score"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("wf")).cast("bigint").alias("score"),
         )
         .withColumn("avg_milli", F.expr("div(score, n_tokens)").cast("bigint"))
     )

@@ -561,3 +561,25 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     out = {r.doc_id: r.bloom_flagged for r in bloom_decontaminate(tr, ev).collect()}
     assert out[1] == 1 and out[3] == 1
     assert out[2] == 0
+
+
+def test_semdedup_threshold_monotone(spark, sf_small):
+    """A larger distance threshold can only ADD removals (the clustering
+    is threshold-independent, and 'exists a closer smaller-id neighbor'
+    is monotone in the radius) — the knob behaves like a knob."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import semdedup
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    loose = {
+        r.vec_id
+        for r in semdedup(emb, threshold_l2sq=1_300_000_000_000).collect()
+        if r.removed
+    }
+    tight = {
+        r.vec_id
+        for r in semdedup(emb, threshold_l2sq=900_000_000_000).collect()
+        if r.removed
+    }
+    assert tight <= loose
+    assert len(loose) > 0
