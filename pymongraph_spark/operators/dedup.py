@@ -92,6 +92,32 @@ def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     )
 
 
+def shingled_grams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per (doc_id, gram), grams distinct within a doc — the
+    exploded form of shingled(), for consumers that work gram-wise
+    (decontamination, overlap matrices, Bloom probes).
+
+    The explode is FUSED into the projection that builds the array, and
+    that placement is load-bearing: with the array aliased in its own
+    Project below a Generate, Spark 4's InferFiltersFromGenerate infers
+    ``size(shingles) > 0`` from the explode and pushes it through the
+    Project with the ENTIRE shingle expression alias-substituted — the
+    tokenization re-inlined once per shingle index — so every row pays
+    the construction twice, once quadratically (measured 35 s vs 2.5 s
+    for the identical explode at sf1). The persisted frames inside
+    token_jaccard_pairs/minhash are immune: the cache boundary stops
+    that pushdown. Exploding ``shingled(...)`` output in a later select
+    re-creates the hazard — use this function instead."""
+    staged = _spread(docs.filter(token_count(text_col) >= n)).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    return staged.select(
+        "doc_id", F.explode(word_shingles(F.col("__toks"), n)).alias("gram")
+    )
+
+
 def token_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -19,7 +19,6 @@ from pymongraph_spark.functions.text import (
     quality_score,
     token_count,
     tokens,
-    word_shingles,
 )
 from pymongraph_spark.operators.dedup import (
     exact_dedup,
@@ -2103,19 +2102,19 @@ def d52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 100
     )
-    sh = (
-        docs.filter(token_count("text") >= 3)
-        .select("doc_id", bucket.alias("bucket"), tokens("text").alias("__toks"))
-        .select("doc_id", "bucket", word_shingles(F.col("__toks"), 3).alias("grams"))
-    )
+    from pymongraph_spark.operators.dedup import shingled_grams
+
+    # fused explode + bucket-as-doc_id-function: exploding an aliased
+    # gram array in a later select trips InferFiltersFromGenerate into
+    # re-inlining the whole shingle construction into a pushed filter
+    # (see shingled_grams) — measured 14× on this exact shape
+    sh = shingled_grams(docs, n=3).withColumn("bucket", bucket)
     ev = (
         sh.filter(F.col("bucket") >= 90)
-        .select(F.explode("grams").alias("gram"), F.col("doc_id").alias("eval_doc"))
+        .select("gram", F.col("doc_id").alias("eval_doc"))
         .distinct()
     )
-    tr = sh.filter(F.col("bucket") < 80).select(
-        "doc_id", F.explode("grams").alias("gram")
-    )
+    tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
     return (
         tr.join(ev, on="gram")
         .groupBy("doc_id")
@@ -2882,7 +2881,7 @@ def d54_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t86_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pymongraph_spark.operators.dedup import shingled
+    from pymongraph_spark.operators.dedup import shingled_grams
 
     docs = load_tables(spark, sf_dir)["documents"]
     bucket = (
@@ -2891,9 +2890,10 @@ def t86_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     b = docs.select("doc_id", "lang", bucket.alias("bucket"))
-    grams = shingled(docs, n=3).select(
-        "doc_id", F.explode("shingles").alias("gram")
-    ).join(b.select("doc_id", "bucket"), on="doc_id")
+    # bucket recomputed as a pure doc_id function post-explode: no join
+    # shuffle, and the fused explode avoids the InferFiltersFromGenerate
+    # re-inlining hazard (see shingled_grams)
+    grams = shingled_grams(docs, n=3).withColumn("bucket", bucket)
     ev_grams = grams.filter(F.col("bucket") >= 90).select("gram").distinct()
     dirty = (
         grams.filter(F.col("bucket") < 80)
@@ -4337,7 +4337,7 @@ _D59_SEED_FOLD = _sql_md5_fold("CAST(s.seed AS VARCHAR) || ':' || gram", 12, 655
     """,
 )
 def d59_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pymongraph_spark.operators.dedup import bloom_decontaminate, shingled
+    from pymongraph_spark.operators.dedup import bloom_decontaminate, shingled_grams
 
     docs = load_tables(spark, sf_dir)["documents"]
     bucket = (
@@ -4345,11 +4345,10 @@ def d59_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 100
     )
-    sh = (
-        shingled(docs, n=3)
-        .join(docs.select("doc_id", bucket.alias("bucket")), "doc_id")
-        .select("doc_id", "bucket", F.explode("shingles").alias("gram"))
-    )
+    # bucket is a pure function of doc_id — computing it post-explode
+    # avoids both the join shuffle and the InferFiltersFromGenerate
+    # hazard shingled_grams documents
+    sh = shingled_grams(docs, n=3).withColumn("bucket", bucket)
     ev = sh.filter(F.col("bucket") >= 90).select("gram").distinct()
     tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
     bl = bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3)

@@ -59,7 +59,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from pymongraph_spark.catalog import load_tables
-    from pymongraph_spark.operators.dedup import bloom_decontaminate, semdedup, shingled
+    from pymongraph_spark.operators.dedup import (
+        bloom_decontaminate,
+        semdedup,
+        shingled_grams,
+    )
     from pymongraph_spark.queries import QUERIES
     from pymongraph_spark.session import get_spark
 
@@ -96,18 +100,15 @@ def main() -> None:
                 flush=True,
             )
 
-        # d59's operator with m scaled to the eval-gram count (10 bits/elem)
+        # d59's operator with m scaled to the eval-gram count (10 bits/elem);
+        # same fused-explode + bucket-expression shape as the registered query
         docs = load_tables(spark, sf_dir)["documents"]
         bucket = (
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast("long")
             % 100
         )
-        sh = (
-            shingled(docs, n=3)
-            .join(docs.select("doc_id", bucket.alias("bucket")), "doc_id")
-            .select("doc_id", "bucket", F.explode("shingles").alias("gram"))
-        )
+        sh = shingled_grams(docs, n=3).withColumn("bucket", bucket)
         ev = sh.filter(F.col("bucket") >= 90).select("gram").distinct()
         tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
         times, rows = _timed(

@@ -505,3 +505,20 @@ def test_q88_zorder_clusters_both_dimensions(spark):
     assert (pdf.max_day - pdf.min_day).mean() / gd < 0.5
     plan = _plan(QUERIES["q88_zorder_layout"](spark, SF_SMALL))
     assert "Window" not in plan and "Cartesian" not in plan
+
+
+def test_shingled_grams_single_construction(spark):
+    """InferFiltersFromGenerate pin: exploding a shingle array aliased in
+    its own Project lets Spark push an inferred size()>0 filter through
+    it with the WHOLE construction re-inlined (tokenization re-evaluated
+    per shingle index — measured 14× on d59's shape at sf1). The fused
+    shingled_grams must keep exactly ONE array_distinct in its optimized
+    plan, and it must agree row-for-row with the late-explode form."""
+    from pymongraph_spark.operators.dedup import shingled, shingled_grams
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    fused = shingled_grams(docs, n=3)
+    plan = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_distinct") == 1, plan
+    late = shingled(docs, n=3).select("doc_id", F.explode("shingles").alias("gram"))
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, late.collect()))
