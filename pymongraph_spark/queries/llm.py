@@ -1865,7 +1865,14 @@ def t75_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_tokens",
         F.size("grams").cast("bigint").alias("n_grams"),
         F.size(F.array_distinct("grams")).cast("bigint").alias("distinct_grams"),
-    )
+        # localCheckpoint = pushdown barrier: without it the dup_ratio
+        # filter below is alias-substituted through both projects into a
+        # scan-level predicate carrying the WHOLE gram construction —
+        # tokenization re-inlined per index, every row paying the build
+        # twice (the InferFiltersFromGenerate cousin documented at
+        # shingled_grams; measured 14 s → ~4 s at sf1). The checkpointed
+        # frame is five integers per doc.
+    ).localCheckpoint(eager=False)
     dup_ratio = (F.col("n_grams") - F.col("distinct_grams")).cast("double") / F.col(
         "n_grams"
     )

@@ -72,6 +72,26 @@ def lint(sf_dir: str) -> int:
                     allowed_hits.append((name, node))
                 else:
                     bad.append((name, node))
+        # Re-inlined array construction inside a predicate: optimizer
+        # rules (InferFiltersFromGenerate, PushPredicateThroughNonJoin)
+        # alias-substitute whole array-building expressions into pushed
+        # filters, re-evaluating the construction — with its inlined
+        # tokenization — once per array index PER ROW (14× on d59's and
+        # t75's shapes at sf1, see shingled_grams / t75). Single-level
+        # lambdas (a pushed token_count filter) are the accepted linear
+        # class; `transform(` inside a Filter condition is the quadratic
+        # signature.
+        node = "FilterWithTransform"
+        if any(
+            "transform(" in line
+            and line.lstrip(" *:+-(0123456789)").startswith("Filter")
+            for plan in plans
+            for line in plan.splitlines()
+        ):
+            if (name, node) in ALLOW:
+                allowed_hits.append((name, node))
+            else:
+                bad.append((name, node))
     for name, node in allowed_hits:
         print(f"ALLOW {name}: {node} — {ALLOW[(name, node)]}")
     for name, node in bad:

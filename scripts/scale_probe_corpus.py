@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PROBE = [
+    "t75_repetition_metrics",
     "t96_cross_doc_repeated_spans",
     "t97_dsir_importance_selection",
     "t98_source_overlap_matrix",
