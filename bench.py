@@ -35,6 +35,12 @@ HEADLINE = [
     # LLM pipeline
     "d40_exact_dedup",
     "d42_minhash_lsh_pairs",
+    # round-7 corpus-curation flagships: cluster-scoped semantic dedup
+    # (kmeans assignment hot path) and Bloom-filter decontamination
+    # (shingle + broadcast-probe hot path) — both had sf1-probe-caught
+    # regressions this round; benching them keeps the fixes measured
+    "d58_semdedup",
+    "d59_bloom_decontamination",
     "s50_cosine_topk_bruteforce",
     "s54_ivf_topk",
     "t61_quality_scores",

@@ -214,3 +214,35 @@ def test_grid_fast_assignment_matches_slow(spark, sf_small):
     assert {(r.cell, r.dim, r.cv) for r in cent_fast.collect()} == {
         (r.cell, r.dim, r.cv) for r in cent_slow.collect()
     }
+
+
+def test_grid_fast_assignment_matches_slow_high_k(spark, sf_small):
+    """Same bit-identity pinned at a k closer to the production regime
+    (k=40 over the 500-vector corpus ≈ the occupancy SemDeDup targets):
+    exercises tie-breaks and empty-cell drops the k=16 gate config may
+    never hit."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        _WHOLE_VEC,
+        GRID_SCALE,
+        grid_assign,
+        grid_kmeans_cells_fast,
+        grid_kmeans_codebook,
+        grid_seeds,
+        quantize_arr,
+        quantize_dims,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    qd = quantize_dims(emb, scale=GRID_SCALE)
+    qa = quantize_arr(emb, scale=GRID_SCALE, out="qarr")
+    seeds = grid_seeds(emb, 40)
+    cent_slow = grid_kmeans_codebook(qd, seeds, 1, _WHOLE_VEC)
+    slow = {
+        (r.vec_id, r.cell)
+        for r in grid_assign(qd, cent_slow, _WHOLE_VEC)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    cells_fast, _ = grid_kmeans_cells_fast(qd, qa, seeds, 1)
+    assert {(r.vec_id, r.cell) for r in cells_fast.collect()} == slow
