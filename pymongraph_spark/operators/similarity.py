@@ -946,11 +946,14 @@ def ivf_kmeans_topk_exact(
     cd = quantize_dims(corpus, id_col, vec_col, scale)
     qd = quantize_dims(queries, id_col, vec_col, scale)
     seeds = grid_seeds(corpus, k_clusters, id_col)
-    cent = grid_kmeans_codebook(cd, seeds, iters, _WHOLE_VEC)
-    corpus_cells = grid_assign(cd, cent, _WHOLE_VEC).select("vec_id", "cell")
-    query_cells = grid_assign(qd, cent, _WHOLE_VEC).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
+    # broadcast-matrix Lloyd's + assignment (bit-identical to the
+    # exploded-row grid path, equivalence-tested) — the n·dim·k
+    # exchange is the piece that stops scaling once n or k grows
+    carr = quantize_arr(corpus, id_col, vec_col, scale, out="qarr")
+    corpus_cells, cent = grid_kmeans_cells_fast(cd, carr, seeds, iters)
+    query_cells = grid_assign_whole_fast(
+        quantize_arr(queries, id_col, vec_col, scale, out="qarr"), cent
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     carr = quantize_arr(corpus, id_col, vec_col, scale, out="__cq").join(
         corpus_cells, "vec_id"
     )
@@ -995,8 +998,14 @@ def pq_adc_topk_exact(
     cd = quantize_dims(corpus, id_col, vec_col, scale)
     qd = quantize_dims(queries, id_col, vec_col, scale)
     seeds = grid_seeds(corpus, k_codewords, id_col)
-    cb = grid_kmeans_codebook(cd, seeds, iters, subdims)
-    codes = grid_assign(cd, cb, subdims)  # (vec_id, sub, cell)
+    # broadcast-matrix per-subspace Lloyd's + encoding: bit-identical to
+    # grid_kmeans_codebook + grid_assign (equivalence-tested), without
+    # the n·dim·k assignment exchange (24.9 s → measured post-fix in
+    # SCALE.md) — the corpus-side work is one mapInPandas pass emitting
+    # the n·m code rows directly
+    carr = quantize_arr(corpus, id_col, vec_col, scale, out="qarr")
+    cb = grid_kmeans_codebook_fast(cd, carr, seeds, iters, subdims)
+    codes = grid_assign_subspaces_fast(carr, cb, subdims)  # (vec_id, sub, cell)
     lut = (
         qd.join(F.broadcast(cb), "dim")
         .groupBy(
@@ -1094,3 +1103,90 @@ def grid_kmeans_cells_fast(
             .localCheckpoint(eager=True)
         )
     return grid_assign_whole_fast(qarr, cent), cent
+
+
+def grid_assign_subspaces_fast(
+    qarr: DataFrame, cent: DataFrame, subdims: int
+) -> DataFrame:
+    """Per-subspace generalization of grid_assign_whole_fast: one
+    broadcast centroid matrix per subspace, each batch computing m
+    exact-int64 matmul argmins. Bit-identical to
+    grid_assign(qdims, cent, subdims): per (cell, sub) the centroid
+    block is either complete or absent (assignment is per-subspace, so
+    a surviving cell has means for every dim of that subspace), and
+    cells are sorted ascending per sub so numpy's first-min argmin
+    reproduces min_by's (d, cell) tie-break. Output rows are n·m —
+    the CODES, not an intermediate — versus grid_assign's n·dim·k
+    exchange (41M rows at sf1 for s59's k=32). Returns
+    (vec_id, sub, cell)."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        cent.groupBy("cell", F.expr(f"dim div {subdims}").alias("sub"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("dv"))
+        .select("cell", "sub", F.transform("dv", lambda s: s["cv"]).alias("vec"))
+        .orderBy("sub", "cell")
+        .collect()
+    )
+    groups: dict[int, list] = defaultdict(list)
+    for r in rows:
+        groups[int(r.sub)].append(r)
+    mats = {}
+    for s, rs in groups.items():
+        cells = np.array([r.cell for r in rs], dtype=np.int64)
+        cm = np.array([r.vec for r in rs], dtype=np.int64)  # k_s × subdims
+        mats[s] = (cells, cm, (cm * cm).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)  # b×dim
+            vids = pdf["vec_id"].to_numpy()
+            out_v, out_s, out_c = [], [], []
+            for s, (cells, cm, c_sq) in mats.items():
+                qs = q[:, s * subdims : (s + 1) * subdims]
+                d = (qs * qs).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (qs @ cm.T)
+                out_v.append(vids)
+                out_s.append(np.full(len(vids), s, dtype=np.int64))
+                out_c.append(cells[d.argmin(axis=1)])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "sub": np.concatenate(out_s),
+                    "cell": np.concatenate(out_c),
+                }
+            )
+
+    return qarr.select("vec_id", "qarr").mapInPandas(
+        assign, schema="vec_id bigint, sub bigint, cell bigint"
+    )
+
+
+def grid_kmeans_codebook_fast(
+    qdims: DataFrame, qarr: DataFrame, seeds: DataFrame, iters: int, subdims: int
+) -> DataFrame:
+    """grid_kmeans_codebook with the broadcast-matrix assignment inside
+    the Lloyd's loop (the n·dim·k exchange was s59's sf1 bottleneck:
+    24.9 s, dominated by two assignment rounds). Mean update is the
+    identical n·dim partial agg — same truncated integer division, same
+    (cell, dim) table out. Pinned bit-identical by
+    test_grid_subspace_fast_matches_slow."""
+    cent = (
+        seeds.join(qdims, "vec_id")
+        .select("cell", "dim", F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        best = grid_assign_subspaces_fast(qarr, cent, subdims)
+        cent = (
+            best.join(qdims, "vec_id")
+            .filter(F.expr(f"dim div {subdims}") == F.col("sub"))
+            .groupBy("cell", "dim")
+            .agg(F.expr("sum(qv) div count(1)").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent

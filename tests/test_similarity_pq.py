@@ -246,3 +246,41 @@ def test_grid_fast_assignment_matches_slow_high_k(spark, sf_small):
     }
     cells_fast, _ = grid_kmeans_cells_fast(qd, qa, seeds, 1)
     assert {(r.vec_id, r.cell) for r in cells_fast.collect()} == slow
+
+
+def test_grid_subspace_fast_matches_slow(spark, sf_small):
+    """Per-subspace broadcast-matrix assignment (grid_assign_subspaces_fast
+    / grid_kmeans_codebook_fast) must be BIT-IDENTICAL to the exploded-row
+    grid path at s59's geometry (m=8 subspaces, k=32 codewords) — s59's
+    unrolled SQL oracle replays the slow arithmetic step for step."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        grid_assign,
+        grid_assign_subspaces_fast,
+        grid_kmeans_codebook,
+        grid_kmeans_codebook_fast,
+        grid_seeds,
+        quantize_arr,
+        quantize_dims,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    qd = quantize_dims(emb, scale=GRID_SCALE)
+    qa = quantize_arr(emb, scale=GRID_SCALE, out="qarr")
+    seeds = grid_seeds(emb, 32)
+    subdims = 8  # 64-dim corpus → m=8 subspaces
+
+    cb_slow = grid_kmeans_codebook(qd, seeds, 2, subdims)
+    cb_fast = grid_kmeans_codebook_fast(qd, qa, seeds, 2, subdims)
+    assert {(r.cell, r.dim, r.cv) for r in cb_fast.collect()} == {
+        (r.cell, r.dim, r.cv) for r in cb_slow.collect()
+    }
+    slow = {
+        (r.vec_id, r.sub, r.cell) for r in grid_assign(qd, cb_slow, subdims).collect()
+    }
+    fast = {
+        (r.vec_id, r.sub, r.cell)
+        for r in grid_assign_subspaces_fast(qa, cb_slow, subdims).collect()
+    }
+    assert fast == slow
