@@ -1095,7 +1095,8 @@ def bloom_decontaminate(
 
     Returns one row per train doc: (doc_id, bloom_flagged) where
     bloom_flagged = 1 iff ANY of the doc's grams hits all n_hashes
-    positions.
+    positions. train_grams may contain duplicate (doc, gram) rows; the
+    probe dedups them internally so the all-seeds-hit test stays exact.
     """
     seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
 
@@ -1129,7 +1130,15 @@ def bloom_decontaminate(
             ).alias("bits")
         )
     )
-    probe = positions(train_grams)
+    # Dedup the probe side per (doc, gram) BEFORE fanning out to seeds:
+    # a gram occurring twice in a doc would otherwise contribute 2 rows
+    # per seed, so nh per (doc, gram) sums to 2*n_hashes on a full hit
+    # and the `nh == n_hashes` test below would miss it — a false
+    # NEGATIVE, violating the Bloom guarantee. distinct() here is the
+    # same dedup shingled_grams already does for its own output, so the
+    # cost is a no-op for the standard callers and a correctness fix for
+    # any caller that passes raw (duplicated) gram rows.
+    probe = positions(train_grams.select(id_col, gram_col).distinct())
     # left join: a probe position whose word was never touched by the
     # eval set has no row in `words` — coalesce(bits, 0) below reads it
     # as all-zero, i.e. a guaranteed miss

@@ -736,7 +736,17 @@ def g42_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(g.edges, source=4, max_depth=3, undirected=True)
 
 
-_COOCCUR_CACHE: dict[tuple, DataFrame] = {}
+_COOCCUR_CACHE: dict[tuple, tuple["SparkSession", DataFrame]] = {}
+
+
+def _session_stopped(spark) -> bool:
+    """True once the session's SparkContext is gone — its checkpointed
+    frames are unusable and the cache entry is a leak."""
+    try:
+        jsc = spark.sparkContext._jsc
+        return jsc is None or jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def _part_cooccurrence(t: dict) -> DataFrame:
@@ -777,16 +787,23 @@ def _part_cooccurrence(t: dict) -> DataFrame:
         return co
     try:
         st = os.stat(f"{sf_dir}/lineitem.parquet")
-        key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
-    except OSError:
+        # applicationId is stable and unique per SparkContext — unlike
+        # id(spark), which a later session object can recycle after GC
+        # and thereby serve a checkpointed frame bound to a dead context
+        key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    except Exception:  # OSError, or applicationId on a stopped context
         return co
+    # sweep entries whose owning session has been stopped — their
+    # localCheckpoint pins are dead weight in long-lived processes
+    for k in [k for k, (s, _) in _COOCCUR_CACHE.items() if _session_stopped(s)]:
+        del _COOCCUR_CACHE[k]
     if key not in _COOCCUR_CACHE:
-        _COOCCUR_CACHE[key] = co.localCheckpoint(eager=True)
-        # drop stale generations of the same (session, sf_dir) so a
+        _COOCCUR_CACHE[key] = (spark, co.localCheckpoint(eager=True))
+        # drop stale generations of the same (application, sf_dir) so a
         # long-lived session doesn't pin superseded checkpoints
         for k in [k for k in _COOCCUR_CACHE if k[:2] == key[:2] and k != key]:
             del _COOCCUR_CACHE[k]
-    return _COOCCUR_CACHE[key]
+    return _COOCCUR_CACHE[key][1]
 
 
 # --------------------------------------------------------------------------

@@ -3971,8 +3971,18 @@ def t97_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(
             "fb",
-            # bigint floor-division end to end — never a double in the path
-            F.expr("div(num_a * num_b * 1000, den_a * den_b)").alias("wf"),
+            # integer-exact end to end, and overflow-proof: the multiply
+            # intermediates run in DECIMAL(38,0) (num_a*num_b*1000 can top
+            # int64 once raw_total reaches ~1e10 tokens with per-bucket
+            # tgt_c ~1e6 — at that corpus size non-ANSI bigint multiply
+            # would wrap SILENTLY while the DuckDB oracle's HUGEINT sums
+            # stay exact, a silent divergence at exactly the 100 TB tier
+            # this query targets). div()'s bigint RESULT is safe: wf is
+            # bounded by ~1000*raw_total ≈ 1e13 ≪ 2^63.
+            F.expr(
+                "CAST(div(CAST(num_a AS DECIMAL(38,0)) * num_b * 1000,"
+                "          CAST(den_a AS DECIMAL(38,0)) * den_b) AS BIGINT)"
+            ).alias("wf"),
         )
     )
     # pre-aggregate to (doc, bucket) counts BEFORE the weight join: the
@@ -3986,6 +3996,10 @@ def t97_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
+            # score bound: wf ≤ ~1000·(tgt share / raw share) — in any
+            # non-pathological corpus a few thousand — so per-doc score
+            # ≈ n_tokens·E[wf] stays far below 2^63 even at 1e9 tokens
+            # per doc; only the weight MULTIPLY above needed widening
             F.sum(F.col("cnt") * F.col("wf")).cast("bigint").alias("score"),
         )
         .withColumn("avg_milli", F.expr("div(score, n_tokens)").cast("bigint"))

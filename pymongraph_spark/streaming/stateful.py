@@ -7,6 +7,15 @@ decayed counters, model features, anomaly baselines).
 State is one pandas row per user: (n_events, total_value, max_value).
 Timeout: event-time with watermark — idle users' state is dropped when
 the watermark passes, bounding state size on unbounded keyspaces.
+
+CHECKPOINT COMPATIBILITY: STATE_SCHEMA gained the `nv` field (non-null
+value count, for SQL-NULL semantics on all-NULL groups) after the
+original 3-field layout shipped. A streaming query restarted from a
+checkpoint written under the old schema will misbind or fail on the
+state tuples — resuming across this upgrade requires a FRESH checkpoint
+location (state is rebuilt from the stream; same policy as any Spark
+state-schema evolution without RocksDB schema-evolution support). The
+tws.py state structs carry the same field and the same rule.
 """
 
 from __future__ import annotations

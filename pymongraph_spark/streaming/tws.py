@@ -10,6 +10,11 @@ min, max). The decimal-grid total makes the final state equal the batch
 aggregate bit-for-bit regardless of arrival order — the same exactness
 contract as streaming/stateful.py, so a DuckDB oracle can check the
 whole streaming path.
+
+CHECKPOINT COMPATIBILITY: the state struct gained the `nv` field after
+the original layout; restarting from a checkpoint written under the old
+struct misbinds the tuple — use a FRESH checkpoint location across this
+upgrade (see streaming/stateful.py's docstring for the policy).
 """
 
 from __future__ import annotations

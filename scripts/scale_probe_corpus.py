@@ -14,8 +14,11 @@ two whose parameters must scale with the data:
   gate config and the scaled m=2^20 production config and reports the
   false-positive counts of each alongside wall time.
 
-Usage: python scripts/scale_probe_corpus.py [small_dir] [big_dir] [out_json]
-Defaults: /root/testdata/sf0.1 /tmp/sparkgraph_sf1 SCALE_PROBE_corpus_sf1.json
+Usage: python scripts/scale_probe_corpus.py [small_dir] [big_dir] [out_json] [mult]
+Defaults: /root/testdata/sf0.1 /tmp/sparkgraph_sf1 SCALE_PROBE_corpus_sf1.json 10
+`mult` is the data ratio between the two dirs — the super-linear flag
+fires at ratio_warm > 1.3*mult, so the same script gives the tier its
+second decade (sf1 → sf3, mult=3; VERDICT r7 item 2).
 """
 
 from __future__ import annotations
@@ -36,6 +39,11 @@ PROBE = [
     "t99_perplexity_buckets",
     "t100_gopher_quality_rules",
     "d59_bloom_decontamination",
+    # exact-grid similarity tier (VERDICT r7 item 2: second decade for
+    # the queries whose sf1 probing caught the 24.9s assignment exchange)
+    "s57_ivf_kmeans_topk",
+    "s59_pq_adc_topk",
+    "s61_jl_projection_topk",
 ]
 
 
@@ -56,6 +64,7 @@ def main() -> None:
         if len(sys.argv) > 3
         else os.path.join(REPO, "SCALE_PROBE_corpus_sf1.json")
     )
+    mult = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
 
     from pyspark.sql import functions as F
 
@@ -134,10 +143,11 @@ def main() -> None:
     flagged = [
         n
         for n, r in results.items()
-        if r["ratio_warm"] and r["ratio_warm"] > 13 and "fixed_k16" not in n
+        if r["ratio_warm"] and r["ratio_warm"] > 1.3 * mult and "fixed_k16" not in n
     ]
     out = {
-        "probe": "corpus_tier_sf0.1_to_sf1",
+        "probe": f"corpus_tier_{os.path.basename(small.rstrip('/'))}"
+        f"_to_{os.path.basename(big.rstrip('/'))}_mult{mult:g}",
         "small": small,
         "big": big,
         "results": results,

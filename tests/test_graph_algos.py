@@ -563,6 +563,26 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     assert out[2] == 0
 
 
+def test_bloom_decontaminate_duplicate_gram_rows(spark):
+    """Regression (r7 ADVICE): duplicate (doc, gram) rows in train_grams
+    must not break the no-false-negatives guarantee. Before the internal
+    distinct(), a twice-occurring contaminated gram summed nh = 2·n_hashes
+    per (doc, gram), failed the nh == n_hashes test, and the doc slipped
+    through unflagged — a silent false NEGATIVE."""
+    from pymongraph_spark.operators.dedup import bloom_decontaminate
+
+    ev = spark.createDataFrame([(f"g{i}",) for i in range(20)], "gram string")
+    tr = spark.createDataFrame(
+        # doc 1: contaminated gram appears TWICE (raw, undeduped rows);
+        # doc 2: clean gram duplicated — must stay unflagged
+        [(1, "g3"), (1, "g3"), (1, "zz1"), (2, "zz2"), (2, "zz2")],
+        "doc_id long, gram string",
+    )
+    out = {r.doc_id: r.bloom_flagged for r in bloom_decontaminate(tr, ev).collect()}
+    assert out[1] == 1, "duplicated contaminated gram must still flag the doc"
+    assert out[2] == 0
+
+
 def test_semdedup_threshold_monotone(spark, sf_small):
     """A larger distance threshold can only ADD removals (the clustering
     is threshold-independent, and 'exists a closer smaller-id neighbor'
