@@ -76,19 +76,23 @@ def probe_index_sensitivity(spark, small: str, big: str, out: dict) -> None:
 
     base = tempfile.mkdtemp(prefix="sparkgraph_stream_probe_")
     try:
-        # the fixed probe batch: 1k docs sampled deterministically from the
-        # SMALL corpus with shifted ids (disjoint from any index id space)
-        probe_docs = (
-            load_tables(spark, small)["documents"]
-            .filter(F.col("doc_id") % 7 == 0)
-            .limit(1000)
-            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
-            .localCheckpoint(eager=True)
-        )
-        new_sh, new_bb = minhash_index_frames(probe_docs)
-
         result: dict[str, dict] = {}
         for tag, sf_dir in (("index_1x", small), ("index_10x", big)):
+            # the fixed probe batch: 1k docs sampled deterministically from
+            # the TARGET corpus with shifted ids (disjoint id space) — the
+            # batch must contain text that actually near-dups the index
+            # (sf1 documents are freshly synthesized, so an sf0.1-drawn
+            # batch would find zero candidates at 10× and the verify stage
+            # would measure nothing); same batch size at both scales keeps
+            # the probe-side work constant
+            probe_docs = (
+                load_tables(spark, sf_dir)["documents"]
+                .orderBy("doc_id")
+                .limit(1000)
+                .select((F.col("doc_id") + 100_000_000).alias("doc_id"), "text")
+                .localCheckpoint(eager=True)
+            )
+            new_sh, new_bb = minhash_index_frames(probe_docs)
             sh_dir = os.path.join(base, tag, "sh")
             bb_dir = os.path.join(base, tag, "bb")
             corpus = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
