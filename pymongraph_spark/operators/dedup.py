@@ -1096,7 +1096,8 @@ def bloom_decontaminate(
     Returns one row per train doc: (doc_id, bloom_flagged) where
     bloom_flagged = 1 iff ANY of the doc's grams hits all n_hashes
     positions. train_grams may contain duplicate (doc, gram) rows; the
-    probe dedups them internally so the all-seeds-hit test stays exact.
+    hit count is per DISTINCT seed, so duplicates cannot defeat the
+    all-seeds-hit test.
     """
     seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
 
@@ -1130,29 +1131,30 @@ def bloom_decontaminate(
             ).alias("bits")
         )
     )
-    # Dedup the probe side per (doc, gram) BEFORE fanning out to seeds:
-    # a gram occurring twice in a doc would otherwise contribute 2 rows
-    # per seed, so nh per (doc, gram) sums to 2*n_hashes on a full hit
-    # and the `nh == n_hashes` test below would miss it — a false
-    # NEGATIVE, violating the Bloom guarantee. distinct() here is the
-    # same dedup shingled_grams already does for its own output, so the
-    # cost is a no-op for the standard callers and a correctness fix for
-    # any caller that passes raw (duplicated) gram rows.
-    probe = positions(train_grams.select(id_col, gram_col).distinct())
+    probe = positions(train_grams)
     # left join: a probe position whose word was never touched by the
     # eval set has no row in `words` — coalesce(bits, 0) below reads it
     # as all-zero, i.e. a guaranteed miss
     hits = probe.join(
         F.broadcast(words), F.expr("pos div 63") == F.col("w"), "left"
     )
+    # nh = number of DISTINCT seeds whose position is set: duplicate
+    # (doc, gram) input rows would make a plain sum reach 2*n_hashes on a
+    # full hit, fail the `nh == n_hashes` test below, and let a
+    # contaminated doc through — a false NEGATIVE violating the Bloom
+    # guarantee. count_distinct(seed | hit) is duplicate-proof and keeps
+    # the plan at the SAME single (doc, gram) exchange (Spark's two-phase
+    # distinct aggregate piggybacks on the groupBy keys; a distinct() on
+    # the probe input would have added a second identical shuffle).
     gram_hits = hits.groupBy(id_col, gram_col).agg(
-        F.sum(
-            (
+        F.count_distinct(
+            F.when(
                 F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
                 )
-                != 0
-            ).cast("int")
+                != 0,
+                F.col("seed"),
+            )
         ).alias("nh")
     )
     return gram_hits.groupBy(id_col).agg(
