@@ -125,6 +125,14 @@ def load(
             vreader.load(os.path.join(path, "delta_vertices")).select(VERTEX_FIELDS),
             ereader.load(os.path.join(path, "delta_edges")).select(EDGE_FIELDS),
         )
+    if version is None:
+        # log-mode stores: the CURRENT logical state includes pending
+        # delta appends — fold them transparently so no reader can
+        # silently miss committed batches (explicit version reads stay
+        # snapshot-exact; pending deltas postdate every snapshot)
+        pending = _committed_deltas(path)
+        if pending:
+            return _fold_log(spark, path, pending)
     version = version or _current_version(path)
     if version is None or not os.path.isdir(os.path.join(path, version)):
         return None
@@ -499,6 +507,12 @@ def merge_into(
         return _merge_into_delta(spark, path, new)
     if backend != "parquet":
         raise ValueError(f"unknown backend {backend!r}; use 'auto', 'parquet', or 'delta'")
+    # mode-mixing guard: pending log deltas must be COMPACTED (which
+    # advances the replay watermark and drains the log), not just folded
+    # into this merge's snapshot — otherwise a later read would re-apply
+    # them on top of the new version and old batches could re-win props
+    if _committed_deltas(path):
+        compact_log(spark, path)
     existing = load(spark, path)
     if existing is None:
         merged = new
@@ -538,3 +552,239 @@ def merge_into(
     )
     save(merged, path)
     return merged
+
+
+# --------------------------------------------------------------------------
+# Log-structured merge (LSM) mode for streaming ingest. merge_into above
+# is read-merge-rewrite: per batch it loads the WHOLE store, joins, and
+# rewrites a full version — O(accumulated store) per micro-batch, which a
+# long-running stream cannot afford (the cost grows forever while batches
+# stay the same size; SCALE.md documents the curve). The log mode writes
+# each batch as an immutable DELTA directory under {path}/log — O(batch)
+# per micro-batch, the write pattern of every LSM store — and folds the
+# pending deltas on READ (cost bounded by compact_every); a compaction
+# folds base + deltas into a normal full version and drains the log.
+#
+# Semantics are IDENTICAL to sequential merge_into calls, pinned by
+# test_streaming_ingest.py::test_log_mode_equals_sequential_full_merges:
+#   - vertices: per (id, label), props fold in batch order with
+#     later-key-wins ($set across batches) — the same fold expression as
+#     writes._fold_updates, generalized to the (id, label) key;
+#   - edges: first writer wins per id (min batch ordinal).
+# Replays are idempotent twice over: a delta dir is keyed by the caller's
+# batch_id (foreachBatch replays rewrite the SAME dir — a _COMMITTED
+# marker distinguishes a torn first attempt from a finished one), and a
+# replay of an already-COMPACTED batch is skipped by the
+# _COMPACTED_THROUGH watermark (re-appending it would re-win stale props
+# over the newer batches the fold already applied).
+# --------------------------------------------------------------------------
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "log")
+
+
+def _compacted_through(path: str) -> int:
+    """Highest batch id already folded into the base version (-1 if no
+    compaction has happened). Appends at or below this watermark are
+    already durable and must be skipped — re-applying an OLD batch on
+    top of a base that folded newer ones would re-win stale props."""
+    marker = os.path.join(_log_dir(path), "_COMPACTED_THROUGH")
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _committed_deltas(path: str) -> list[str]:
+    """Pending delta dirs in batch order (committed ones only — a dir
+    without the _COMMITTED marker is a torn write and is ignored by
+    readers until its writer replays it)."""
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        return []
+    wm = _compacted_through(path)
+    return sorted(
+        d
+        for d in os.listdir(log)
+        if d.startswith("b")
+        and d[1:].isdigit()
+        and int(d[1:]) > wm  # dirs a crashed compaction folded but kept
+        and os.path.exists(os.path.join(log, d, "_COMMITTED"))
+    )
+
+
+def merge_into_log(
+    spark: SparkSession,
+    path: str,
+    new: PropertyGraph,
+    batch_id: int,
+    compact_every: int = 16,
+) -> None:
+    """Append one micro-batch as a delta; compact when the log is full.
+
+    O(batch) per call: nothing reads or rewrites the accumulated store
+    except the (amortized) compaction every ``compact_every`` batches.
+    ``batch_id`` must be the streaming engine's batch id (or any id that
+    is stable across replays of the same batch) — that is what makes the
+    append exactly-once-effective under foreachBatch's at-least-once.
+    """
+    log = _log_dir(path)
+    if batch_id <= _compacted_through(path):
+        # already folded into the base by a compaction — a replay of a
+        # compacted batch must NOT re-append (it would re-win stale
+        # props over the newer batches the fold already applied)
+        return
+    bdir = os.path.join(log, f"b{batch_id:012d}")
+    if not os.path.exists(os.path.join(bdir, "_COMMITTED")):
+        # torn previous attempt (dir without marker) → rewrite it
+        shutil.rmtree(bdir, ignore_errors=True)
+        new.vertices.select(VERTEX_FIELDS).write.parquet(os.path.join(bdir, "vertices"))
+        new.edges.select(EDGE_FIELDS).write.parquet(os.path.join(bdir, "edges"))
+        with open(os.path.join(bdir, "_COMMITTED"), "w") as fh:
+            fh.write("ok")
+    if len(_committed_deltas(path)) >= compact_every:
+        compact_log(spark, path)
+
+
+def _fold_log(
+    spark: SparkSession, path: str, deltas: list[str]
+) -> PropertyGraph | None:
+    """Fold base version + pending deltas into one PropertyGraph (lazy).
+
+    The fold is a single groupBy per entity over base ∪ deltas tagged
+    with their batch ordinal — one shuffle keyed by (id, label) / id,
+    independent of how many deltas are pending (never a join per delta).
+    """
+    version = _current_version(path)
+    frames_v, frames_e = [], []
+    if version is not None and os.path.isdir(os.path.join(path, version)):
+        vdir = os.path.join(path, version)
+        frames_v.append(
+            spark.read.parquet(os.path.join(vdir, "vertices"))
+            .select(VERTEX_FIELDS)
+            .withColumn("__ord", F.lit(0).cast("bigint"))
+        )
+        frames_e.append(
+            spark.read.parquet(os.path.join(vdir, "edges"))
+            .select(EDGE_FIELDS)
+            .withColumn("__ord", F.lit(0).cast("bigint"))
+        )
+    for i, d in enumerate(deltas):
+        bdir = os.path.join(_log_dir(path), d)
+        frames_v.append(
+            spark.read.parquet(os.path.join(bdir, "vertices"))
+            .select(VERTEX_FIELDS)
+            .withColumn("__ord", F.lit(i + 1).cast("bigint"))
+        )
+        frames_e.append(
+            spark.read.parquet(os.path.join(bdir, "edges"))
+            .select(EDGE_FIELDS)
+            .withColumn("__ord", F.lit(i + 1).cast("bigint"))
+        )
+    if not frames_v:
+        return None
+    av, ae = frames_v[0], frames_e[0]
+    for fv in frames_v[1:]:
+        av = av.unionByName(fv)
+    for fe in frames_e[1:]:
+        ae = ae.unionByName(fe)
+
+    def _by_ord(left, right):  # structs with map fields aren't orderable
+        return (
+            F.when(left["__ord"] < right["__ord"], -1)
+            .when(left["__ord"] > right["__ord"], 1)
+            .otherwise(0)
+        )
+
+    vertices = (
+        av.groupBy("id", "label")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__ord"), F.col("props").alias("p"))),
+                    _by_ord,
+                ),
+                F.expr("map()").cast("map<string,string>"),
+                # later batches win per key — $set across batches, the
+                # exact merge_into / _fold_updates algebra. NULL props act
+                # as "no update" (merge_into's when(__new.isNull(), __old)),
+                # hence the coalesce; map_concat with a NULL operand would
+                # otherwise NULL the whole accumulator.
+                lambda acc, s: F.map_concat(
+                    F.map_filter(
+                        acc,
+                        lambda k, _: ~F.array_contains(
+                            F.map_keys(F.coalesce(s["p"], F.expr("map()"))), k
+                        ),
+                    ),
+                    F.coalesce(s["p"], F.expr("map()")),
+                ),
+            ).alias("__folded"),
+            # a vertex seen ONLY with NULL props stays NULL (merge_into
+            # never invents an empty map for it)
+            F.max(F.col("props").isNotNull()).alias("__has_any"),
+        )
+        .select(
+            "id",
+            "label",
+            F.when(F.col("__has_any"), F.col("__folded")).alias("props"),
+        )
+        .select(VERTEX_FIELDS)
+    )
+    edges = (
+        ae.groupBy("id")
+        .agg(
+            # first writer wins per id (merge_into keeps existing edges);
+            # min_by on the full struct — ordinal ties are identical rows
+            F.min_by(F.struct(*[F.col(c) for c in EDGE_FIELDS]), F.col("__ord")).alias(
+                "__e"
+            )
+        )
+        .select("__e.*")
+        .select(EDGE_FIELDS)
+    )
+    return PropertyGraph(vertices, edges)
+
+
+def load_log(spark: SparkSession, path: str) -> PropertyGraph | None:
+    """Current logical state of a log-mode store: base version + pending
+    deltas folded lazily. load() with no version does the same fold
+    transparently (no reader can miss committed batches); this name
+    exists so log-mode call sites read as what they are."""
+    deltas = _committed_deltas(path)
+    if not deltas:
+        return load(spark, path)
+    return _fold_log(spark, path, deltas)
+
+
+def compact_log(spark: SparkSession, path: str) -> PropertyGraph | None:
+    """Fold base + pending deltas into a new FULL version and drain the
+    log — the amortized O(store) step that keeps read-side fold cost
+    bounded by compact_every. Returns the compacted graph.
+
+    Crash-safe ordering: the full version's pointer swap (save) happens
+    BEFORE the delta dirs are removed — a crash in between leaves deltas
+    whose re-application is a no-op by the merge algebra.
+    """
+    deltas = _committed_deltas(path)
+    folded = _fold_log(spark, path, deltas)
+    if folded is None or not deltas:
+        return folded
+    folded = PropertyGraph(
+        folded.vertices.localCheckpoint(eager=True),
+        folded.edges.localCheckpoint(eager=True),
+    )
+    save(folded, path)
+    # advance the watermark BEFORE dropping the deltas: a crash between
+    # the two leaves already-folded dirs that merge_into_log now ignores
+    # and a later compaction sweeps
+    high = max(int(d[1:]) for d in deltas)
+    marker_tmp = os.path.join(_log_dir(path), "_COMPACTED_THROUGH.tmp")
+    with open(marker_tmp, "w") as fh:
+        fh.write(str(max(high, _compacted_through(path))))
+    os.replace(marker_tmp, os.path.join(_log_dir(path), "_COMPACTED_THROUGH"))
+    for d in deltas:
+        shutil.rmtree(os.path.join(_log_dir(path), d), ignore_errors=True)
+    return folded

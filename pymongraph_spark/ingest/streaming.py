@@ -25,6 +25,8 @@ def stream_import(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    merge_mode: str = "full",
+    compact_every: int = 16,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for text files (one JSON report per line) and
     continuously upsert them into the graph store at ``store_path``.
@@ -34,7 +36,17 @@ def stream_import(
     ``max_files_per_trigger`` caps files per micro-batch — with
     availableNow this slices a backfill into several idempotent merges
     (the replay/convergence story under test in st87).
+
+    ``merge_mode``: "full" is the read-merge-rewrite version-swap store
+    (O(accumulated store) per batch — right for backfills and bounded
+    stores). "log" appends each micro-batch as an immutable delta and
+    compacts every ``compact_every`` batches (store.merge_into_log) —
+    O(batch) per micro-batch, the long-running-stream mode; read the
+    current state with store.load_log. Identical final semantics
+    (test_streaming_ingest pins full == log on the same fixture).
     """
+    if merge_mode not in ("full", "log"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}; use 'full' or 'log'")
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -47,7 +59,12 @@ def stream_import(
         if reports.isEmpty():
             return
         g = build_graph_tables(staging_frame(spark, reports))
-        store.merge_into(spark, store_path, g)
+        if merge_mode == "log":
+            store.merge_into_log(
+                spark, store_path, g, batch_id, compact_every=compact_every
+            )
+        else:
+            store.merge_into(spark, store_path, g)
 
     writer = (
         lines.writeStream.foreachBatch(process_batch)

@@ -152,46 +152,114 @@ def probe_st88_full(spark, small: str, big: str, out: dict) -> None:
 
 
 def probe_stream_import(spark, out: dict) -> None:
-    """(3): batch-size → rows/s curve for the ingest pipeline."""
+    """(3): batch-size → rows/s curve for the ingest pipeline, in BOTH
+    merge modes — "full" (read-merge-rewrite, O(store) per batch) and
+    "log" (delta append + amortized compaction, O(batch) per batch).
+    The gap between the two curves at small batches is the rewrite cost
+    the log mode exists to remove."""
     from pymongraph_spark.ingest.streaming import stream_import
 
     total_rows = 8000
-    curve = []
-    for batch_rows in (250, 1000, 2000, 8000):
-        base = tempfile.mkdtemp(prefix="sparkgraph_ingest_curve_")
-        try:
-            inp = os.path.join(base, "in")
-            os.makedirs(inp)
-            n_files = total_rows // batch_rows
-            for f_idx in range(n_files):
-                with open(os.path.join(inp, f"reports_{f_idx:04d}.jsonl"), "w") as fh:
-                    for j in range(batch_rows):
-                        fh.write(_report_line(f_idx * batch_rows + j) + "\n")
-            t0 = time.perf_counter()
-            q = stream_import(
-                spark,
-                inp,
-                os.path.join(base, "store"),
-                os.path.join(base, "ckpt"),
-                available_now=True,
-                max_files_per_trigger=1,
-            )
-            q.awaitTermination()
-            total_s = round(time.perf_counter() - t0, 3)
-            curve.append(
-                {
-                    "batch_rows": batch_rows,
-                    "n_batches": n_files,
-                    "total_s": total_s,
-                    "rows_per_sec": round(total_rows / total_s, 1),
-                    "sec_per_batch": round(total_s / n_files, 3),
-                }
-            )
-        finally:
-            shutil.rmtree(base, ignore_errors=True)
+    curves: dict[str, list] = {}
+    for mode in ("full", "log"):
+        curve = []
+        for batch_rows in (250, 1000, 2000, 8000):
+            base = tempfile.mkdtemp(prefix="sparkgraph_ingest_curve_")
+            try:
+                inp = os.path.join(base, "in")
+                os.makedirs(inp)
+                n_files = total_rows // batch_rows
+                for f_idx in range(n_files):
+                    with open(
+                        os.path.join(inp, f"reports_{f_idx:04d}.jsonl"), "w"
+                    ) as fh:
+                        for j in range(batch_rows):
+                            fh.write(_report_line(f_idx * batch_rows + j) + "\n")
+                t0 = time.perf_counter()
+                q = stream_import(
+                    spark,
+                    inp,
+                    os.path.join(base, "store"),
+                    os.path.join(base, "ckpt"),
+                    available_now=True,
+                    max_files_per_trigger=1,
+                    merge_mode=mode,
+                )
+                q.awaitTermination()
+                total_s = round(time.perf_counter() - t0, 3)
+                curve.append(
+                    {
+                        "batch_rows": batch_rows,
+                        "n_batches": n_files,
+                        "total_s": total_s,
+                        "rows_per_sec": round(total_rows / total_s, 1),
+                        "sec_per_batch": round(total_s / n_files, 3),
+                    }
+                )
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
+        curves[mode] = curve
     out["stream_import_curve"] = {
         "total_rows": total_rows,
-        "points": curve,
+        "modes": curves,
+    }
+
+
+def probe_ingest_store_sensitivity(spark, out: dict) -> None:
+    """(4): per-batch ingest cost vs STANDING STORE size — the structural
+    difference between the merge modes. Build stores of 2k and 16k
+    reports, then append four 250-row batches to each and report the
+    marginal per-batch cost. Full mode re-reads and rewrites the whole
+    store per batch (cost grows with the store); log mode appends
+    O(batch) deltas (flat until the amortized compaction)."""
+    from pymongraph_spark.ingest.streaming import stream_import
+
+    result: dict[str, dict] = {}
+    for mode in ("full", "log"):
+        per_store = {}
+        for store_rows in (2000, 16000, 128000):
+            base = tempfile.mkdtemp(prefix="sparkgraph_ingest_standing_")
+            try:
+                inp = os.path.join(base, "in")
+                os.makedirs(inp)
+                store_path = os.path.join(base, "store")
+                # seed the standing store in one batch
+                with open(os.path.join(inp, "seed.jsonl"), "w") as fh:
+                    for j in range(store_rows):
+                        fh.write(_report_line(j) + "\n")
+                stream_import(
+                    spark, inp, store_path, os.path.join(base, "ckpt"),
+                    available_now=True, merge_mode=mode,
+                    compact_every=1_000_000,  # never compact mid-probe
+                ).awaitTermination()
+                # append 4 fixed 250-row batches; time the marginal drain
+                for f_idx in range(4):
+                    with open(
+                        os.path.join(inp, f"inc_{f_idx:02d}.jsonl"), "w"
+                    ) as fh:
+                        for j in range(250):
+                            fh.write(_report_line(1_000_000 + f_idx * 250 + j) + "\n")
+                t0 = time.perf_counter()
+                stream_import(
+                    spark, inp, store_path, os.path.join(base, "ckpt"),
+                    available_now=True, max_files_per_trigger=1,
+                    merge_mode=mode, compact_every=1_000_000,
+                ).awaitTermination()
+                per_store[f"store_{store_rows}"] = round(
+                    (time.perf_counter() - t0) / 4, 3
+                )
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
+        per_store["ratio_8x_store"] = round(
+            per_store["store_16000"] / per_store["store_2000"], 2
+        )
+        per_store["ratio_64x_store"] = round(
+            per_store["store_128000"] / per_store["store_2000"], 2
+        )
+        result[mode] = per_store
+    out["ingest_standing_store_sensitivity"] = {
+        "batch_rows": 250,
+        "modes": result,
     }
 
 
@@ -208,6 +276,7 @@ def main() -> None:
     probe_index_sensitivity(spark, small, big, out)
     probe_st88_full(spark, small, big, out)
     probe_stream_import(spark, out)
+    probe_ingest_store_sensitivity(spark, out)
     spark.stop()
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)

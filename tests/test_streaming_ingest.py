@@ -225,3 +225,159 @@ def test_store_changes_cdc(spark, tmp_path):
     assert store.changes(spark, path, v1, v1).count() == 0
     with _pytest.raises(ValueError):
         store.changes(spark, path, "no-such-version")
+
+
+# ---------------------------------------------------------------------------
+# Log-structured merge mode (store.merge_into_log / load_log / compact_log):
+# O(batch) per micro-batch instead of merge_into's O(accumulated store)
+# rewrite — the long-running-stream ingest mode. The contract under test:
+# identical semantics to sequential full merges, idempotent replays, and
+# compaction that preserves the folded state.
+# ---------------------------------------------------------------------------
+
+
+def _pg(spark, vrows, erows):
+    from pymongraph_spark.graph.model import PropertyGraph
+
+    v = spark.createDataFrame(
+        vrows, "id: long, label: string, props: map<string,string>"
+    )
+    e = spark.createDataFrame(
+        erows, "id: long, src: long, dst: long, label: string, props: map<string,string>"
+    )
+    return PropertyGraph(v, e)
+
+
+def _canon(g):
+    vs = sorted(
+        (r["id"], r["label"], tuple(sorted((r["props"] or {}).items())))
+        for r in g.vertices.collect()
+    )
+    es = sorted(
+        (r["id"], r["src"], r["dst"], r["label"], tuple(sorted((r["props"] or {}).items())))
+        for r in g.edges.collect()
+    )
+    return vs, es
+
+
+def _batches(spark):
+    # three batches with a vertex-prop conflict (id 1: b1 sets a=1,x=old;
+    # b2 overwrites a=2 and adds y; b3 overwrites y) and an edge-id
+    # conflict (edge 10 appears in b1 and b3 — first writer must win)
+    b1 = _pg(
+        spark,
+        [(1, "t", {"a": "1", "x": "old"}), (2, "t", {"b": "1"})],
+        [(10, 1, 2, "e", {"w": "first"})],
+    )
+    b2 = _pg(
+        spark,
+        [(1, "t", {"a": "2", "y": "y1"}), (3, "t", {"c": "3"})],
+        [(11, 2, 3, "e", None)],
+    )
+    b3 = _pg(
+        spark,
+        [(1, "t", {"y": "y2"}), (4, "u", {"d": "4"})],
+        [(10, 1, 2, "e", {"w": "late-loser"}), (12, 3, 4, "e", None)],
+    )
+    return [b1, b2, b3]
+
+
+def test_log_mode_equals_sequential_full_merges(spark, tmp_path):
+    full, logd = str(tmp_path / "full"), str(tmp_path / "log")
+    for i, b in enumerate(_batches(spark)):
+        store.merge_into(spark, full, b)
+        store.merge_into_log(spark, logd, b, batch_id=i, compact_every=100)
+    assert len(store._committed_deltas(logd)) == 3  # nothing compacted yet
+    assert _canon(store.load_log(spark, logd)) == _canon(store.load(spark, full))
+    # the conflict rows resolved exactly like sequential $set merges
+    g = store.load_log(spark, logd)
+    p = {r["id"]: dict(r["props"] or {}) for r in g.vertices.collect()}
+    assert p[1] == {"a": "2", "x": "old", "y": "y2"}
+    w = {r["id"]: (r["props"] or {}).get("w") for r in g.edges.collect()}
+    assert w[10] == "first"  # first edge writer wins, like merge_into
+
+
+def test_log_mode_compaction_preserves_state_and_drains_log(spark, tmp_path):
+    full, logd = str(tmp_path / "full"), str(tmp_path / "log")
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        store.merge_into(spark, full, b)
+    # compact_every=2: the third append triggers... (2 pending after b2)
+    store.merge_into_log(spark, logd, batches[0], batch_id=0, compact_every=2)
+    store.merge_into_log(spark, logd, batches[1], batch_id=1, compact_every=2)
+    assert len(store._committed_deltas(logd)) == 0  # compacted at 2
+    assert store._current_version(logd) is not None
+    store.merge_into_log(spark, logd, batches[2], batch_id=2, compact_every=2)
+    assert len(store._committed_deltas(logd)) == 1
+    assert _canon(store.load_log(spark, logd)) == _canon(store.load(spark, full))
+    # explicit compaction drains the rest and load() alone sees everything
+    store.compact_log(spark, logd)
+    assert len(store._committed_deltas(logd)) == 0
+    assert _canon(store.load(spark, logd)) == _canon(store.load(spark, full))
+
+
+def test_log_mode_replay_and_torn_write_idempotency(spark, tmp_path):
+    import os
+
+    logd = str(tmp_path / "log")
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        store.merge_into_log(spark, logd, b, batch_id=i, compact_every=100)
+    before = _canon(store.load_log(spark, logd))
+    # foreachBatch replay: same batch_id re-delivered → same state
+    store.merge_into_log(spark, logd, batches[2], batch_id=2, compact_every=100)
+    assert _canon(store.load_log(spark, logd)) == before
+    # replay AFTER compaction: the _COMPACTED_THROUGH watermark skips the
+    # append entirely — re-applying batch 1 on top of a base that already
+    # folded batch 2 would re-win its stale y=y1 over y2
+    store.compact_log(spark, logd)
+    assert store._compacted_through(logd) == 2
+    store.merge_into_log(spark, logd, batches[1], batch_id=1, compact_every=100)
+    assert store._committed_deltas(logd) == []  # skipped, not re-appended
+    assert _canon(store.load_log(spark, logd)) == before
+    # torn write: a delta dir without _COMMITTED is invisible to readers
+    # and rewritten by the replay
+    bdir = os.path.join(logd, "log", "b%012d" % 7)
+    os.makedirs(os.path.join(bdir, "vertices"))
+    assert "b%012d" % 7 not in store._committed_deltas(logd)
+    assert _canon(store.load_log(spark, logd)) == before
+    store.merge_into_log(spark, logd, batches[0], batch_id=7, compact_every=100)
+    assert os.path.exists(os.path.join(bdir, "_COMMITTED"))
+
+
+def test_stream_import_log_mode_matches_full_mode(spark, tmp_path):
+    inp = tmp_path / "in"
+    _write_reports(inp, "batch1.jsonl", [REPORT_1])
+    _write_reports(inp, "batch2.jsonl", [REPORT_2])
+    _write_reports(inp, "batch3.jsonl", [REPORT_3])
+
+    full, ck1 = str(tmp_path / "sfull"), str(tmp_path / "ck1")
+    logd, ck2 = str(tmp_path / "slog"), str(tmp_path / "ck2")
+    stream_import(
+        spark, str(inp), full, ck1, max_files_per_trigger=1
+    ).awaitTermination()
+    stream_import(
+        spark, str(inp), logd, ck2, max_files_per_trigger=1, merge_mode="log",
+        compact_every=2,
+    ).awaitTermination()
+    g_full, g_log = store.load(spark, full), store.load_log(spark, logd)
+    assert _canon(g_log) == _canon(g_full)
+    assert g_log.vertices.count() == 9 and g_log.edges.count() == 11
+
+
+def test_mixed_mode_merge_compacts_pending_deltas(spark, tmp_path):
+    # full-mode merge on a store with pending log deltas must drain the
+    # log (compact first): folding without draining would let a later
+    # read re-apply the old batches on top of the new version
+    st = str(tmp_path / "mixed")
+    b1, b2, b3 = _batches(spark)
+    store.merge_into_log(spark, st, b1, batch_id=0, compact_every=100)
+    store.merge_into_log(spark, st, b2, batch_id=1, compact_every=100)
+    store.merge_into(spark, st, b3)
+    assert store._committed_deltas(st) == []
+    assert store._compacted_through(st) == 1
+    # state equals the all-full-mode sequence
+    full = str(tmp_path / "allfull")
+    for b in (b1, b2, b3):
+        store.merge_into(spark, full, b)
+    assert _canon(store.load(spark, st)) == _canon(store.load(spark, full))
