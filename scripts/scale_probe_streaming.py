@@ -263,6 +263,42 @@ def probe_ingest_store_sensitivity(spark, out: dict) -> None:
     }
 
 
+STREAMING_REGISTRY = [
+    "st80_windowed_event_counts",
+    "st81_session_windows",
+    "st82_sliding_window_counts",
+    "st83_streaming_dedup",
+    "st84_stateful_user_stats",
+    "st85_stream_static_enrichment",
+    "st86_stream_stream_interval_join",
+    "st87_streaming_graph_ingest",
+    "st89_transform_with_state",
+    "st90_streaming_shard_ingest",
+]
+
+
+def probe_streaming_registry(spark, small: str, big: str, out: dict) -> None:
+    """(5): the REST of the streaming registry at both scales — st88 has
+    its own parts above; this times every other st query end-to-end
+    (readStream bootstrap + availableNow drain included, so these are
+    whole-pipeline numbers, not marginal batch costs). Events grow 10×
+    at sf1; the watermark/window/state operators should track their
+    input ~linearly with the stream bootstrap amortizing."""
+    from pymongraph_spark.queries import QUERIES
+
+    result: dict[str, dict] = {}
+    for name in STREAMING_REGISTRY:
+        rec: dict[str, object] = {}
+        for tag, sf_dir in (("sf0.1", small), ("sf1", big)):
+            t0 = time.perf_counter()
+            rows = QUERIES[name](spark, sf_dir).count()
+            rec[f"{tag}_s"] = round(time.perf_counter() - t0, 3)
+            rec[f"{tag}_rows"] = rows
+        rec["ratio"] = round(rec["sf1_s"] / rec["sf0.1_s"], 2)
+        result[name] = rec
+    out["streaming_registry_sweep"] = result
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sparkgraph_sf1"
