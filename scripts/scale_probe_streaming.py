@@ -3,7 +3,7 @@ registry has two measured decades of scaling; this script gives the
 streaming tier the same treatment — measured ratios, not plan-shape
 prose.
 
-Three measurements:
+Five measurements:
 
 1. **st88 standing-index sensitivity** (the load-bearing claim): probe a
    FIXED batch of documents against a standing LSH index built from the
@@ -25,7 +25,15 @@ Three measurements:
    so rows/s vs B quantifies the per-batch fixed cost a provisioner must
    amortize (the r7 bench's 332 rows/s at one 1k batch is this curve's
    low end). Also records a 1-batch 10× run (8k reports in one batch)
-   for the fixture-size scaling point.
+   for the fixture-size scaling point. Both merge modes.
+
+4. **standing-store sensitivity**: marginal per-batch ingest cost vs the
+   size of the accumulated store (2k/16k/128k reports), full vs log
+   merge mode — the structural O(store)-rewrite vs O(batch)-append
+   difference merge_into_log exists for.
+
+5. **streaming registry sweep**: every non-st88 st query end-to-end at
+   both scales, so the whole streaming tier carries two-scale numbers.
 
 Usage: python scripts/scale_probe_streaming.py [small_dir] [big_dir] [out_json]
 Defaults: /root/testdata/sf0.1 /tmp/sparkgraph_sf1 SCALE_PROBE_streaming.json
