@@ -137,9 +137,17 @@ def load(
     if version is None or not os.path.isdir(os.path.join(path, version)):
         return None
     vdir = os.path.join(path, version)
+    # pinned schemas: an EMPTY graph version has no parquet footers to
+    # infer from (partitionBy of zero rows writes nothing) — the log-mode
+    # property test surfaced this as a latent crash on any store whose
+    # current version is empty; see _VERTEX_DDL below
     return PropertyGraph(
-        spark.read.parquet(os.path.join(vdir, "vertices")).select(VERTEX_FIELDS),
-        spark.read.parquet(os.path.join(vdir, "edges")).select(EDGE_FIELDS),
+        spark.read.schema(_VERTEX_DDL)
+        .parquet(os.path.join(vdir, "vertices"))
+        .select(VERTEX_FIELDS),
+        spark.read.schema(_EDGE_DDL)
+        .parquet(os.path.join(vdir, "edges"))
+        .select(EDGE_FIELDS),
     )
 
 
@@ -584,6 +592,16 @@ def _log_dir(path: str) -> str:
     return os.path.join(path, "log")
 
 
+# Pinned read schemas for delta dirs: an EMPTY batch frame can write a
+# parquet dir with no data-file footers (only _SUCCESS), and plain
+# spark.read.parquet fails schema inference on it — the property test
+# test_log_merge_equals_sequential_full_merge found exactly that with a
+# vertices-only (or edges-only) micro-batch. An explicit schema makes
+# the empty dir read as an empty frame, which is what it is.
+_VERTEX_DDL = "id BIGINT, label STRING, props MAP<STRING,STRING>"
+_EDGE_DDL = "id BIGINT, src BIGINT, dst BIGINT, label STRING, props MAP<STRING,STRING>"
+
+
 def _compacted_through(path: str) -> int:
     """Highest batch id already folded into the base version (-1 if no
     compaction has happened). Appends at or below this watermark are
@@ -662,24 +680,24 @@ def _fold_log(
     if version is not None and os.path.isdir(os.path.join(path, version)):
         vdir = os.path.join(path, version)
         frames_v.append(
-            spark.read.parquet(os.path.join(vdir, "vertices"))
+            spark.read.schema(_VERTEX_DDL).parquet(os.path.join(vdir, "vertices"))
             .select(VERTEX_FIELDS)
             .withColumn("__ord", F.lit(0).cast("bigint"))
         )
         frames_e.append(
-            spark.read.parquet(os.path.join(vdir, "edges"))
+            spark.read.schema(_EDGE_DDL).parquet(os.path.join(vdir, "edges"))
             .select(EDGE_FIELDS)
             .withColumn("__ord", F.lit(0).cast("bigint"))
         )
     for i, d in enumerate(deltas):
         bdir = os.path.join(_log_dir(path), d)
         frames_v.append(
-            spark.read.parquet(os.path.join(bdir, "vertices"))
+            spark.read.schema(_VERTEX_DDL).parquet(os.path.join(bdir, "vertices"))
             .select(VERTEX_FIELDS)
             .withColumn("__ord", F.lit(i + 1).cast("bigint"))
         )
         frames_e.append(
-            spark.read.parquet(os.path.join(bdir, "edges"))
+            spark.read.schema(_EDGE_DDL).parquet(os.path.join(bdir, "edges"))
             .select(EDGE_FIELDS)
             .withColumn("__ord", F.lit(i + 1).cast("bigint"))
         )

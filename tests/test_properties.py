@@ -107,3 +107,75 @@ def test_import_idempotent(spark, bodies):
     ae = sorted(map(str, g1.edges.select("id").collect()))
     be = sorted(map(str, g2.edges.select("id").collect()))
     assert ae == be
+
+
+# ---------------------------------------------------------------------------
+# Log-structured merge ≡ sequential full merges, for ANY batch sequence —
+# the fold algebra's edge cases (NULL props, empty maps, duplicate edge
+# ids across batches, overwrite ordering, compaction mid-sequence) are
+# exactly where a random-shape property test earns its keep.
+# ---------------------------------------------------------------------------
+
+_props_strategy = st.one_of(
+    st.none(),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["1", "2", "3"]),
+        max_size=2,
+    ),
+)
+
+_batch_strategy = st.tuples(
+    # vertices: (id in 0..3, props) — small id space forces collisions
+    st.lists(st.tuples(st.integers(0, 3), _props_strategy), min_size=0, max_size=3),
+    # edges: (id in 0..3, props) — duplicate ids across batches likely
+    st.lists(st.tuples(st.integers(0, 3), _props_strategy), min_size=0, max_size=2),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    batches=st.lists(_batch_strategy, min_size=1, max_size=3),
+    compact_every=st.sampled_from([2, 100]),
+)
+def test_log_merge_equals_sequential_full_merge(spark, tmp_path_factory, batches, compact_every):
+    from pymongraph_spark.graph import store
+    from pymongraph_spark.graph.model import PropertyGraph
+
+    base = tmp_path_factory.mktemp("lsm")
+    full, logd = str(base / "full"), str(base / "log")
+
+    def mk(vrows, erows):
+        # vertices deduped per batch (a batch graph has unique (id,label));
+        # later tuple wins inside one batch, matching dict() fold order
+        vd = {vid: p for vid, p in vrows}
+        ed = {eid: p for eid, p in erows}
+        v = spark.createDataFrame(
+            [(i, "t", p) for i, p in vd.items()] or [],
+            "id: long, label: string, props: map<string,string>",
+        )
+        e = spark.createDataFrame(
+            [(i, i % 3, i % 3 + 1, "e", p) for i, p in ed.items()] or [],
+            "id: long, src: long, dst: long, label: string, props: map<string,string>",
+        )
+        return PropertyGraph(v, e)
+
+    for bid, (vrows, erows) in enumerate(batches):
+        g = mk(vrows, erows)
+        store.merge_into(spark, full, g)
+        store.merge_into_log(spark, logd, g, batch_id=bid, compact_every=compact_every)
+
+    def canon(g):
+        vs = sorted(
+            (r["id"], r["label"], tuple(sorted((r["props"] or {}).items())), r["props"] is None)
+            for r in g.vertices.collect()
+        )
+        es = sorted(
+            (r["id"], r["src"], r["dst"], r["label"],
+             tuple(sorted((r["props"] or {}).items())), r["props"] is None)
+            for r in g.edges.collect()
+        )
+        return vs, es
+
+    assert canon(store.load_log(spark, logd)) == canon(store.load(spark, full))
