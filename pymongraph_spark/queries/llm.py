@@ -4286,6 +4286,39 @@ def t99_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets_scalable(docs: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """The 100-TB path for t99's head/middle/tail split. t99's exact
+    ntile is a window over ``partitionBy(lang)`` — correct and oracle-
+    checkable, but one language = ONE sort task, so a corpus with 1e9
+    docs in a dominant language turns the window into a single-executor
+    sort (the one remaining single-task construct the sf3 probe's t99
+    row points at). This variant replaces the sort with order
+    statistics: per-lang tercile THRESHOLDS from percentile_approx (a
+    mergeable sketch — fully distributed, one partial-agg shuffle of
+    lang-keyed sketch buffers), broadcast back, then a map-only bucket
+    assignment. The trade: bucket sizes are exact only up to sketch
+    accuracy and boundary ties go to the higher bucket, so this is the
+    SCALE variant, not the oracle semantics —
+    test_perplexity_buckets_scalable_agrees pins ≥90% assignment
+    agreement and exact head≥middle≥tail ordering per language against
+    the exact query on gate data."""
+    per_doc = _bigram_lm_per_doc(docs, keys=("doc_id", "lang"))
+    thr = per_doc.groupBy("lang").agg(
+        F.percentile_approx(
+            "avg_prob", F.array(F.lit(2.0 / 3.0), F.lit(1.0 / 3.0)), accuracy
+        ).alias("__t")
+    )
+    bucket = (
+        F.when(F.col("avg_prob") >= F.col("__t")[0], "head")
+        .when(F.col("avg_prob") >= F.col("__t")[1], "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.join(F.broadcast(thr), on="lang")
+        .select("doc_id", "lang", "n_bigrams", "avg_prob", bucket.alias("bucket"))
+    )
+
+
 def _sql_md5_fold(expr: str, nchars: int, mod: int) -> str:
     """DuckDB fold reproducing Spark's conv(substr(md5(expr),1,nchars),16,10)
     (% mod) — the same recipe as _SQL_TOK_BUCKET, parameterized."""

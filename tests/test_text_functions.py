@@ -252,3 +252,40 @@ def test_parse_ratio_strict_matches_importer_semantics(spark):
     df = spark.createDataFrame([(s,) for s, _ in cases], "prob: string")
     got = [r["r"] for r in df.select(parse_ratio("prob").alias("r")).collect()]
     assert got == [v for _, v in cases]
+
+
+def test_perplexity_buckets_scalable_agrees(spark, sf_small):
+    """The scale-path bucket assignment (broadcast percentile thresholds,
+    no per-language single-task window sort) must agree with t99's exact
+    ntile on ≥90% of docs, and its buckets must be internally ordered:
+    within a language, every head doc scores >= every middle doc >=
+    every tail doc."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.queries.llm import (
+        perplexity_buckets_scalable,
+        t99_perplexity_buckets,
+    )
+
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in t99_perplexity_buckets(spark, sf_small).collect()
+    }
+    rows = perplexity_buckets_scalable(
+        load_tables(spark, sf_small)["documents"]
+    ).collect()
+    approx = {r["doc_id"]: r["bucket"] for r in rows}
+    assert set(approx) == set(exact)
+    agree = sum(1 for d in exact if exact[d] == approx[d])
+    assert agree / len(exact) >= 0.90, f"only {agree}/{len(exact)} agree"
+    # internal ordering: per lang, min(head) >= max(middle) >= ... up to
+    # threshold ties (>= uses the same boundary value on both sides)
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(
+            r["avg_prob"]
+        )
+    for lang, buckets in by_lang.items():
+        if "head" in buckets and "middle" in buckets:
+            assert min(buckets["head"]) >= max(buckets["middle"]), lang
+        if "middle" in buckets and "tail" in buckets:
+            assert min(buckets["middle"]) >= max(buckets["tail"]), lang
