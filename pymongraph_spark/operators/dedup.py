@@ -1160,3 +1160,91 @@ def bloom_decontaminate(
     return gram_hits.groupBy(id_col).agg(
         F.max((F.col("nh") == n_hashes).cast("int")).alias("bloom_flagged")
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-CHUNK removal with document reassembly — the Dolma /
+    Lee-et-al "exact paragraph dedup" stage for unstructured text: split
+    each document into consecutive fixed-size token windows (the chunk
+    analogue of paragraphs when the corpus carries no newline structure),
+    keep exactly the FIRST occurrence of every distinct chunk corpus-wide
+    (first = smallest (doc_id, chunk_idx)), and rebuild each document
+    from its surviving chunks in order.
+
+    Scale shape: one explode (rows ∝ corpus tokens / chunk_tokens), one
+    groupBy on the chunk hash (uniform md5 keys — no skew), one equi-join
+    back, one per-doc reassembly agg. Never corpus²; nothing is compared
+    pairwise. Complements t96 (which DETECTS repeated spans) by actually
+    removing them, and d40 (whole-doc exact dedup) at sub-document
+    granularity.
+
+    Returns (doc_id, n_chunks, n_removed, clean_text) — clean_text NULL
+    when every chunk of the doc was removed (fully-duplicate document).
+    clean_text is TOKEN-NORMALIZED (lowercased, single-spaced): chunk
+    identity is defined on the token stream, so the reassembly is too —
+    the same normalization contract as every dedup operator here.
+    """
+    staged = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    # chunk i = tokens[i*k ... i*k+k) re-joined with single spaces; the
+    # explode is FUSED into the constructing select (the shingled_grams
+    # rule — an aliased array in its own Project would get re-inlined
+    # into the size()>0 filter InferFiltersFromGenerate pushes down)
+    chunks = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("__toks", i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    keyed = chunks.select(
+        "doc_id", "chunk_idx", "chunk", F.md5("chunk").alias("__h")
+    )
+    # first occurrence per distinct chunk, corpus-wide: min struct orders
+    # by (doc_id, chunk_idx) lexicographically — deterministic keep-first
+    first = keyed.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("__first")
+    )
+    kept = keyed.join(first, on="__h").withColumn(
+        "__keep",
+        (F.col("doc_id") == F.col("__first.doc_id"))
+        & (F.col("chunk_idx") == F.col("__first.chunk_idx")),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum((~F.col("__keep")).cast("int")).cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("__joined"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            # fully-duplicate doc: no surviving chunks → NULL, not ""
+            F.when(F.col("n_removed") < F.col("n_chunks"), F.col("__joined")).alias(
+                "clean_text"
+            ),
+        )
+    )

