@@ -1248,3 +1248,68 @@ def chunk_dedup(
             ),
         )
     )
+
+
+def chunk_neardup_pairs(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate chunk pairs — the fuzzy complement of chunk_dedup's
+    exact keep-first: paragraphs copied WITH EDITS (boilerplate with a
+    date swapped, a template with one field changed) hash to different
+    chunks but band together under MinHash. Built by pointing the
+    engine-neutral LSH pipeline (minhash_lsh_pairs_neutral — signatures,
+    banding, candidate equi-join, exact-Jaccard verify, so an ANSI-SQL
+    oracle can replay it for the r9 gate) at the CHUNK frame instead of
+    the document frame.
+
+    Chunk identity travels as ``chunk_id = doc_id * 2^20 + chunk_idx``
+    (invertible in SQL; requires chunk_idx < 2^20 — ~20M tokens/doc at
+    the default window, asserted cheaply via the same ceil the chunker
+    uses). Returns (doc_a, idx_a, doc_b, idx_b, jaccard, cross_doc);
+    pairs are unordered (chunk_id_a < chunk_id_b) and same-doc repeats
+    are flagged rather than dropped — internal boilerplate is a quality
+    signal (t75), cross-doc contamination a dedup signal.
+    """
+    staged = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("__toks", i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk",
+    )
+    pairs = minhash_lsh_pairs_neutral(
+        chunks,
+        text_col="chunk",
+        id_col="chunk_id",
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    dec = lambda c: (F.col(c) / F.lit(1 << 20)).cast("bigint")  # noqa: E731
+    return pairs.select(
+        dec("doc_id_a").alias("doc_a"),
+        (F.col("doc_id_a") % F.lit(1 << 20)).cast("int").alias("idx_a"),
+        dec("doc_id_b").alias("doc_b"),
+        (F.col("doc_id_b") % F.lit(1 << 20)).cast("int").alias("idx_b"),
+        "jaccard",
+        (dec("doc_id_a") != dec("doc_id_b")).alias("cross_doc"),
+    )

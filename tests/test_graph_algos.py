@@ -658,3 +658,42 @@ def test_chunk_dedup_keeps_exactly_one_copy_per_distinct_chunk(spark, sf_small):
         assert mismatches == 0
     finally:
         out.unpersist()
+
+
+def test_chunk_neardup_pairs_finds_edited_boilerplate(spark):
+    """Fuzzy chunk pairs: a 20-token chunk copied with ONE word changed
+    must surface as a cross-doc near-dup pair (3-shingle Jaccard well
+    above 0.5), an exact copy scores 1.0, and an unrelated chunk pairs
+    with nothing. Same-doc repeats are flagged cross_doc=False."""
+    from pymongraph_spark.operators.dedup import chunk_neardup_pairs
+
+    base = "w%d " * 20 % tuple(range(20))            # chunk of 20 tokens
+    edited = base.replace("w7 ", "EDIT ")            # one token swapped
+    other = "z%d " * 20 % tuple(range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base + other),                        # chunks: base, other
+            (2, edited + "q%d " * 20 % tuple(range(20))),
+            (3, base + base),                         # same-doc exact repeat
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_neardup_pairs(docs, chunk_tokens=20, threshold=0.5).collect()
+    pairs = {((r.doc_a, r.idx_a), (r.doc_b, r.idx_b)): (r.jaccard, r.cross_doc) for r in rows}
+
+    # doc1 chunk0 vs doc2 chunk0: one mid-chunk token swap destroys the 3
+    # trigrams that cover it — |∩|=15 of 18, |∪|=21 → jaccard 15/21
+    key12 = ((1, 0), (2, 0))
+    assert key12 in pairs and pairs[key12][1] is True
+    assert abs(pairs[key12][0] - 15 / 21) < 1e-12
+    # doc3's internal repeat: exact, flagged same-doc
+    key33 = ((3, 0), (3, 1))
+    assert key33 in pairs and pairs[key33] == (1.0, False)
+    # doc1's exact chunk also pairs with doc3's two copies at 1.0
+    assert pairs.get(((1, 0), (3, 0))) == (1.0, True)
+    # the unrelated chunks never pair with base
+    assert not any(
+        (a == (1, 1) or b == (1, 1)) and (a[0] != b[0] or a == b)
+        and pairs[(a, b)][0] < 0.2
+        for a, b in pairs
+    )
