@@ -1162,6 +1162,63 @@ def bloom_decontaminate(
     )
 
 
+#: chunk_id encoding base for chunk_neardup_pairs: chunk_id = doc_id * 2^20
+#: + chunk_idx. 2^20 chunks ≈ 20M tokens/doc at the default window.
+CHUNK_ID_BASE = 1 << 20
+
+
+def _token_chunks(
+    staged: DataFrame, chunk_tokens: int, max_chunks: int | None = None
+) -> DataFrame:
+    """(doc_id, __toks) → exploded (doc_id, chunk_idx, chunk) fixed-size
+    token windows. Shared by chunk_dedup / chunk_neardup_pairs.
+
+    Empty-token docs are guarded exactly like word_shingles
+    (functions/text.py): without the when(size>0), sequence(0, -1)
+    yields the DESCENDING [0, -1] — two spurious ''-chunks per empty
+    doc, and with chunk_tokens=1 a slice(…, 0, …) runtime error.
+    posexplode of the empty array emits no row, so empty docs vanish.
+
+    When ``max_chunks`` is set, any doc exceeding it fails the job loudly
+    (raise_error) instead of silently corrupting downstream arithmetic —
+    chunk_neardup_pairs encodes chunk_idx into doc_id * 2^20 + chunk_idx.
+    """
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    if max_chunks is not None:
+        # fail-loud bound check fused into the count the sequence uses, so
+        # column pruning can never drop it (a bare assert_true column
+        # would be pruned as unused)
+        n_chunks = F.when(n_chunks <= F.lit(max_chunks), n_chunks).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "chunk_idx overflow: doc %s has %s chunks > max %s "
+                    "(chunk_id encoding requires chunk_idx < 2^20)",
+                    F.col("doc_id"),
+                    n_chunks,
+                    F.lit(max_chunks),
+                )
+            ).cast("int")
+        )
+    # chunk i = tokens[i*k ... i*k+k) re-joined with single spaces; the
+    # explode is FUSED into the constructing select (the shingled_grams
+    # rule — an aliased array in its own Project would get re-inlined
+    # into the size()>0 filter InferFiltersFromGenerate pushes down)
+    return staged.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("__toks") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("__toks", i * chunk_tokens + 1, chunk_tokens), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_tokens: int = 20,
@@ -1188,26 +1245,15 @@ def chunk_dedup(
     clean_text is TOKEN-NORMALIZED (lowercased, single-spaced): chunk
     identity is defined on the token stream, so the reassembly is too —
     the same normalization contract as every dedup operator here.
+    Empty / whitespace-only / NULL-text docs have no chunks and emit NO
+    row (same contract as the shingle operators): without the size()>0
+    guard, sequence(0, -1) would produce the DESCENDING [0, -1] and each
+    empty doc would emit two spurious ''-chunks that dedupe corpus-wide.
     """
     staged = _spread(docs).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
-    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
-    # chunk i = tokens[i*k ... i*k+k) re-joined with single spaces; the
-    # explode is FUSED into the constructing select (the shingled_grams
-    # rule — an aliased array in its own Project would get re-inlined
-    # into the size()>0 filter InferFiltersFromGenerate pushes down)
-    chunks = staged.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice("__toks", i * chunk_tokens + 1, chunk_tokens), " "
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
+    chunks = _token_chunks(staged, chunk_tokens)
     keyed = chunks.select(
         "doc_id", "chunk_idx", "chunk", F.md5("chunk").alias("__h")
     )
@@ -1271,28 +1317,24 @@ def chunk_neardup_pairs(
 
     Chunk identity travels as ``chunk_id = doc_id * 2^20 + chunk_idx``
     (invertible in SQL; requires chunk_idx < 2^20 — ~20M tokens/doc at
-    the default window, asserted cheaply via the same ceil the chunker
-    uses). Returns (doc_a, idx_a, doc_b, idx_b, jaccard, cross_doc);
-    pairs are unordered (chunk_id_a < chunk_id_b) and same-doc repeats
-    are flagged rather than dropped — internal boilerplate is a quality
-    signal (t75), cross-doc contamination a dedup signal.
+    the default window, enforced fail-loud by a raise_error fused into
+    the chunker's count expression). Returns (doc_a, idx_a, doc_b,
+    idx_b, jaccard, cross_doc); pairs are unordered (chunk_id_a <
+    chunk_id_b) and same-doc repeats are flagged rather than dropped —
+    internal boilerplate is a quality signal (t75), cross-doc
+    contamination a dedup signal. The id decode uses integer `div`, NOT
+    float division: a double mantissa holds 53 bits, so `/` goes inexact
+    at chunk_id ≥ 2^53 (doc_id ≈ 2^33 — the billion-doc tier this
+    operator targets) while `div` is exact for any bigint.
     """
     staged = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokens(text_col).alias("__toks"),
     )
-    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
-    chunks = staged.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice("__toks", i * chunk_tokens + 1, chunk_tokens), " "
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    ).select(
-        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).alias("chunk_id"),
+    chunks = _token_chunks(staged, chunk_tokens, max_chunks=CHUNK_ID_BASE).select(
+        (F.col("doc_id") * F.lit(CHUNK_ID_BASE) + F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
         "chunk",
     )
     pairs = minhash_lsh_pairs_neutral(
@@ -1304,12 +1346,14 @@ def chunk_neardup_pairs(
         bands=bands,
         threshold=threshold,
     )
-    dec = lambda c: (F.col(c) / F.lit(1 << 20)).cast("bigint")  # noqa: E731
+    # integer div — exact for any bigint chunk_id; float `/` would round
+    # above 2^53 (doc_id ≈ 2^33) and decode off-by-one doc ids
+    dec = lambda c: F.expr(f"{c} div {CHUNK_ID_BASE}")  # noqa: E731
     return pairs.select(
         dec("doc_id_a").alias("doc_a"),
-        (F.col("doc_id_a") % F.lit(1 << 20)).cast("int").alias("idx_a"),
+        (F.col("doc_id_a") % F.lit(CHUNK_ID_BASE)).cast("int").alias("idx_a"),
         dec("doc_id_b").alias("doc_b"),
-        (F.col("doc_id_b") % F.lit(1 << 20)).cast("int").alias("idx_b"),
+        (F.col("doc_id_b") % F.lit(CHUNK_ID_BASE)).cast("int").alias("idx_b"),
         "jaccard",
         (dec("doc_id_a") != dec("doc_id_b")).alias("cross_doc"),
     )

@@ -697,3 +697,59 @@ def test_chunk_neardup_pairs_finds_edited_boilerplate(spark):
         and pairs[(a, b)][0] < 0.2
         for a, b in pairs
     )
+
+
+def test_chunk_ops_empty_and_whitespace_docs_emit_no_rows(spark):
+    """ADVICE r8: empty/whitespace/NULL-text docs must yield NO chunks —
+    ungated, sequence(0, -1) produces the DESCENDING [0, -1], so every
+    empty doc would emit two spurious ''-chunks (wrong n_chunks, and the
+    '' chunk dedupes corpus-wide against every other empty doc); with
+    chunk_tokens=1 the i=-1 element makes slice(…, 0, …) throw."""
+    from pymongraph_spark.operators.dedup import chunk_dedup, chunk_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \t\n "), (3, None), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    for k in (1, 4):  # k=1 is the slice(…, 0, …) crash case
+        out = {r.doc_id: r for r in chunk_dedup(docs, chunk_tokens=k).collect()}
+        assert set(out) == {4}, f"empty docs leaked rows at chunk_tokens={k}"
+        assert out[4].clean_text == "a b c d"
+    # neardup path shares the chunker: must run clean and pair nothing
+    assert chunk_neardup_pairs(docs, chunk_tokens=1).count() == 0
+
+
+def test_chunk_neardup_pairs_decodes_exactly_at_huge_doc_ids(spark):
+    """ADVICE r8: the chunk_id decode must use integer div, not float `/`
+    — a double mantissa holds 53 bits, so float division rounds once
+    chunk_id ≥ 2^53 (doc_id ≈ 2^33). Pin exact round-tripping at
+    doc_id ≈ 2^40, squarely in the billion-doc tier this targets."""
+    from pymongraph_spark.operators.dedup import chunk_neardup_pairs
+
+    a, b = (1 << 40) + 123, (1 << 40) + 456
+    chunk = "w%d " * 20 % tuple(range(20))
+    docs = spark.createDataFrame(
+        [(a, chunk + "x%d " * 20 % tuple(range(20))), (b, chunk)],
+        "doc_id long, text string",
+    )
+    rows = chunk_neardup_pairs(docs, chunk_tokens=20, threshold=0.5).collect()
+    pairs = {((r.doc_a, r.idx_a), (r.doc_b, r.idx_b)): r for r in rows}
+    key = ((a, 0), (b, 0))
+    assert key in pairs, f"expected exact decode of 2^40-tier ids, got {list(pairs)}"
+    assert pairs[key].jaccard == 1.0 and pairs[key].cross_doc is True
+
+
+def test_chunk_neardup_pairs_raises_on_chunk_idx_overflow(spark):
+    """ADVICE r8: the docstring's chunk_idx < 2^20 requirement must be
+    ENFORCED, not just documented — a >2^20-chunk doc would silently
+    corrupt neighbouring chunk_ids. chunk_tokens=1 on a (2^20 + 1)-token
+    doc crosses the bound with a test-sized fixture."""
+    import pytest
+
+    from pymongraph_spark.operators.dedup import chunk_neardup_pairs
+
+    big = spark.createDataFrame(
+        [(7, "t " * ((1 << 20) + 1))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="chunk_idx overflow"):
+        chunk_neardup_pairs(big, chunk_tokens=1).count()
