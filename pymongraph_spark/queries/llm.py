@@ -122,11 +122,16 @@ def _d45_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -
 
 
 def _d45_parts(
-    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    source: str = "documents",
 ) -> tuple[str, str]:
     """The d45 oracle split into (CTE list, final SELECT) so composite
-    pipelines (d49 clustering) can reuse the candidate-pair CTEs under
-    their own WITH RECURSIVE prefix."""
+    pipelines (d49 clustering, d61 chunk near-dup) can reuse the
+    candidate-pair CTEs under their own WITH prefix. ``source`` is any
+    table/CTE exposing (doc_id, text) — d61 points it at a chunk frame
+    whose doc_id is the encoded chunk_id."""
     from pymongraph_spark.operators.dedup import MINHASH_AB, MINHASH_P
 
     rows = num_hashes // bands
@@ -134,7 +139,7 @@ def _d45_parts(
     ctes = f"""
     sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
-      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {source})
       WHERE len(toks) >= 3
     ),
     tok AS (
@@ -4230,10 +4235,10 @@ def t98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double from t89 and ties break on doc_id. Scale shape: t89's partial
 # aggs + one per-lang window (bounded partitions).
 # --------------------------------------------------------------------------
-@query(
-    "t99_perplexity_buckets",
-    oracle=f"""
-    WITH tk AS (
+# shared by t99 (exact ntile) and t101 (threshold/scale form): the t89
+# bigram-LM per-doc scoring chain, bit-identical sorted-fold double sum
+_SQL_PERPLEXITY_PER_DOC = f"""
+    tk AS (
       SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
     ),
     bg AS (
@@ -4255,7 +4260,13 @@ def t98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_reduce(list_prepend(0.0, list(p ORDER BY w1, w2, p)), (a, b) -> a + b)
                / COUNT(*) AS avg_prob
       FROM scored GROUP BY doc_id, lang
-    ),
+    )"""
+
+
+@query(
+    "t99_perplexity_buckets",
+    oracle=f"""
+    WITH {_SQL_PERPLEXITY_PER_DOC},
     t AS (
       SELECT doc_id, lang, n_bigrams, avg_prob,
              CAST(ntile(3) OVER (PARTITION BY lang
@@ -4317,6 +4328,42 @@ def perplexity_buckets_scalable(docs: DataFrame, accuracy: int = 10000) -> DataF
         per_doc.join(F.broadcast(thr), on="lang")
         .select("doc_id", "lang", "n_bigrams", "avg_prob", bucket.alias("bucket"))
     )
+
+
+# --------------------------------------------------------------------------
+# The 100-TB perplexity split under the hash-match gate (r8 verdict item
+# 4): t99's exact ntile is one sort task per language — a dominant
+# language at scale serializes the whole split. t101 drives the SAME
+# per-doc scoring through perplexity_buckets_scalable's order-statistic
+# path (mergeable percentile_approx sketch → broadcast thresholds →
+# map-only bucketing; zero Window nodes). Oracle-checkable because
+# percentile_approx is EXACT whenever a group has fewer rows than
+# `accuracy` (gate scale: ~500 docs vs 10000), and Spark's exact-mode
+# rank convention equals DuckDB quantile_disc (verified empirically per
+# lang before registration). At larger scales the sketch approximates —
+# that is the documented trade, and the agreement test pins it ≥90%
+# against t99.
+# --------------------------------------------------------------------------
+@query(
+    "t101_perplexity_buckets_scalable",
+    oracle=f"""
+    WITH {_SQL_PERPLEXITY_PER_DOC},
+    thr AS (
+      SELECT lang,
+             quantile_disc(avg_prob, 2.0/3.0) AS t_head,
+             quantile_disc(avg_prob, 1.0/3.0) AS t_mid
+      FROM per_doc GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_bigrams, d.avg_prob,
+           CASE WHEN d.avg_prob >= t.t_head THEN 'head'
+                WHEN d.avg_prob >= t.t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per_doc d JOIN thr t USING (lang)
+    """,
+)
+def t101_perplexity_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return perplexity_buckets_scalable(docs, accuracy=10000)
 
 
 def _sql_md5_fold(expr: str, nchars: int, mod: int) -> str:
@@ -4419,6 +4466,101 @@ def d59_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("bloom_flagged") == 1) & F.col("__ex").isNull())
         .cast("int")
         .alias("false_positive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-CHUNK removal with reassembly (Dolma / Lee et al. "exact
+# paragraph dedup" at sub-document granularity): split every doc into
+# fixed 10-token windows, keep the corpus-wide FIRST copy of each
+# distinct chunk, rebuild docs from survivors. One explode + one
+# md5-keyed groupBy + one equi-join back — never corpus², never a
+# corpus-wide window. The oracle replays it with unnest-with-ordinality
+# chunking, encoded-min keep-first ((doc_id, idx) lexicographic == min
+# of doc_id*2^20+idx for non-negative ids), and FILTERed string_agg
+# reassembly.
+# --------------------------------------------------------------------------
+_CHUNK_K = 10
+# unnest + generate_subscripts stay row-aligned in the same SELECT — the
+# DuckDB idiom for WITH ORDINALITY
+_SQL_CHUNK_CTES = f"""
+    chunk_tk AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((ord - 1) // {_CHUNK_K} AS INTEGER) AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY ord) AS chunk
+      FROM chunk_tk GROUP BY doc_id, (ord - 1) // {_CHUNK_K}
+    )"""
+
+
+@query(
+    "d60_chunk_dedup",
+    oracle=f"""
+    WITH {_SQL_CHUNK_CTES},
+    keyed AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM chunks),
+    first AS (
+      SELECT h, MIN(doc_id * 1048576 + chunk_idx) AS first_id
+      FROM keyed GROUP BY h
+    ),
+    kept AS (
+      SELECT k.doc_id, k.chunk_idx, k.chunk,
+             (k.doc_id * 1048576 + k.chunk_idx) = f.first_id AS keep
+      FROM keyed k JOIN first f ON k.h = f.h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INTEGER) AS n_removed,
+           CASE WHEN SUM(CASE WHEN keep THEN 0 ELSE 1 END) < COUNT(*)
+                THEN string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep)
+           END AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def d60_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import chunk_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_dedup(docs, chunk_tokens=_CHUNK_K)
+
+
+# --------------------------------------------------------------------------
+# NEAR-duplicate chunk pairs — edited boilerplate (a date swapped, one
+# template field changed) hashes to different chunks but bands together
+# under MinHash. The engine-neutral LSH pipeline (d45's md5 token hash +
+# seeded affine permutations) pointed at the CHUNK frame; chunk identity
+# travels as the SQL-invertible chunk_id = doc_id*2^20 + chunk_idx, so
+# the oracle is d45's CTE chain over a chunk CTE plus an integer-div
+# decode of the ids.
+# --------------------------------------------------------------------------
+def _d61_oracle() -> str:
+    ctes, final = _d45_parts(source="chunks_src")
+    return f"""
+    WITH {_SQL_CHUNK_CTES},
+    chunks_src AS (
+      SELECT doc_id * 1048576 + CAST(chunk_idx AS BIGINT) AS doc_id,
+             chunk AS text
+      FROM chunks
+    ),
+    {ctes}
+    SELECT doc_id_a // 1048576 AS doc_a,
+           CAST(doc_id_a % 1048576 AS INTEGER) AS idx_a,
+           doc_id_b // 1048576 AS doc_b,
+           CAST(doc_id_b % 1048576 AS INTEGER) AS idx_b,
+           jaccard,
+           (doc_id_a // 1048576) <> (doc_id_b // 1048576) AS cross_doc
+    FROM ({final})
+    """
+
+
+@query("d61_chunk_neardup_pairs", oracle=_d61_oracle())
+def d61_chunk_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import chunk_neardup_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_neardup_pairs(
+        docs, chunk_tokens=_CHUNK_K, n=3, num_hashes=64, bands=16, threshold=0.5
     )
 
 
