@@ -777,14 +777,47 @@ def load_log(spark: SparkSession, path: str) -> PropertyGraph | None:
     return _fold_log(spark, path, deltas)
 
 
+def _sweep_drained_deltas(path: str) -> None:
+    """GC delta dirs already folded into the base (at or below the
+    _COMPACTED_THROUGH watermark), age-gated by the SAME
+    SPARKGRAPH_GC_GRACE_SECONDS window superseded full versions get.
+
+    A PropertyGraph returned by load_log() before a compaction is lazy —
+    the fold reads the delta parquet at action time — so draining the
+    dirs the moment the watermark advances would fail that concurrent
+    reader mid-scan. Leaving them is safe: _committed_deltas skips
+    everything at/below the watermark, and a replay of a compacted batch
+    returns early on the watermark check before it could touch the dir.
+    """
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        return
+    wm = _compacted_through(path)
+    grace = float(os.environ.get("SPARKGRAPH_GC_GRACE_SECONDS", "1800"))
+    now = time.time()
+    for d in os.listdir(log):
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= wm:
+            full = os.path.join(log, d)
+            try:
+                drained_age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # concurrent sweep won the race
+            if drained_age > grace:
+                shutil.rmtree(full, ignore_errors=True)
+
+
 def compact_log(spark: SparkSession, path: str) -> PropertyGraph | None:
     """Fold base + pending deltas into a new FULL version and drain the
     log — the amortized O(store) step that keeps read-side fold cost
     bounded by compact_every. Returns the compacted graph.
 
     Crash-safe ordering: the full version's pointer swap (save) happens
-    BEFORE the delta dirs are removed — a crash in between leaves deltas
-    whose re-application is a no-op by the merge algebra.
+    BEFORE the delta dirs are retired — a crash in between leaves deltas
+    whose re-application is a no-op by the merge algebra. Retirement is
+    watermark + grace-windowed deletion (_sweep_drained_deltas), never
+    an immediate rmtree, so a lazily-evaluated pre-compaction load_log()
+    fold can still finish its scan — the same concurrent-reader contract
+    save() gives superseded full versions.
     """
     deltas = _committed_deltas(path)
     folded = _fold_log(spark, path, deltas)
@@ -803,6 +836,5 @@ def compact_log(spark: SparkSession, path: str) -> PropertyGraph | None:
     with open(marker_tmp, "w") as fh:
         fh.write(str(max(high, _compacted_through(path))))
     os.replace(marker_tmp, os.path.join(_log_dir(path), "_COMPACTED_THROUGH"))
-    for d in deltas:
-        shutil.rmtree(os.path.join(_log_dir(path), d), ignore_errors=True)
+    _sweep_drained_deltas(path)
     return folded

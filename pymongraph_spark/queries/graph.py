@@ -53,7 +53,21 @@ e AS (
 """
 
 
-_GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
+# (applicationId, sf_dir, generation-prefix) -> (session, graph).
+# applicationId, not id(spark): object ids recycle after GC, so an id()
+# key could serve persisted frames bound to a dead context (the r8
+# _COOCCUR_CACHE fix, harmonized here per the r8 verdict). The session
+# rides along so the sweep can test liveness; the generation-prefix keys
+# the testdata fingerprint so driver-regenerated parquet can never be
+# served stale.
+_GRAPH_CACHE: dict[tuple[str, str, str], tuple["SparkSession", PropertyGraph]] = {}
+
+
+def _sweep_graph_cache() -> None:
+    """Evict entries whose owning session is stopped — their persisted
+    vertex/edge frames are dead weight in long-lived processes."""
+    for k in [k for k, (s, _) in _GRAPH_CACHE.items() if _session_stopped(s)]:
+        del _GRAPH_CACHE[k]
 
 
 def _graph_table_prefix(sf_dir: str) -> str:
@@ -95,16 +109,19 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     JVM exit); without one the build just reruns — a cache, not a
     correctness dependency.
     """
-    key = (id(spark), sf_dir)
-    if key in _GRAPH_CACHE:
-        return _GRAPH_CACHE[key]
+    prefix = _graph_table_prefix(sf_dir)
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, prefix)
+    except Exception:  # stopped context — build uncached, fail in use
+        key = None
+    _sweep_graph_cache()
+    if key is not None and key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key][1]
     from pymongraph_spark.graph.store import (
         load_bucketed,
         register_bucketed_external,
         save_bucketed,
     )
-
-    prefix = _graph_table_prefix(sf_dir)
     g = None
     try:
         known = spark.catalog.tableExists(f"{prefix}_vertices") and spark.catalog.tableExists(
@@ -128,7 +145,17 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             # read-only warehouse etc. — fall back to session-local persist
             pass
     g = PropertyGraph(g.vertices.persist(), g.edges.persist())
-    _GRAPH_CACHE[key] = g
+    if key is not None:
+        _GRAPH_CACHE[key] = (spark, g)
+        # drop superseded generations of the same (application, sf_dir)
+        # and release their persist pins
+        for k in [k for k in _GRAPH_CACHE if k[:2] == key[:2] and k != key]:
+            _, old = _GRAPH_CACHE.pop(k)
+            for df in (old.vertices, old.edges):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
     return g
 
 

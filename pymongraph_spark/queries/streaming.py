@@ -389,36 +389,8 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    left = (
-        _events_stream(spark, sf_dir)
-        .select(
-            F.col("event_id").alias("event_id_a"),
-            F.col("user_id").alias("user_a"),
-            F.col("ts").alias("ts_a"),
-        )
-        .withWatermark("ts_a", "10 minutes")
-    )
-    right = (
-        _events_stream(spark, sf_dir)
-        .select(
-            F.col("event_id").alias("event_id_b"),
-            F.col("user_id").alias("user_b"),
-            F.col("ts").alias("ts_b"),
-        )
-        .withWatermark("ts_b", "10 minutes")
-    )
-    # ONLY the equi-key and time-range conjuncts may reach the streaming
-    # join condition: StreamingJoinHelper derives the state-eviction bound
-    # (watermark - 5 min) from them, and any extra predicate — even added
-    # as a .filter(), which Catalyst pushes back into the join — breaks
-    # that extraction and leaves join state unbounded. So the stream emits
-    # both orientations of each pair and the canonical a<b ordering is
-    # applied batch-side on the sink table.
-    joined = left.join(
-        right,
-        (F.col("user_a") == F.col("user_b"))
-        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTES"))
-        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    joined = interval_join_streams(
+        _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
     )
     sink = _run_to_memory(joined, "ssjoin_events", "append")
     # the gap is floor-second arithmetic, same as the oracle's date_diff
@@ -431,6 +403,38 @@ def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("user_a").alias("user_id"),
             (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).cast("bigint").alias("gap_seconds"),
         )
+    )
+
+
+def interval_join_streams(
+    left_events: DataFrame, right_events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The st86 join shape, parameterized on the watermark delay so the
+    scale probe (scripts/probe_st86.py) can measure state-resident-set
+    sensitivity on the exact gated pipeline. Inputs are streaming frames
+    with (event_id, user_id, ts)."""
+    left = left_events.select(
+        F.col("event_id").alias("event_id_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", watermark)
+    right = right_events.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", watermark)
+    # ONLY the equi-key and time-range conjuncts may reach the streaming
+    # join condition: StreamingJoinHelper derives the state-eviction bound
+    # (watermark - 5 min) from them, and any extra predicate — even added
+    # as a .filter(), which Catalyst pushes back into the join — breaks
+    # that extraction and leaves join state unbounded. So the stream emits
+    # both orientations of each pair and the canonical a<b ordering is
+    # applied batch-side on the sink table.
+    return left.join(
+        right,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
     )
 
 

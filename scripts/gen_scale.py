@@ -24,8 +24,11 @@ Seed-deterministic throughout (no wall-clock, no salted hash). Media
 payloads need no table: the m-queries synthesize WAV/BMP bytes from
 documents on the fly.
 
-Usage: python scripts/gen_scale.py [out_dir] [mult] [src_sf_dir]
-Defaults: /tmp/sparkgraph_sf1 10 /root/testdata/sf0.1
+Usage: python scripts/gen_scale.py [out_dir] [mult] [src_sf_dir] [tables]
+Defaults: /tmp/sparkgraph_sf1 10 /root/testdata/sf0.1 core,documents,embeddings
+`tables` selects which generator groups run — the corpus tier's third
+decade (sf9) only needs documents+embeddings, and replicating lineitem
+to 54M rows for a probe that never reads it would waste the disk.
 """
 
 from __future__ import annotations
@@ -162,11 +165,15 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraph_sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    tables = (sys.argv[4] if len(sys.argv) > 4 else "core,documents,embeddings").split(",")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    gen_core(con, src, out, mult)
-    gen_documents(con, src, out, mult)
-    gen_embeddings(con, src, out, mult)
+    if "core" in tables:
+        gen_core(con, src, out, mult)
+    if "documents" in tables:
+        gen_documents(con, src, out, mult)
+    if "embeddings" in tables:
+        gen_embeddings(con, src, out, mult)
     print(f"done → {out}", flush=True)
 
 

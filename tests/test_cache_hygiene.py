@@ -134,3 +134,27 @@ def test_dead_pid_scratch_sweep(tmp_path):
     assert dead_young.exists()        # dead but inside grace → kept
     assert live_old.exists()          # owner alive → untouchable
     assert unrelated.exists()         # non-sparkgraph names ignored
+
+
+def test_graph_cache_keyed_by_application_id_and_sweeps_dead_sessions(spark, sf_small):
+    """r8 verdict item 3: _GRAPH_CACHE must key by applicationId (object
+    ids recycle after GC — an id(spark) key could serve persisted frames
+    bound to a dead context) and must evict entries whose owning session
+    has stopped (their persisted PropertyGraphs pin executor storage
+    forever in a long-lived process)."""
+    from pymongraph_spark.queries import graph as G
+
+    g1 = G.tpch_graph(spark, sf_small)
+    app_id = spark.sparkContext.applicationId
+    live_keys = [k for k in G._GRAPH_CACHE if k[0] == app_id and k[1] == sf_small]
+    assert live_keys, "expected a cache entry keyed by applicationId"
+    # memo hit: same object, no rebuild
+    assert G.tpch_graph(spark, sf_small) is g1
+
+    class _DeadSession:  # _session_stopped → True (no sparkContext at all)
+        pass
+
+    G._GRAPH_CACHE[("dead-app", sf_small, "xx")] = (_DeadSession(), g1)
+    G.tpch_graph(spark, sf_small)  # any call sweeps
+    assert ("dead-app", sf_small, "xx") not in G._GRAPH_CACHE
+    assert live_keys[0] in G._GRAPH_CACHE

@@ -345,6 +345,36 @@ def test_log_mode_replay_and_torn_write_idempotency(spark, tmp_path):
     assert os.path.exists(os.path.join(bdir, "_COMMITTED"))
 
 
+def test_log_mode_drained_deltas_get_gc_grace_window(spark, tmp_path, monkeypatch):
+    """r8 ADVICE: compact_log must NOT rmtree delta dirs the moment the
+    watermark advances — a PropertyGraph returned by load_log() before the
+    compaction is lazy and reads the delta parquet at action time. Drained
+    dirs get the same SPARKGRAPH_GC_GRACE_SECONDS window superseded full
+    versions get, and a later compaction sweeps the expired ones."""
+    import os
+
+    logd = str(tmp_path / "log")
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        store.merge_into_log(spark, logd, b, batch_id=i, compact_every=100)
+    lazy = store.load_log(spark, logd)  # plan built, NOT executed yet
+    monkeypatch.setenv("SPARKGRAPH_GC_GRACE_SECONDS", "1800")
+    store.compact_log(spark, logd)
+    # drained dirs survive inside the grace window...
+    on_disk = [d for d in os.listdir(os.path.join(logd, "log")) if d.startswith("b")]
+    assert len(on_disk) == 3
+    # ...so the pre-compaction lazy fold can still finish its scan, and it
+    # agrees with the compacted base
+    assert _canon(lazy) == _canon(store.load(spark, logd))
+    # but they are invisible to readers and to the compaction trigger
+    assert store._committed_deltas(logd) == []
+    # grace expired → the next compaction sweeps them
+    monkeypatch.setenv("SPARKGRAPH_GC_GRACE_SECONDS", "-1")
+    store.merge_into_log(spark, logd, batches[0], batch_id=10, compact_every=100)
+    store.compact_log(spark, logd)
+    assert [d for d in os.listdir(os.path.join(logd, "log")) if d.startswith("b")] == []
+
+
 def test_stream_import_log_mode_matches_full_mode(spark, tmp_path):
     inp = tmp_path / "in"
     _write_reports(inp, "batch1.jsonl", [REPORT_1])
