@@ -674,8 +674,22 @@ def _fold_log(
     The fold is a single groupBy per entity over base ∪ deltas tagged
     with their batch ordinal — one shuffle keyed by (id, label) / id,
     independent of how many deltas are pending (never a join per delta).
+
+    All pending deltas are read in ONE multi-path parquet scan per
+    entity, with the ordinal decoded from the file path (the dir name IS
+    the batch id, and batch ids are monotone in delta order, so
+    batch_id + 1 orders deltas exactly like their list position while
+    base = 0 sorts below them all). The per-delta-DataFrame union this
+    replaces grew the plan and the task count O(N_deltas) — measured at
+    64 pending: 544 scan tasks and a 39.65 s crash-replay load for 2k-row
+    batches, pure scheduling overhead (SCALE_PROBE_lsm.json).
     """
     version = _current_version(path)
+    log = _log_dir(path)
+    # ordinal from the path: .../log/b<12 digits>/{vertices,edges}/part-*
+    delta_ord = (
+        F.regexp_extract(F.input_file_name(), r"/b(\d+)/", 1).cast("bigint") + 1
+    )
     frames_v, frames_e = [], []
     if version is not None and os.path.isdir(os.path.join(path, version)):
         vdir = os.path.join(path, version)
@@ -689,17 +703,16 @@ def _fold_log(
             .select(EDGE_FIELDS)
             .withColumn("__ord", F.lit(0).cast("bigint"))
         )
-    for i, d in enumerate(deltas):
-        bdir = os.path.join(_log_dir(path), d)
+    if deltas:
         frames_v.append(
-            spark.read.schema(_VERTEX_DDL).parquet(os.path.join(bdir, "vertices"))
-            .select(VERTEX_FIELDS)
-            .withColumn("__ord", F.lit(i + 1).cast("bigint"))
+            spark.read.schema(_VERTEX_DDL)
+            .parquet(*[os.path.join(log, d, "vertices") for d in deltas])
+            .select(*VERTEX_FIELDS, delta_ord.alias("__ord"))
         )
         frames_e.append(
-            spark.read.schema(_EDGE_DDL).parquet(os.path.join(bdir, "edges"))
-            .select(EDGE_FIELDS)
-            .withColumn("__ord", F.lit(i + 1).cast("bigint"))
+            spark.read.schema(_EDGE_DDL)
+            .parquet(*[os.path.join(log, d, "edges") for d in deltas])
+            .select(*EDGE_FIELDS, delta_ord.alias("__ord"))
         )
     if not frames_v:
         return None

@@ -70,6 +70,18 @@ def main() -> None:
     spark = get_spark(app_name="sparkgraph-probe-lsm")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"base_vertices": BASE_V, "base_edges": BASE_E, "batch_rows": BATCH}
+    # warm-up: one tiny store through the same save/append/fold/compact
+    # path so the first measured point isn't charged the per-JVM codegen
+    warm = tempfile.mkdtemp(prefix="sparkgraph_lsm_warm_")
+    try:
+        wpath = os.path.join(warm, "store")
+        store.save(_pg(spark, 1000, 2000, 0, "warm"), wpath)
+        store.merge_into_log(spark, wpath, _pg(spark, 100, 200, 0, "w0"), batch_id=0, compact_every=10_000)
+        g = store.load_log(spark, wpath)
+        g.vertices.count(), g.edges.count()
+        store.compact_log(spark, wpath)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
     rows: list[dict] = []
     for n_pending in PENDING:
         base = tempfile.mkdtemp(prefix="sparkgraph_lsm_")
