@@ -389,9 +389,14 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    joined = interval_join_streams(
-        _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
-    )
+    # ONE source instance passed to both sides: a stream self-join shares
+    # the source's per-trigger offsets, so both sides always see the same
+    # micro-batch. Two separate readStream instances are only equivalent
+    # under a full single-batch drain — with maxFilesPerTrigger they can
+    # disagree on file order and silently join batch i against batch j
+    # (measured: 16-file drain emitted 19% of the pairs; SCALE_PROBE_st86).
+    events = _events_stream(spark, sf_dir)
+    joined = interval_join_streams(events, events)
     sink = _run_to_memory(joined, "ssjoin_events", "append")
     # the gap is floor-second arithmetic, same as the oracle's date_diff
     return (
