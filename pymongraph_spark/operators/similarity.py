@@ -1064,13 +1064,31 @@ def grid_assign_whole_fast(qarr: DataFrame, cent: DataFrame) -> DataFrame:
     cells_arr = np.array([r.cell for r in rows], dtype=np.int64)
     cmat = np.array([r.vec for r in rows], dtype=np.int64)  # k×dim
     c_sq = (cmat * cmat).sum(axis=1)  # k
+    # BLAS tier: numpy's int64 matmul has NO BLAS kernel (generic loops);
+    # at production k∝n it became the dominant super-linear term (d58
+    # scaled-k measured 4.8× for 3× at sf9, SCALE_PROBE_third_decade).
+    # float64 dgemm computes the SAME integers bit-exactly as long as
+    # every intermediate stays below 2^53: terms are bounded by
+    # dim·M² (M = max |component| over batch and centroids), and
+    # d = q·q + c·c − 2·q·c combines three such terms, so the guard is
+    # 4·dim·M² < 2^53. Integer-valued float64 sums are exact regardless
+    # of accumulation order, so blocked/FMA dgemm cannot change argmin.
+    # Batches that exceed the bound fall back to the int64 loops.
+    c_f = cmat.astype(np.float64)
+    c_sqf = c_sq.astype(np.float64)
+    m_c = int(np.abs(cmat).max()) if cmat.size else 0
 
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)  # b×dim
-            d = (q * q).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (q @ cmat.T)
+            m = max(int(np.abs(q).max()) if q.size else 0, m_c)
+            if 4 * q.shape[1] * m * m < 2**53:
+                qf = q.astype(np.float64)
+                d = (qf * qf).sum(axis=1)[:, None] + c_sqf[None, :] - 2.0 * (qf @ c_f.T)
+            else:  # pragma: no cover — beyond any GRID_SCALE geometry
+                d = (q * q).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (q @ cmat.T)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": cells_arr[d.argmin(axis=1)]}
             )

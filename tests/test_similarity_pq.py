@@ -248,6 +248,43 @@ def test_grid_fast_assignment_matches_slow_high_k(spark, sf_small):
     assert {(r.vec_id, r.cell) for r in cells_fast.collect()} == slow
 
 
+def test_grid_fast_assignment_blas_tier_bit_exact(spark):
+    """grid_assign_whole_fast's float64-dgemm tier (r9: the int64 matmul
+    has no BLAS kernel and became d58's super-linear term at k∝n) must
+    be bit-identical to int64 arithmetic right up to its 4·dim·M² < 2^53
+    guard — including exact distance ties, which must still break to the
+    smallest cell id — and magnitudes beyond the guard must route to the
+    int64 fallback and stay exact."""
+    import numpy as np
+
+    from pymongraph_spark.operators.similarity import grid_assign_whole_fast
+
+    rng = np.random.default_rng(7)
+    dim, n, k = 64, 200, 32
+
+    def check(m_bound: int) -> None:
+        q = rng.integers(-m_bound, m_bound, size=(n, dim))
+        c = rng.integers(-m_bound, m_bound, size=(k, dim))
+        c[9] = c[5]  # exact duplicate centroid → tie must pick cell 5
+        qarr = spark.createDataFrame(
+            [(i, [int(x) for x in q[i]]) for i in range(n)],
+            "vec_id: long, qarr: array<long>",
+        )
+        cent = spark.createDataFrame(
+            [(j, d, int(c[j, d])) for j in range(k) for d in range(dim)],
+            "cell: long, dim: long, cv: long",
+        )
+        got = {r.vec_id: r.cell for r in grid_assign_whole_fast(qarr, cent).collect()}
+        # int64 reference (exact: 4·dim·M² < 2^63 for both bounds below)
+        dist = (q * q).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2 * (q @ c.T)
+        want = {i: int(dist[i].argmin()) for i in range(n)}
+        assert got == want
+        assert any(cell == 5 for cell in got.values()) or 5 not in want.values()
+
+    check(5_900_000)  # just under the BLAS guard (4·64·M² < 2^53)
+    check(100_000_000)  # beyond it → int64 fallback (still < 2^63-exact)
+
+
 def test_grid_subspace_fast_matches_slow(spark, sf_small):
     """Per-subspace broadcast-matrix assignment (grid_assign_subspaces_fast
     / grid_kmeans_codebook_fast) must be BIT-IDENTICAL to the exploded-row
