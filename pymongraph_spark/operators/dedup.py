@@ -1049,6 +1049,20 @@ def semdedup(
     arr = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="__q").join(
         cells, "vec_id"
     )
+    return _dedup_within_cells(arr, cells, threshold_l2sq)
+
+
+def _dedup_within_cells(
+    arr: DataFrame, cells: DataFrame, threshold_l2sq: int
+) -> DataFrame:
+    """The SemDeDup decision, shared by the flat and hierarchical
+    clusterers: within each cell, a vector is removed when a lower-id
+    vector sits within the integer L2² threshold. arr is
+    (vec_id, __q array<long>, cell); cells is (vec_id, cell) for every
+    input vector (the join back preserves vectors whose cell produced
+    no pairs)."""
+    from pymongraph_spark.operators.similarity import _l2sq_arr
+
     a = arr.select(F.col("vec_id").alias("id_a"), F.col("__q").alias("__qa"), "cell")
     b = arr.select(F.col("vec_id").alias("id_b"), F.col("__q").alias("__qb"), "cell")
     pairs = (
@@ -1068,6 +1082,113 @@ def semdedup(
         F.col("dup_of").isNotNull().cast("int").alias("removed"),
         "dup_of",
     )
+
+
+_LEAF_STRIDE = 1 << 20  # leaf cell id = coarse_cell * stride + fine index
+
+
+def semdedup_hierarchical(
+    emb: DataFrame,
+    k_clusters: int = 16,
+    iters: int = 2,
+    threshold_l2sq: int = 1_300_000_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with two-level (coarse → fine) clustering — the k∝n
+    scale path. Flat Lloyd's assignment costs n·k products per
+    iteration, quadratic once k scales with the corpus (measured: d58's
+    k∝n config went super-linear at the sf9 third decade even after the
+    BLAS tier, SCALE_PROBE_third_decade.json). Here: k1 = ceil(√k)
+    coarse centroids trained on the full set (n·√k work), then
+    k2 = ceil(k/k1) fine centroids trained LOCALLY inside each coarse
+    cell via applyInPandas (Σ n_g·k2 ≈ n·√k) — ~k leaf cells at
+    O(n·√k) total assignment work, the same shard-then-cluster shape
+    Abbas et al. (arXiv:2303.09540 §4) run on faiss shards. Groups are
+    n/√k vectors — bounded executor-memory batches at any corpus size
+    (1B vectors at k=8M: ~350k rows × dim ≈ 180 MB).
+
+    The within-cell dedup decision is the exact integer L2² rule shared
+    with semdedup (_dedup_within_cells); only the cell boundaries
+    differ from flat k-means (the published method's quality is
+    insensitive to the clusterer — duplicates have near-identical
+    vectors, which land in the same coarse AND fine cell by argmin
+    determinism; pinned by the exact-duplicate test). Deterministic
+    throughout: coarse seeds are the md5-smallest ids, fine seeds the
+    k2 smallest vec_ids per cell, numpy argmin first-min tie-break,
+    truncated-division mean updates.
+
+    Returns the semdedup contract: (vec_id, cell, removed, dup_of),
+    cell = coarse*2^20 + fine (fine < 2^20 asserted per group).
+    """
+    import math
+
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        grid_kmeans_cells_fast,
+        grid_seeds,
+        quantize_arr,
+        quantize_dims,
+    )
+
+    k1 = max(2, math.isqrt(max(k_clusters - 1, 0)) + 1)  # ceil(sqrt(k))
+    k2 = max(1, -(-k_clusters // k1))  # ceil(k / k1)
+
+    qd = quantize_dims(emb, id_col, vec_col, GRID_SCALE)
+    qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")
+    coarse, _ = grid_kmeans_cells_fast(qd, qa, grid_seeds(emb, k1, id_col), iters)
+    grouped = qa.join(coarse, "vec_id")
+
+    def refine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        coarse_cell = int(pdf["cell"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+        kk = min(k2, len(pdf))
+        assert kk < _LEAF_STRIDE, (
+            f"fine cluster count {kk} >= 2^20 — raise _LEAF_STRIDE"
+        )
+        cent = q[np.argsort(ids)[:kk]].copy()  # smallest ids seed, in id order
+        idx = np.arange(kk, dtype=np.int64)  # fine id of each centroid row
+
+        def _assign(c):
+            m = max(int(np.abs(q).max()), int(np.abs(c).max()), 1)
+            if 4 * q.shape[1] * m * m < 2**53:  # exact float64 dgemm tier
+                qf, cf = q.astype(np.float64), c.astype(np.float64)
+                d = (qf * qf).sum(1)[:, None] + (cf * cf).sum(1)[None, :] - 2.0 * (qf @ cf.T)
+            else:  # pragma: no cover — beyond any GRID_SCALE geometry
+                d = (q * q).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2 * (q @ c.T)
+            # centroid rows stay in ascending-fine-id order, so numpy's
+            # first-min argmin == min_by((d, fine)) — the grid tie-break
+            return d.argmin(axis=1)
+
+        for _ in range(iters):
+            pos = _assign(cent)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, pos, q)
+            counts = np.bincount(pos, minlength=len(idx))
+            # empty fine clusters are DROPPED, exactly like the grid
+            # family's groupBy mean update (a cell with no members has no
+            # rows) — keeps the SQL replay a plain aggregation
+            nz = counts > 0
+            s, c = sums[nz], counts[nz][:, None]
+            # truncated (toward-zero) integer division — the grid tier's
+            # mean-update rule (sum div count), sign-adjusted for numpy's
+            # floor semantics
+            cent, idx = np.sign(s) * (np.abs(s) // c), idx[nz]
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": coarse_cell * _LEAF_STRIDE + idx[_assign(cent)]}
+        )
+
+    leaves = grouped.groupBy("cell").applyInPandas(
+        refine, schema="vec_id bigint, cell bigint"
+    )
+    arr = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="__q").join(
+        leaves, "vec_id"
+    )
+    return _dedup_within_cells(arr, leaves, threshold_l2sq)
 
 
 def bloom_decontaminate(

@@ -1164,10 +1164,24 @@ def grid_assign_subspaces_fast(
                 continue
             q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)  # b×dim
             vids = pdf["vec_id"].to_numpy()
+            m_q = int(np.abs(q).max()) if q.size else 0
             out_v, out_s, out_c = [], [], []
             for s, (cells, cm, c_sq) in mats.items():
                 qs = q[:, s * subdims : (s + 1) * subdims]
-                d = (qs * qs).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (qs @ cm.T)
+                # same float64-dgemm exactness tier as
+                # grid_assign_whole_fast (integer-valued float64 sums are
+                # exact in any order while 4·subdims·M² < 2^53); the
+                # subspace bound is even looser since subdims ≤ dim
+                m = max(m_q, int(np.abs(cm).max()) if cm.size else 0)
+                if 4 * subdims * m * m < 2**53:
+                    qf, cf = qs.astype(np.float64), cm.astype(np.float64)
+                    d = (
+                        (qf * qf).sum(axis=1)[:, None]
+                        + c_sq.astype(np.float64)[None, :]
+                        - 2.0 * (qf @ cf.T)
+                    )
+                else:  # pragma: no cover — beyond any GRID_SCALE geometry
+                    d = (qs * qs).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (qs @ cm.T)
                 out_v.append(vids)
                 out_s.append(np.full(len(vids), s, dtype=np.int64))
                 out_c.append(cells[d.argmin(axis=1)])

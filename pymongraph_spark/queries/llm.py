@@ -764,24 +764,12 @@ from pymongraph_spark.operators.similarity import (  # noqa: E402
 )
 
 
-def _grid_oracle(
-    k_cells: int,
-    iters: int,
-    subdims: int,
-    mode: str,
-    n_queries: int = 8,
-    topk: int = 3,
-    scale: int = _GRID_SCALE,
-    threshold: int = 0,
-) -> str:
-    """Unrolled-CTE DuckDB oracle for the exact-grid k-means family.
-    mode='ivf': single-cell probe + exact integer-L2 re-rank (s57).
-    mode='adc': PQ lookup-table asymmetric distance over the final
-    per-subspace assignment as codes (s59).
-    mode='semdedup': within-cluster integer-L2² pairs under `threshold`
-    mark the higher id removed (d58). Mirrors
-    operators/similarity.py grid_* step for step; `//` == Spark `div`
-    (both truncate toward zero, verified)."""
+def _grid_cells_cte(k_cells: int, iters: int, subdims: int, scale: int) -> str:
+    """The unrolled-CTE prefix shared by every exact-grid oracle: quantize
+    → md5-smallest seeds → `iters` Lloyd rounds → final assignment `bf`
+    (vec_id, sub, cell). Split out of _grid_oracle so the hierarchical
+    oracle (_hier_oracle) can stack a per-coarse-cell fine phase on the
+    same coarse arithmetic."""
     parts = [
         f"""
     WITH ex AS (
@@ -832,6 +820,28 @@ def _grid_oracle(
                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
         FROM af) WHERE rn = 1
     )""")
+    return "".join(parts)
+
+
+def _grid_oracle(
+    k_cells: int,
+    iters: int,
+    subdims: int,
+    mode: str,
+    n_queries: int = 8,
+    topk: int = 3,
+    scale: int = _GRID_SCALE,
+    threshold: int = 0,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for the exact-grid k-means family.
+    mode='ivf': single-cell probe + exact integer-L2 re-rank (s57).
+    mode='adc': PQ lookup-table asymmetric distance over the final
+    per-subspace assignment as codes (s59).
+    mode='semdedup': within-cluster integer-L2² pairs under `threshold`
+    mark the higher id removed (d58). Mirrors
+    operators/similarity.py grid_* step for step; `//` == Spark `div`
+    (both truncate toward zero, verified)."""
+    parts = [_grid_cells_cte(k_cells, iters, subdims, scale)]
     if mode == "ivf":
         parts.append(f"""
     , pairs AS (
@@ -4132,6 +4142,102 @@ def d58_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return semdedup(emb, k_clusters=16, iters=2, threshold_l2sq=_D58_T)
+
+
+def _hier_oracle(k: int, iters: int, threshold: int, scale: int = _GRID_SCALE) -> str:
+    """Unrolled-CTE DuckDB replay of semdedup_hierarchical
+    (operators/dedup.py): the coarse phase is the shared exact-grid
+    prefix (k1 = ceil(√k) whole-vector cells), the fine phase reruns the
+    same Lloyd arithmetic WITHIN each coarse cell — seeds are the k2
+    smallest vec_ids per cell (row_number over the cell), assignment
+    considers only same-coarse-cell centroids (the fc join carries the
+    coarse key), empty fine clusters drop out of the mean aggregation
+    exactly as in the numpy refine, and ties break (d, fine) like
+    numpy's first-min argmin over ascending-fine centroid rows. Leaf id
+    = coarse·2^20 + fine, then the standard within-cell L2² removal."""
+    import math
+
+    k1 = max(2, math.isqrt(max(k - 1, 0)) + 1)
+    k2 = max(1, -(-k // k1))
+    parts = [_grid_cells_cte(k1, iters, _WHOLE_VEC, scale)]
+    parts.append(f"""
+    , fs AS (
+      SELECT vec_id, cell AS coarse,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS fine
+      FROM bf
+      QUALIFY fine < {k2}
+    ), fc0 AS (
+      SELECT fs.coarse, fs.fine, q.dim, q.qv AS cv
+      FROM fs JOIN q USING (vec_id)
+    )""")
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , fa{i} AS (
+      SELECT q.vec_id, fc.fine,
+             SUM((q.qv - fc.cv) * (q.qv - fc.cv)) AS d
+      FROM q JOIN bf ON bf.vec_id = q.vec_id
+             JOIN fc{i - 1} fc ON fc.coarse = bf.cell AND fc.dim = q.dim
+      GROUP BY q.vec_id, fc.fine
+    ), fb{i} AS (
+      SELECT vec_id, fine FROM (
+        SELECT vec_id, fine,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rn
+        FROM fa{i}) WHERE rn = 1
+    ), fc{i} AS (
+      SELECT bf.cell AS coarse, fb.fine, q.dim, SUM(q.qv) // COUNT(*) AS cv
+      FROM fb{i} fb JOIN q ON q.vec_id = fb.vec_id
+                    JOIN bf ON bf.vec_id = fb.vec_id
+      GROUP BY bf.cell, fb.fine, q.dim
+    )""")
+    parts.append(f"""
+    , faf AS (
+      SELECT q.vec_id, fc.fine,
+             SUM((q.qv - fc.cv) * (q.qv - fc.cv)) AS d
+      FROM q JOIN bf ON bf.vec_id = q.vec_id
+             JOIN fc{iters} fc ON fc.coarse = bf.cell AND fc.dim = q.dim
+      GROUP BY q.vec_id, fc.fine
+    ), leaf AS (
+      SELECT f.vec_id, bf.cell * {1 << 20} + f.fine AS cell
+      FROM (
+        SELECT vec_id, fine FROM (
+          SELECT vec_id, fine,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rn
+          FROM faf) WHERE rn = 1
+      ) f JOIN bf ON bf.vec_id = f.vec_id
+    ), pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM leaf a JOIN leaf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), pd AS (
+      SELECT p.id_a, p.id_b
+      FROM pr p
+      JOIN q q1 ON q1.vec_id = p.id_a
+      JOIN q q2 ON q2.vec_id = p.id_b AND q2.dim = q1.dim
+      GROUP BY p.id_a, p.id_b
+      HAVING SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) <= {threshold}
+    ), rem AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pd GROUP BY id_b
+    )
+    SELECT l.vec_id, l.cell,
+           CAST(r.dup_of IS NOT NULL AS INT) AS removed, r.dup_of
+    FROM leaf l LEFT JOIN rem r USING (vec_id)""")
+    return "".join(parts)
+
+
+@query(
+    "d62_semdedup_hierarchical",
+    oracle=_hier_oracle(16, 2, _D58_T),
+)
+def d62_semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k∝n scale path of d58, driver-verified at the gate geometry
+    (k=16 → 4 coarse × 4 fine): two-level clustering costs O(n·√k)
+    assignment work instead of flat Lloyd's O(n·k), which the sf9 third
+    decade measured super-linear at scaled k
+    (SCALE_PROBE_third_decade.json). Same exact integer L2² removal rule
+    as d58; only the cell boundaries differ."""
+    from pymongraph_spark.operators.dedup import semdedup_hierarchical
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return semdedup_hierarchical(emb, k_clusters=16, iters=2, threshold_l2sq=_D58_T)
 
 
 # --------------------------------------------------------------------------

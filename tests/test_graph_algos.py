@@ -546,6 +546,74 @@ def test_semdedup_invariants(spark):
             assert by_id[r.dup_of].cell == r.cell
 
 
+def test_semdedup_hierarchical_invariants(spark):
+    """The two-level clusterer must honor the same SemDeDup contract as
+    the flat one: exact duplicates share coarse AND fine cells (identical
+    vectors → identical argmin at both levels), so the higher id is
+    removed with dup_of = the lower id; distinct far-apart unit vectors
+    survive a near-zero threshold; removed <=> dup_of non-null; dup_of
+    is a smaller same-cell id; every input vector gets exactly one row;
+    and the run is deterministic."""
+    from pymongraph_spark.operators.dedup import semdedup_hierarchical
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [0.70710678, 0.70710678, 0.0, 0.0]),
+        (6, [0.0, 0.0, 0.70710678, 0.70710678]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_hierarchical(emb, k_clusters=4, iters=1, threshold_l2sq=10).collect()
+    assert len(out) == 7
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[1].removed == 1 and by_id[1].dup_of == 0
+    assert by_id[0].removed == 0 and by_id[0].dup_of is None
+    for vid in (2, 3, 4, 5, 6):
+        assert by_id[vid].removed == 0
+    for r in out:
+        assert (r.removed == 1) == (r.dup_of is not None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cell == r.cell
+    rerun = {
+        (r.vec_id, r.cell, r.removed, r.dup_of)
+        for r in semdedup_hierarchical(
+            emb, k_clusters=4, iters=1, threshold_l2sq=10
+        ).collect()
+    }
+    assert rerun == {(r.vec_id, r.cell, r.removed, r.dup_of) for r in out}
+
+
+def test_semdedup_hierarchical_removes_all_but_min_at_huge_threshold(spark, sf_small):
+    """At a threshold larger than any possible distance, every leaf cell
+    keeps exactly its minimum id — the strongest whole-contract check
+    that survives the clusterer being different from flat k-means. Also
+    pins the leaf-id encoding (coarse*2^20 + fine stays within bigint
+    and decodes to a dense coarse id)."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import _LEAF_STRIDE, semdedup_hierarchical
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    out = semdedup_hierarchical(emb, k_clusters=9, iters=2, threshold_l2sq=10**18).collect()
+    assert len(out) == emb.count()
+    cells: dict[int, list] = {}
+    for r in out:
+        cells.setdefault(r.cell, []).append(r)
+    # ~k leaf cells (k1=3 coarse × up to 3 fine each), coarse ids dense
+    assert 1 <= len(cells) <= 9
+    for rows_ in cells.values():
+        keep = [r for r in rows_ if r.removed == 0]
+        min_id = min(r.vec_id for r in rows_)
+        assert [r.vec_id for r in keep] == [min_id]
+        for r in rows_:
+            if r.removed:
+                assert r.dup_of == min_id
+            assert 0 <= r.cell // _LEAF_STRIDE < 3 and 0 <= r.cell % _LEAF_STRIDE < 3
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     """A Bloom filter can false-positive but NEVER false-negative: every
     train doc containing an eval gram must be flagged. The clean doc's
