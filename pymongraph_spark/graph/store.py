@@ -686,9 +686,28 @@ def _fold_log(
     """
     version = _current_version(path)
     log = _log_dir(path)
-    # ordinal from the path: .../log/b<12 digits>/{vertices,edges}/part-*
+    # ordinal from the path: .../log/b<12 digits>/{vertices,edges}/part-*.
+    # Anchored to the END of the path (the delta dir immediately enclosing
+    # the vertices/edges leaf) — an unanchored /b(\d+)/ takes the LEFTMOST
+    # match, so a store path that itself contains a /b2/-style segment
+    # (e.g. /data/b2/store) would collapse every delta onto one ordinal
+    # and silently corrupt the last-writer-wins fold.
+    # no-match → "" → NULL after the cast; fail loud instead of letting a
+    # NULL ordinal sort arbitrarily through the fold comparator
+    _raw_ord = F.regexp_extract(
+        F.input_file_name(), r"/log/b(\d+)/(?:vertices|edges)/[^/]*$", 1
+    ).cast("bigint")
     delta_ord = (
-        F.regexp_extract(F.input_file_name(), r"/b(\d+)/", 1).cast("bigint") + 1
+        F.when(
+            _raw_ord.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("log delta file outside the /log/b<id>/ layout: "),
+                    F.input_file_name(),
+                )
+            ).cast("bigint"),
+        ).otherwise(_raw_ord)
+        + 1
     )
     frames_v, frames_e = [], []
     if version is not None and os.path.isdir(os.path.join(path, version)):
@@ -801,6 +820,13 @@ def _sweep_drained_deltas(path: str) -> None:
     reader mid-scan. Leaving them is safe: _committed_deltas skips
     everything at/below the watermark, and a replay of a compacted batch
     returns early on the watermark check before it could touch the dir.
+
+    The grace clock starts at RETIREMENT (first sweep that observes the
+    delta at/below the watermark stamps a _RETIRED marker), NOT at the
+    delta's commit mtime. A delta that sat pending longer than the grace
+    window (slow stream: 16 batches at >2 min/trigger exceeds the 1800 s
+    default) would otherwise be rmtree'd the very instant the watermark
+    advances — exactly the hazard this function exists to prevent.
     """
     log = _log_dir(path)
     if not os.path.isdir(log):
@@ -811,11 +837,18 @@ def _sweep_drained_deltas(path: str) -> None:
     for d in os.listdir(log):
         if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= wm:
             full = os.path.join(log, d)
+            marker = os.path.join(full, "_RETIRED")
             try:
-                drained_age = now - os.path.getmtime(full)
+                if not os.path.exists(marker):
+                    # first observation at/below the watermark: stamp the
+                    # retirement time (a delta's commit mtime may already
+                    # be older than the whole grace window)
+                    with open(marker, "w") as fh:
+                        fh.write(str(now))
+                retired_age = now - os.path.getmtime(marker)
             except OSError:
                 continue  # concurrent sweep won the race
-            if drained_age > grace:
+            if retired_age > grace:
                 shutil.rmtree(full, ignore_errors=True)
 
 

@@ -1133,6 +1133,14 @@ def semdedup_hierarchical(
 
     k1 = max(2, math.isqrt(max(k_clusters - 1, 0)) + 1)  # ceil(sqrt(k))
     k2 = max(1, -(-k_clusters // k1))  # ceil(k / k1)
+    if k2 >= _LEAF_STRIDE:
+        # validate ONCE at entry, fail-loud (the per-group assert below is
+        # stripped under python -O and fires only after the driver already
+        # chose an invalid k2 — leaf ids would alias across coarse cells)
+        raise ValueError(
+            f"fine cluster count k2={k2} >= 2^20 leaf stride; "
+            f"k_clusters={k_clusters} needs a larger _LEAF_STRIDE"
+        )
 
     qd = quantize_dims(emb, id_col, vec_col, GRID_SCALE)
     qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")

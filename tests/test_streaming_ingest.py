@@ -375,6 +375,51 @@ def test_log_mode_drained_deltas_get_gc_grace_window(spark, tmp_path, monkeypatc
     assert [d for d in os.listdir(os.path.join(logd, "log")) if d.startswith("b")] == []
 
 
+def test_log_mode_grace_clock_starts_at_retirement_not_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r9 ADVICE: a delta that sat PENDING longer than the grace window
+    (slow stream) must NOT be rmtree'd at the instant the watermark
+    advances — the grace clock starts when the sweep first observes the
+    delta at/below the watermark (a _RETIRED stamp), not at commit mtime."""
+    import os
+    import time
+
+    logd = str(tmp_path / "log")
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        store.merge_into_log(spark, logd, b, batch_id=i, compact_every=100)
+    # the deltas sat pending far longer than the grace window
+    log = os.path.join(logd, "log")
+    stale = time.time() - 3600
+    for d in os.listdir(log):
+        os.utime(os.path.join(log, d), (stale, stale))
+    lazy = store.load_log(spark, logd)  # lazy pre-compaction reader
+    monkeypatch.setenv("SPARKGRAPH_GC_GRACE_SECONDS", "300")
+    store.compact_log(spark, logd)
+    # commit-mtime aging would have deleted all three right here
+    on_disk = [d for d in os.listdir(log) if d.startswith("b")]
+    assert len(on_disk) == 3
+    assert _canon(lazy) == _canon(store.load(spark, logd))
+
+
+def test_log_fold_ordinal_immune_to_bN_segment_in_store_path(spark, tmp_path):
+    """r9 ADVICE: the delta ordinal is decoded from input_file_name();
+    an unanchored /b(\\d+)/ regex matches the LEFTMOST occurrence, so a
+    store path containing a b<digits> directory segment collapsed every
+    delta onto one ordinal and the $set fold resolved arbitrarily."""
+    logd = str(tmp_path / "b2" / "store")  # hostile path: /b2/ segment
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        store.merge_into_log(spark, logd, b, batch_id=i, compact_every=100)
+    g = store.load_log(spark, logd)
+    p = {r["id"]: dict(r["props"] or {}) for r in g.vertices.collect()}
+    # later batches must still win per key despite the /b2/ prefix
+    assert p[1] == {"a": "2", "x": "old", "y": "y2"}
+    w = {r["id"]: (r["props"] or {}).get("w") for r in g.edges.collect()}
+    assert w[10] == "first"
+
+
 def test_stream_import_log_mode_matches_full_mode(spark, tmp_path):
     inp = tmp_path / "in"
     _write_reports(inp, "batch1.jsonl", [REPORT_1])
