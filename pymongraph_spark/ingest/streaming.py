@@ -44,9 +44,21 @@ def stream_import(
     O(batch) per micro-batch, the long-running-stream mode; read the
     current state with store.load_log. Identical final semantics
     (test_streaming_ingest pins full == log on the same fixture).
+
+    ARRIVAL ORDER: the file source processes files in mtime order, and
+    batch order is what $set merge resolution follows — two reports
+    updating the same vertex resolve last-batch-wins. Files tied at
+    millisecond mtime granularity (any parallel writer) arrive in
+    ARBITRARY order, making that resolution nondeterministic; a tie in
+    ``input_dir`` warns loudly at start (streaming.staging
+    .warn_same_mtime). Backfills should be staged with
+    streaming.staging.stamp_monotone_mtimes / stage_time_sorted.
     """
     if merge_mode not in ("full", "log"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}; use 'full' or 'log'")
+    from pymongraph_spark.streaming.staging import warn_same_mtime
+
+    warn_same_mtime(input_dir, context="stream_import")
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 from pymongraph_spark.catalog import scratch_dir
+from pymongraph_spark.streaming.staging import _data_files, stamp_monotone_mtimes
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,9 +36,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UTC session timezone), µs TIMESTAMP passthrough."""
     from pyspark.sql import types as T
 
+    from pymongraph_spark.streaming.staging import warn_same_mtime
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(_stream_dir(sf_dir, "events"))
+    src = _stream_dir(sf_dir, "events")
+    # single staged file today, but every watermarked query downstream of
+    # this source depends on mtime-monotone arrival — detect ties loudly
+    # the moment the staging ever grows multi-file (SCALE.md round-9: a
+    # same-mtime tie late-dropped 81% of st86's pairs on the probe)
+    warn_same_mtime(src, context="_events_stream")
+    stream = spark.readStream.schema(raw_schema).parquet(src)
     ts_type = raw_schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -389,6 +398,17 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st86_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self interval join (±5 min same-user pairs).
+
+    ARRIVAL-ORDER HAZARD (SCALE.md round-9, SCALE_PROBE_st86.json): the
+    file source processes files in mtime order, and a same-mtime tie
+    makes that order arbitrary — on the probe's first run the watermark
+    jumped ahead and 81% of the pairs were late-dropped. The guard is
+    the staging layer: _events_stream detects ties loudly
+    (streaming.staging.warn_same_mtime), and historical event data must
+    be staged with streaming.staging.stage_time_sorted, which the
+    late-drop regression test exercises raw vs guarded.
+    """
     # ONE source instance passed to both sides: a stream self-join shares
     # the source's per-trigger offsets, so both sides always see the same
     # micro-batch. Two separate readStream instances are only equivalent
@@ -500,10 +520,19 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    staged: list[str] = []
     for wave in range(4):
         docs.filter(F.col("doc_id") % 4 == wave).coalesce(1).write.mode(
             "append"
         ).parquet(input_dir)
+        seen = set(staged)
+        staged.extend(sorted(p for p in _data_files(input_dir) if p not in seen))
+    # four sequential writes can tie at millisecond mtime granularity and
+    # the file source orders by mtime — the pair SET here is arrival-order
+    # independent by design, but wave processing order should still be
+    # deterministic (and the staging discipline is the product guarantee:
+    # see streaming/staging.py, SCALE.md round-9)
+    stamp_monotone_mtimes(input_dir, order=staged)
 
     schema = spark.read.parquet(input_dir).schema
     stream = (
