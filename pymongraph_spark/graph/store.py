@@ -585,11 +585,121 @@ def merge_into(
 # replay of an already-COMPACTED batch is skipped by the
 # _COMPACTED_THROUGH watermark (re-appending it would re-win stale props
 # over the newer batches the fold already applied).
+#
+# SINGLE-WRITER CONTRACT (enforced, r10): batch-id ordinals and the
+# compaction watermark assume ONE writer per store — two concurrent
+# writers could interleave batch ids, double-compact, or sweep each
+# other's pending deltas. merge_into_log and compact_log take a lease
+# file ({path}/log/_WRITER_LEASE, TTL SPARKGRAPH_LOG_LEASE_SECONDS,
+# default 600 s, renewed on every append): a second live writer gets a
+# loud ConcurrentLogWriterError instead of silent corruption. A lease
+# left by a dead process on the SAME host is detected by pid-liveness
+# and taken over immediately; a dead writer on ANOTHER host holds the
+# store only until its lease expires. The takeover rewrite is
+# tmp+os.replace (atomic on POSIX); the claim race between two writers
+# observing the same expired lease is the usual lease-file caveat —
+# milliseconds wide, and the loser errors on its next renewal.
 # --------------------------------------------------------------------------
 
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, "log")
+
+
+class ConcurrentLogWriterError(RuntimeError):
+    """A second writer tried to append to a log-mode store whose writer
+    lease is held live by someone else."""
+
+
+_WRITER_TOKENS: dict[str, str] = {}  # abspath(store) -> this process's token
+
+
+def _lease_ttl() -> float:
+    return float(os.environ.get("SPARKGRAPH_LOG_LEASE_SECONDS", "600"))
+
+
+def _write_lease(lease: str, token: str, expiry: float) -> None:
+    tmp = lease + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"{token}\n{expiry}\n")
+    os.replace(tmp, lease)
+
+
+def _pid_alive_here(token: str) -> bool:
+    """True iff the token was minted on THIS host by a pid that is still
+    running (unknown hosts conservatively count as alive)."""
+    import socket
+
+    parts = token.split(":", 2)
+    if len(parts) != 3 or parts[0] != socket.gethostname():
+        return True
+    try:
+        os.kill(int(parts[1]), 0)
+        return True
+    except (ProcessLookupError, ValueError):
+        return False
+    except PermissionError:
+        return True
+
+
+def _acquire_log_lease(path: str) -> None:
+    """Claim or renew the single-writer lease for a log-mode store; raise
+    ConcurrentLogWriterError if another live writer holds it."""
+    import socket
+    import uuid
+
+    key = os.path.abspath(path)
+    token = _WRITER_TOKENS.get(key)
+    if token is None:
+        token = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex}"
+    log = _log_dir(path)
+    os.makedirs(log, exist_ok=True)
+    lease = os.path.join(log, "_WRITER_LEASE")
+    now = time.time()
+    try:
+        fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{token}\n{now + _lease_ttl()}\n")
+        _WRITER_TOKENS[key] = token
+        return
+    except FileExistsError:
+        pass
+    try:
+        with open(lease) as fh:
+            cur_token = fh.readline().strip()
+            cur_expiry = float(fh.readline().strip() or "0")
+    except (OSError, ValueError):
+        cur_token, cur_expiry = "", 0.0
+    if cur_token == token:
+        _write_lease(lease, token, now + _lease_ttl())  # renew
+        return
+    if now <= cur_expiry and _pid_alive_here(cur_token):
+        raise ConcurrentLogWriterError(
+            f"log-mode store {path} is held by writer {cur_token!r} "
+            f"(lease live for {cur_expiry - now:.0f} more seconds); the LSM "
+            "batch-id/watermark protocol is single-writer — route all "
+            "micro-batches through one stream_import query, or release "
+            "with store.release_log_lease from the owning process"
+        )
+    # expired, or dead same-host pid: take over
+    _write_lease(lease, token, now + _lease_ttl())
+    _WRITER_TOKENS[key] = token
+
+
+def release_log_lease(path: str) -> None:
+    """Gracefully hand off a log-mode store (e.g. after stopping a
+    stream): drops the lease if THIS process owns it, else no-op."""
+    key = os.path.abspath(path)
+    token = _WRITER_TOKENS.pop(key, None)
+    if token is None:
+        return
+    lease = os.path.join(_log_dir(path), "_WRITER_LEASE")
+    try:
+        with open(lease) as fh:
+            if fh.readline().strip() == token:
+                os.unlink(lease)
+    except OSError:
+        pass
 
 
 # Pinned read schemas for delta dirs: an EMPTY batch frame can write a
@@ -647,7 +757,12 @@ def merge_into_log(
     ``batch_id`` must be the streaming engine's batch id (or any id that
     is stable across replays of the same batch) — that is what makes the
     append exactly-once-effective under foreachBatch's at-least-once.
+
+    Single-writer: takes/renews the store's writer lease; a second live
+    writer raises ConcurrentLogWriterError (see the module section
+    comment for the full contract).
     """
+    _acquire_log_lease(path)
     log = _log_dir(path)
     if batch_id <= _compacted_through(path):
         # already folded into the base by a compaction — a replay of a
@@ -864,7 +979,11 @@ def compact_log(spark: SparkSession, path: str) -> PropertyGraph | None:
     an immediate rmtree, so a lazily-evaluated pre-compaction load_log()
     fold can still finish its scan — the same concurrent-reader contract
     save() gives superseded full versions.
+
+    Takes/renews the single-writer lease (compaction advances the
+    watermark and sweeps deltas — writer-only actions).
     """
+    _acquire_log_lease(path)
     deltas = _committed_deltas(path)
     folded = _fold_log(spark, path, deltas)
     if folded is None or not deltas:

@@ -420,6 +420,53 @@ def test_log_fold_ordinal_immune_to_bN_segment_in_store_path(spark, tmp_path):
     assert w[10] == "first"
 
 
+def test_log_mode_single_writer_lease(spark, tmp_path):
+    """r9 VERDICT item 6: the LSM batch-id/watermark protocol is
+    single-writer — now an ENFORCED contract, not an implicit one. A
+    second live writer errors loudly; leases of dead same-host pids and
+    expired leases are taken over; release hands off gracefully."""
+    import os
+    import socket
+    import time as _time
+
+    logd = str(tmp_path / "log")
+    b1, b2, b3 = _batches(spark)
+    store.merge_into_log(spark, logd, b1, batch_id=0, compact_every=100)
+    lease = os.path.join(logd, "log", "_WRITER_LEASE")
+    assert os.path.exists(lease)
+
+    # a SECOND writer (fresh token) against a live foreign lease → loud error
+    key = os.path.abspath(logd)
+    own_token = store._WRITER_TOKENS.pop(key)
+    store._write_lease(lease, "otherhost:1:feedface", _time.time() + 600)
+    with pytest.raises(store.ConcurrentLogWriterError, match="single-writer"):
+        store.merge_into_log(spark, logd, b2, batch_id=1, compact_every=100)
+    with pytest.raises(store.ConcurrentLogWriterError):
+        store.compact_log(spark, logd)
+
+    # same-host DEAD pid → immediate takeover (no TTL wait)
+    dead = f"{socket.gethostname()}:999999999:deadbeef"
+    store._write_lease(lease, dead, _time.time() + 600)
+    store.merge_into_log(spark, logd, b2, batch_id=1, compact_every=100)
+    assert store._WRITER_TOKENS[key] != dead
+
+    # EXPIRED foreign lease → takeover
+    store._WRITER_TOKENS.pop(key)
+    store._write_lease(lease, "otherhost:1:feedface", _time.time() - 1)
+    store.merge_into_log(spark, logd, b3, batch_id=2, compact_every=100)
+
+    # the data survived every handoff with merge semantics intact
+    full = str(tmp_path / "allfull")
+    for b in (b1, b2, b3):
+        store.merge_into(spark, full, b)
+    assert _canon(store.load_log(spark, logd)) == _canon(store.load(spark, full))
+
+    # graceful release: lease gone, a fresh claim succeeds
+    store.release_log_lease(logd)
+    assert not os.path.exists(lease)
+    store.merge_into_log(spark, logd, b3, batch_id=3, compact_every=100)
+
+
 def test_stream_import_log_mode_matches_full_mode(spark, tmp_path):
     inp = tmp_path / "in"
     _write_reports(inp, "batch1.jsonl", [REPORT_1])
