@@ -1036,16 +1036,14 @@ def semdedup(
         grid_kmeans_cells_fast,
         grid_seeds,
         quantize_arr,
-        quantize_dims,
     )
 
-    qd = quantize_dims(emb, id_col, vec_col, GRID_SCALE)
     qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")
     seeds = grid_seeds(emb, k_clusters, id_col)
     # broadcast-matrix assignment: k must grow with the corpus here, and
     # the exploded-row grid_assign measured 23.7× for 10× data at scaled
     # k (SCALE_PROBE_corpus_sf1.json) — the fast path is bit-identical
-    cells, _ = grid_kmeans_cells_fast(qd, qa, seeds, iters)
+    cells, _ = grid_kmeans_cells_fast(qa, seeds, iters)
     arr = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="__q").join(
         cells, "vec_id"
     )
@@ -1128,7 +1126,6 @@ def semdedup_hierarchical(
         grid_kmeans_cells_fast,
         grid_seeds,
         quantize_arr,
-        quantize_dims,
     )
 
     k1 = max(2, math.isqrt(max(k_clusters - 1, 0)) + 1)  # ceil(sqrt(k))
@@ -1142,9 +1139,8 @@ def semdedup_hierarchical(
             f"k_clusters={k_clusters} needs a larger _LEAF_STRIDE"
         )
 
-    qd = quantize_dims(emb, id_col, vec_col, GRID_SCALE)
     qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")
-    coarse, _ = grid_kmeans_cells_fast(qd, qa, grid_seeds(emb, k1, id_col), iters)
+    coarse, _ = grid_kmeans_cells_fast(qa, grid_seeds(emb, k1, id_col), iters)
     grouped = qa.join(coarse, "vec_id")
 
     def refine(pdf):

@@ -943,14 +943,12 @@ def ivf_kmeans_topk_exact(
     iteration count), single-cell probe, exact integer-L2 re-rank.
     Returns (query_id, neighbor_id, l2sq, rank) — every value a BIGINT
     or INT, bit-identical across engines."""
-    cd = quantize_dims(corpus, id_col, vec_col, scale)
-    qd = quantize_dims(queries, id_col, vec_col, scale)
     seeds = grid_seeds(corpus, k_clusters, id_col)
     # broadcast-matrix Lloyd's + assignment (bit-identical to the
     # exploded-row grid path, equivalence-tested) — the n·dim·k
     # exchange is the piece that stops scaling once n or k grows
     carr = quantize_arr(corpus, id_col, vec_col, scale, out="qarr")
-    corpus_cells, cent = grid_kmeans_cells_fast(cd, carr, seeds, iters)
+    corpus_cells, cent = grid_kmeans_cells_fast(carr, seeds, iters)
     query_cells = grid_assign_whole_fast(
         quantize_arr(queries, id_col, vec_col, scale, out="qarr"), cent
     ).select(F.col("vec_id").alias("query_id"), "cell")
@@ -1051,8 +1049,15 @@ def grid_assign_whole_fast(qarr: DataFrame, cent: DataFrame) -> DataFrame:
     qarr: (vec_id, qarr array<long>) from quantize_arr(out="qarr").
     cent: (cell, dim, cv) — the grid_kmeans_codebook output shape.
     """
+    cells_arr, cmat = _centroid_matrix(cent)
+    return _assign_from_matrix(qarr, cells_arr, cmat)
+
+
+def _centroid_matrix(cent: DataFrame):
+    """Collect a (cell, dim, cv) centroid table into driver metadata:
+    (cells ascending int64[k], k×dim int64 matrix). The collect is
+    bounded by k×dim — what MLlib's KMeans broadcasts every iteration."""
     import numpy as np
-    import pandas as pd
 
     rows = (
         cent.groupBy("cell")
@@ -1063,34 +1068,62 @@ def grid_assign_whole_fast(qarr: DataFrame, cent: DataFrame) -> DataFrame:
     )
     cells_arr = np.array([r.cell for r in rows], dtype=np.int64)
     cmat = np.array([r.vec for r in rows], dtype=np.int64)  # k×dim
+    return cells_arr, cmat
+
+
+def _argmin_kernel(cmat):
+    """Positional nearest-centroid argmin over a driver-side k×dim int64
+    matrix; returns fn(q: b×dim int64) -> positions into cmat's rows.
+
+    BLAS tier: numpy's int64 matmul has NO BLAS kernel (generic loops);
+    at production k∝n it became the dominant super-linear term (d58
+    scaled-k measured 4.8× for 3× at sf9, SCALE_PROBE_third_decade).
+    float64 dgemm computes the SAME integers bit-exactly as long as
+    every intermediate stays below 2^53: terms are bounded by
+    dim·M² (M = max |component| over batch and centroids), and
+    d = q·q + c·c − 2·q·c combines three such terms, so the guard is
+    4·dim·M² < 2^53. Integer-valued float64 sums are exact regardless
+    of accumulation order, so blocked/FMA dgemm cannot change argmin.
+    Batches that exceed the bound fall back to the int64 loops.
+
+    numpy argmin returns the FIRST minimum and centroid rows are sorted
+    by cell id, so ties break to the smallest cell — bit-identical to
+    grid_assign's min_by struct("d","cell")."""
+    import numpy as np
+
     c_sq = (cmat * cmat).sum(axis=1)  # k
-    # BLAS tier: numpy's int64 matmul has NO BLAS kernel (generic loops);
-    # at production k∝n it became the dominant super-linear term (d58
-    # scaled-k measured 4.8× for 3× at sf9, SCALE_PROBE_third_decade).
-    # float64 dgemm computes the SAME integers bit-exactly as long as
-    # every intermediate stays below 2^53: terms are bounded by
-    # dim·M² (M = max |component| over batch and centroids), and
-    # d = q·q + c·c − 2·q·c combines three such terms, so the guard is
-    # 4·dim·M² < 2^53. Integer-valued float64 sums are exact regardless
-    # of accumulation order, so blocked/FMA dgemm cannot change argmin.
-    # Batches that exceed the bound fall back to the int64 loops.
     c_f = cmat.astype(np.float64)
     c_sqf = c_sq.astype(np.float64)
     m_c = int(np.abs(cmat).max()) if cmat.size else 0
+
+    def pos(q):
+        m = max(int(np.abs(q).max()) if q.size else 0, m_c)
+        if 4 * q.shape[1] * m * m < 2**53:
+            qf = q.astype(np.float64)
+            d = (qf * qf).sum(axis=1)[:, None] + c_sqf[None, :] - 2.0 * (qf @ c_f.T)
+        else:  # pragma: no cover — beyond any GRID_SCALE geometry
+            d = (q * q).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (q @ cmat.T)
+        return d.argmin(axis=1)
+
+    return pos
+
+
+def _assign_from_matrix(qarr: DataFrame, cells_arr, cmat) -> DataFrame:
+    """(vec_id, cell) nearest-centroid assignment: n rows stay n rows,
+    zero shuffle, zero row-at-a-time Python (Arrow-batched mapInPandas
+    closing over the k×dim driver matrix)."""
+    import numpy as np
+    import pandas as pd
+
+    pos_fn = _argmin_kernel(cmat)
 
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)  # b×dim
-            m = max(int(np.abs(q).max()) if q.size else 0, m_c)
-            if 4 * q.shape[1] * m * m < 2**53:
-                qf = q.astype(np.float64)
-                d = (qf * qf).sum(axis=1)[:, None] + c_sqf[None, :] - 2.0 * (qf @ c_f.T)
-            else:  # pragma: no cover — beyond any GRID_SCALE geometry
-                d = (q * q).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (q @ cmat.T)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": cells_arr[d.argmin(axis=1)]}
+                {"vec_id": pdf["vec_id"], "cell": cells_arr[pos_fn(q)]}
             )
 
     return qarr.select("vec_id", "qarr").mapInPandas(
@@ -1099,28 +1132,111 @@ def grid_assign_whole_fast(qarr: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def grid_kmeans_cells_fast(
-    qdims: DataFrame, qarr: DataFrame, seeds: DataFrame, iters: int
+    qarr: DataFrame, seeds: DataFrame, iters: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Whole-vector Lloyd's with the broadcast-matrix assignment: per
-    iteration, assignment is grid_assign_whole_fast (map-only) and the
-    mean update is the same n·dim partial agg as grid_kmeans_codebook.
-    Semantically identical to grid_kmeans_codebook(…, _WHOLE_VEC) +
-    grid_assign — pinned by test_grid_fast_assignment_matches_slow.
-    Returns (final cells (vec_id, cell), final centroid table)."""
-    cent = (
-        seeds.join(qdims, "vec_id")
-        .select("cell", "dim", F.col("qv").alias("cv"))
-        .localCheckpoint(eager=True)
+    """Whole-vector Lloyd's with driver-resident centroids — the MLlib
+    KMeans execution shape. Per iteration ONE distributed pass fuses
+    assignment with the mean-update's partial aggregation: each task
+    argmin-assigns its Arrow batches against the broadcast k×dim matrix
+    and emits per-partition (cell, dim, sum, count) partials (≤ k·dim
+    rows per partition — never n·dim), which one tiny shuffle + collect
+    reduces to the next centroid matrix on the driver.
+
+    Replaced shape (measured r10: 2.6-3.0 s of d58's 3.0 s at sf0.1 was
+    THIS loop): per iteration an assignment job, an n·dim join+groupBy
+    shuffle, an eager localCheckpoint, and a separate k×dim re-collect —
+    ~6 jobs/iteration of fixed overhead at small scale AND an n·dim
+    shuffle at large scale. Now: 1 job per iteration, shuffle bounded by
+    k·dim·partitions.
+
+    Bit-identical semantics (pinned by test_grid_fast_assignment_*):
+    int64 partial sums are exact and order-free; the mean update is the
+    same truncated-toward-zero integer division as SQL's `sum(qv) div
+    count(1)`; empty cells drop; ties argmin-break to the smallest cell.
+    Returns (final cells (vec_id, cell), final centroid table (cell,
+    dim, cv) — rebuilt from the driver matrix, k×dim rows)."""
+    import numpy as np
+    import pandas as pd
+
+    # seed matrix straight from the array form: k rows through a
+    # broadcast join — joining via qdims would drag the n·dim explode
+    # into the plan just to read back k vectors (measured 1.4 s of d58's
+    # sf0.1 budget; values are identical, qarr IS qdims in dim order).
+    # seeds is k rows but derived through a window+limit, so force the
+    # broadcast — a stats misestimate here would shuffle the whole corpus
+    # by vec_id just to fetch k seed vectors
+    seed_rows = (
+        qarr.select("vec_id", "qarr")
+        .join(F.broadcast(seeds), "vec_id")
+        .select("cell", "qarr")
+        .orderBy("cell")
+        .collect()
     )
+    cells_arr = np.array([r.cell for r in seed_rows], dtype=np.int64)
+    cmat = np.array([r.qarr for r in seed_rows], dtype=np.int64)
+    spark = qarr.sparkSession
     for _ in range(iters):
-        best = grid_assign_whole_fast(qarr, cent)
-        cent = (
-            best.join(qdims, "vec_id")
-            .groupBy("cell", "dim")
-            .agg(F.expr("sum(qv) div count(1)").alias("cv"))
-            .localCheckpoint(eager=True)
+        k, dim = cmat.shape
+        pos_fn = _argmin_kernel(cmat)
+
+        def partials(batches, _k=k, _dim=dim, _pos=pos_fn):
+            import numpy as _np
+            import pandas as _pd
+
+            sums = _np.zeros((_k, _dim), dtype=_np.int64)
+            counts = _np.zeros(_k, dtype=_np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                q = _np.stack(pdf["qarr"].to_numpy()).astype(_np.int64)
+                p = _pos(q)
+                _np.add.at(sums, p, q)
+                counts += _np.bincount(p, minlength=_k)
+            if not seen:
+                return
+            nz = _np.nonzero(counts)[0]
+            yield _pd.DataFrame(
+                {
+                    "pos": _np.repeat(nz, _dim),
+                    "dim": _np.tile(_np.arange(_dim, dtype=_np.int64), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "c": _np.repeat(counts[nz], _dim),
+                }
+            )
+
+        tot = (
+            qarr.select("qarr")
+            .mapInPandas(partials, schema="pos int, dim int, s bigint, c bigint")
+            .groupBy("pos", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
         )
-    return grid_assign_whole_fast(qarr, cent), cent
+        s_arr = np.zeros((k, dim), dtype=np.int64)
+        c_arr = np.zeros(k, dtype=np.int64)
+        for r in tot:
+            s_arr[r.pos, r.dim] = r.s
+            c_arr[r.pos] = r.c
+        nz = c_arr > 0  # empty cells drop, like the groupBy they replace
+        s, c = s_arr[nz], c_arr[nz][:, None]
+        # truncated (toward-zero) integer division == SQL `div`,
+        # sign-adjusted for numpy's floor semantics
+        cmat = np.sign(s) * (np.abs(s) // c)
+        cells_arr = cells_arr[nz]
+    cent = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": np.repeat(cells_arr, cmat.shape[1]),
+                "dim": np.tile(
+                    np.arange(cmat.shape[1], dtype=np.int64), len(cells_arr)
+                ),
+                "cv": cmat.ravel(),
+            }
+        ),
+        schema="cell bigint, dim int, cv bigint",
+    )
+    return _assign_from_matrix(qarr, cells_arr, cmat), cent
 
 
 def grid_assign_subspaces_fast(

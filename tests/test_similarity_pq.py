@@ -208,7 +208,7 @@ def test_grid_fast_assignment_matches_slow(spark, sf_small):
         (r.vec_id, r.cell)
         for r in grid_assign(qd, cent_slow, _WHOLE_VEC).select("vec_id", "cell").collect()
     }
-    cells_fast, cent_fast = grid_kmeans_cells_fast(qd, qa, seeds, 2)
+    cells_fast, cent_fast = grid_kmeans_cells_fast(qa, seeds, 2)
     fast = {(r.vec_id, r.cell) for r in cells_fast.collect()}
     assert fast == slow
     assert {(r.cell, r.dim, r.cv) for r in cent_fast.collect()} == {
@@ -244,7 +244,7 @@ def test_grid_fast_assignment_matches_slow_high_k(spark, sf_small):
         .select("vec_id", "cell")
         .collect()
     }
-    cells_fast, _ = grid_kmeans_cells_fast(qd, qa, seeds, 1)
+    cells_fast, _ = grid_kmeans_cells_fast(qa, seeds, 1)
     assert {(r.vec_id, r.cell) for r in cells_fast.collect()} == slow
 
 
