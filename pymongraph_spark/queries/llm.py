@@ -4754,3 +4754,73 @@ def t100_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stops.cast("int").alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_stops).cast("int").alias("pass_all"),
     )
+
+
+# --------------------------------------------------------------------------
+# t102: BPE merge LEARNING (Sennrich et al. 2016, Algorithm 1) — the one
+# LLM-pipeline staple the engine lacked (VERDICT r9 item 4): learn the
+# top-N merges by iterative pair counting over the word-frequency
+# vocabulary. Oracle is the d62/g48/s57 recipe: a deterministic loop with
+# a fixed iteration count unrolls into chained CTEs, each iteration =
+# (pair counts, top-1 by (cnt DESC, pair ASC), leftmost-non-overlapping
+# replace, token recount). Both engines express "apply one merge" as the
+# same string replace on a '<sym><sym>…' encoding, so greedy left-to-
+# right application semantics are pinned engine-neutrally.
+# --------------------------------------------------------------------------
+_T102_MERGES = 12
+
+
+def _t102_oracle(n_merges: int = _T102_MERGES) -> str:
+    ctes = [
+        """w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS enc,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))
+              AS word FROM documents)
+      GROUP BY 1
+    )"""
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   unnest([{{'l': s[i], 'r': s[i+1]}}
+                           for i in range(1, len(s))]) AS p
+            FROM (SELECT freq,
+                         string_split(substr(enc, 2, length(enc) - 2), '><') AS s
+                  FROM w{i - 1}))
+      GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT replace(enc,
+                     '<' || (SELECT l FROM b{i}) || '><' || (SELECT r FROM b{i}) || '>',
+                     '<' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '>') AS enc,
+             freq
+      FROM w{i - 1}
+    ),
+    t{i} AS (
+      SELECT CAST(sum(freq * len(string_split(substr(enc, 2, length(enc) - 2), '><')))
+               AS BIGINT) AS toks
+      FROM w{i}
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({i} AS INTEGER) AS step,
+           (SELECT l FROM b{i}) AS left_sym,
+           (SELECT r FROM b{i}) AS right_sym,
+           (SELECT l FROM b{i}) || (SELECT r FROM b{i}) AS merged,
+           (SELECT cnt FROM b{i}) AS pair_count,
+           (SELECT toks FROM t{i}) AS corpus_tokens_after"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("t102_bpe_learn_merges", oracle=_t102_oracle())
+def t102_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.text import bpe_learn_merges
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_learn_merges(docs, n_merges=_T102_MERGES)

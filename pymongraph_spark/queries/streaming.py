@@ -687,3 +687,144 @@ def st90_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return shard_manifest_from_disk(spark, shards_dir)
+
+
+# --------------------------------------------------------------------------
+# st91: streaming EMBEDDING near-dup screening (VERDICT r9 item 7) — the
+# embedding-tier analogue of st88's MinHash index. Vectors arrive in
+# micro-batches (vec_id % 4 is the ingest wave, staged mtime-monotone so
+# wave order is deterministic); each foreachBatch (a) assigns the arriving
+# batch to its coarse cell with the PRETRAINED codebook — the broadcast
+# k×dim matrix argmin, map-only, the production artifact a streaming
+# dedup probes against — (b) equi-joins the batch against the STANDING
+# index on cell and keeps exact integer-L2² pairs under the d58
+# threshold, (c) appends the batch to the index. Per-trigger cost is
+# O(batch × same-cell index rows), never corpus²; every cross-wave pair
+# is emitted exactly when its later wave arrives, so the final pair set
+# equals the batch ground truth — which is what makes it oracle-checkable
+# (the d58 unrolled-CTE kmeans + a cross-wave same-cell pair join).
+# at-least-once replays are absorbed by the read-back distinct().
+# --------------------------------------------------------------------------
+_ST91_T = 1_300_000_000_000
+
+
+def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        _assign_from_matrix,
+        _centroid_matrix,
+        _l2sq_arr,
+        grid_kmeans_cells_fast,
+        grid_seeds,
+        quantize_arr,
+    )
+
+    base = scratch_dir("st91_embneardup", sf_dir)
+    input_dir = os.path.join(base, "in")
+    index_dir = os.path.join(base, "index")
+    pairs_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    # offline codebook: the exact-grid Lloyd's d58 uses (k=16, 2 rounds),
+    # trained once on the standing corpus; the stream only ever does
+    # map-only assignment against its k×dim matrix
+    qa = quantize_arr(emb, "vec_id", "embedding", GRID_SCALE, out="qarr")
+    _, cent = grid_kmeans_cells_fast(qa, grid_seeds(emb, 16, "vec_id"), 2)
+    cells_arr, cmat = _centroid_matrix(cent)
+
+    staged: list[str] = []
+    for wave in range(4):
+        emb.filter(F.col("vec_id") % 4 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        seen = set(staged)
+        staged.extend(sorted(p for p in _data_files(input_dir) if p not in seen))
+    stamp_monotone_mtimes(input_dir, order=staged)
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        qb = quantize_arr(batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr")
+        probe = (
+            qb.join(_assign_from_matrix(qb, cells_arr, cmat), "vec_id")
+            .select("vec_id", "qarr", "cell")
+            .localCheckpoint(eager=True)  # reused twice below
+        )
+        if os.path.isdir(index_dir):
+            pairs = (
+                probe.select(
+                    F.col("vec_id").alias("vec_id_new"),
+                    F.col("qarr").alias("__qn"),
+                    "cell",
+                )
+                .join(
+                    spark.read.parquet(index_dir).select(
+                        F.col("vec_id").alias("vec_id_corpus"),
+                        F.col("qarr").alias("__qc"),
+                        "cell",
+                    ),
+                    "cell",
+                )
+                .select(
+                    "vec_id_new",
+                    "vec_id_corpus",
+                    _l2sq_arr(F.col("__qn"), F.col("__qc")).alias("l2sq"),
+                )
+                .filter(F.col("l2sq") <= F.lit(_ST91_T))
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+        probe.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame(
+            [], "vec_id_new bigint, vec_id_corpus bigint, l2sq bigint"
+        )
+    return spark.read.parquet(pairs_dir).distinct()
+
+
+def _st91_oracle() -> str:
+    """DuckDB replay: the d58 exact-grid kmeans prefix (same codebook the
+    stream pretrains) + cross-wave same-cell pairs under the integer-L2²
+    threshold. Waves are vec_id % 4 and the stream probes only EARLIER
+    waves (mtime-monotone staging makes wave order deterministic), so
+    orientation is wave(new) > wave(corpus)."""
+    from pymongraph_spark.queries.llm import _GRID_SCALE, _WHOLE_VEC, _grid_cells_cte
+
+    return f"""
+    {_grid_cells_cte(16, 2, _WHOLE_VEC, _GRID_SCALE)}
+    , pairs AS (
+      SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus
+      FROM bf a JOIN bf b ON a.cell = b.cell AND a.sub = b.sub
+      WHERE a.vec_id % 4 > b.vec_id % 4
+    ), pd AS (
+      SELECT p.vec_id_new, p.vec_id_corpus,
+             CAST(SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) AS BIGINT) AS l2sq
+      FROM pairs p
+      JOIN q q1 ON q1.vec_id = p.vec_id_new
+      JOIN q q2 ON q2.vec_id = p.vec_id_corpus AND q2.dim = q1.dim
+      GROUP BY p.vec_id_new, p.vec_id_corpus
+    )
+    SELECT vec_id_new, vec_id_corpus, l2sq FROM pd WHERE l2sq <= {_ST91_T}
+    """
+
+
+query("st91_streaming_embedding_neardup", oracle=_st91_oracle())(
+    st91_streaming_embedding_neardup
+)

@@ -289,3 +289,74 @@ def test_perplexity_buckets_scalable_agrees(spark, sf_small):
             assert min(buckets["head"]) >= max(buckets["middle"]), lang
         if "middle" in buckets and "tail" in buckets:
             assert min(buckets["middle"]) >= max(buckets["tail"]), lang
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (t102): pinned against a pure-Python transliteration
+# of Sennrich et al. 2016 Algorithm 1 — positional pair counts, greedy
+# left-to-right non-overlapping application, (count DESC, pair ASC)
+# deterministic tie-break.
+# --------------------------------------------------------------------------
+
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        def apply(syms):
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            return tuple(res)
+
+        vocab = {apply(s): f for s, f in vocab.items()}
+        toks = sum(f * len(s) for s, f in vocab.items())
+        out.append((step, a, b, a + b, cnt, toks))
+    return out
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from collections import Counter
+    import re
+
+    from pymongraph_spark.functions.text import bpe_learn_merges
+
+    docs = [
+        "the cat sat on the mat, the cat ate",
+        "lower lowest low low lower newer newest new",
+        "aaa aaa aa baaa",  # overlap counting + greedy application
+        "The THE the 42 424 2",
+        "",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id: long, text: string")
+    words = Counter(w for d in docs for w in re.findall(r"[a-z0-9]+", d.lower()))
+    want = _bpe_reference(dict(words), 8)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count, r.corpus_tokens_after)
+        for r in bpe_learn_merges(df, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_learn_merges_exhausted_vocab_stops_early(spark):
+    from pymongraph_spark.functions.text import bpe_learn_merges
+
+    df = spark.createDataFrame([(0, "ab ab ab")], "doc_id: long, text: string")
+    rows = bpe_learn_merges(df, n_merges=5).orderBy("step").collect()
+    # one merge (a,b) -> 'ab', then the single-symbol vocab has no pairs
+    assert len(rows) == 1
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].merged) == ("a", "b", "ab")
+    assert rows[0].pair_count == 3 and rows[0].corpus_tokens_after == 3
