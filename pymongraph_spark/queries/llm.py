@@ -4770,7 +4770,10 @@ def t100_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T102_MERGES = 12
 
 
-def _t102_oracle(n_merges: int = _T102_MERGES) -> str:
+def _t102_parts(n_merges: int = _T102_MERGES) -> tuple[list[str], list[str]]:
+    """CTE chain (w0, then per merge p/b/w/t) + per-merge SELECTs, shared
+    by the t102 trainer oracle and the t103 encoder oracle (which reuses
+    the b{i} winners to replay the same replace chain over documents)."""
     ctes = [
         """w0 AS MATERIALIZED (
       SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS enc,
@@ -4815,6 +4818,11 @@ def _t102_oracle(n_merges: int = _T102_MERGES) -> str:
            (SELECT cnt FROM b{i}) AS pair_count,
            (SELECT toks FROM t{i}) AS corpus_tokens_after"""
         )
+    return ctes, selects
+
+
+def _t102_oracle(n_merges: int = _T102_MERGES) -> str:
+    ctes, selects = _t102_parts(n_merges)
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
 
 
@@ -4824,3 +4832,79 @@ def t102_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return bpe_learn_merges(docs, n_merges=_T102_MERGES)
+
+
+# --------------------------------------------------------------------------
+# t103: BPE ENCODING with the learned merges — the apply half of the
+# tokenizer stack (t102 learns, t103 tokenizes). Per document: extract
+# words, bracket-encode, apply the 12 learned merges as a CHAIN OF
+# NESTED string replaces (pure whole-stage-codegen expression — the
+# merge table is a plan constant exactly like a production tokenizer's
+# frozen vocab), count symbols. One explode + one partial-agg groupBy
+# over the corpus; nothing per-merge touches the data a second time.
+# Oracle: the t102 CTE chain recomputes the same winners b1..b12, then
+# replays the identical nested-replace chain with scalar subqueries.
+# --------------------------------------------------------------------------
+def _t103_oracle(n_merges: int = _T102_MERGES) -> str:
+    ctes, _ = _t102_parts(n_merges)
+    rep = "enc0"
+    for i in range(1, n_merges + 1):
+        rep = (
+            f"replace({rep}, "
+            f"'<' || (SELECT l FROM b{i}) || '><' || (SELECT r FROM b{i}) || '>', "
+            f"'<' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '>')"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS word
+      FROM documents
+    ),
+    encd AS (
+      SELECT doc_id, word, {rep} AS enc
+      FROM (SELECT doc_id, word,
+                   regexp_replace(word, '(.)', '<\\1>', 'g') AS enc0
+            FROM docw)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(substr(enc, 2, length(enc) - 2), '><')))
+             AS BIGINT) AS n_bpe_tokens
+    FROM encd GROUP BY doc_id"""
+    )
+
+
+@query("t103_bpe_encode_lengths", oracle=_t103_oracle())
+def t103_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.text import bpe_learn_merges
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = bpe_learn_merges(docs, n_merges=_T102_MERGES).orderBy("step").collect()
+    rep = "regexp_replace(word, '(.)', '<$1>')"
+    for m in merges:
+        # learned symbols are [a-z0-9]+ concatenations — safe to inline
+        rep = f"replace({rep}, '<{m.left_sym}><{m.right_sym}>', '<{m.merged}>')"
+    syms = f"split(substring({rep}, 2, length({rep}) - 2), '><')"
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '([a-z0-9]+)', 1)")
+            ).alias("word"),
+        )
+        .select(
+            "doc_id",
+            F.length("word").alias("__wlen"),
+            F.size(F.expr(syms)).alias("__ntok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__wlen").cast("bigint").alias("n_chars"),
+            F.sum("__ntok").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -704,6 +704,11 @@ def st90_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equals the batch ground truth — which is what makes it oracle-checkable
 # (the d58 unrolled-CTE kmeans + a cross-wave same-cell pair join).
 # at-least-once replays are absorbed by the read-back distinct().
+# SCALE: the pretrained codebook's k must scale with the expected corpus
+# so cell occupancy stays bounded (the d58→d62 lesson; at fixed k the
+# per-trigger candidate count grows linearly with the standing index —
+# measured 11.9× for 10× corpus at fixed k=16, SCALE_PROBE_st91.json);
+# the gate config k=16 over 2k vectors is the bounded-occupancy regime.
 # --------------------------------------------------------------------------
 _ST91_T = 1_300_000_000_000
 
