@@ -1172,9 +1172,17 @@ def grid_kmeans_cells_fast(
         .orderBy("cell")
         .collect()
     )
+    spark = qarr.sparkSession
+    if not seed_rows:
+        # empty corpus: no seeds, no cells — empty frames with the
+        # contract schemas (a 1-D empty np.array would crash the k×dim
+        # unpack below)
+        return (
+            spark.createDataFrame([], "vec_id bigint, cell bigint"),
+            spark.createDataFrame([], "cell bigint, dim int, cv bigint"),
+        )
     cells_arr = np.array([r.cell for r in seed_rows], dtype=np.int64)
     cmat = np.array([r.qarr for r in seed_rows], dtype=np.int64)
-    spark = qarr.sparkSession
     for _ in range(iters):
         k, dim = cmat.shape
         pos_fn = _argmin_kernel(cmat)

@@ -179,3 +179,34 @@ def test_log_merge_equals_sequential_full_merge(spark, tmp_path_factory, batches
         return vs, es
 
     assert canon(store.load_log(spark, logd)) == canon(store.load(spark, full))
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (t102): random small corpora vs the pure-Python
+# Sennrich Algorithm-1 reference — pair counting is positional, application
+# greedy left-to-right, tie-break (count DESC, pair ASC), early stop when
+# the vocabulary is fully merged.
+# --------------------------------------------------------------------------
+words_strategy = st.lists(
+    st.text(alphabet="ab1", min_size=1, max_size=5), min_size=0, max_size=12
+)
+
+
+@settings(**few)
+@given(words=words_strategy, n_merges=st.integers(1, 5))
+def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
+    from collections import Counter
+
+    from pymongraph_spark.functions.text import bpe_learn_merges
+    from tests.test_text_functions import _bpe_reference
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id: long, text: string"
+    )
+    want = _bpe_reference(dict(Counter(words)), n_merges)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count,
+         r.corpus_tokens_after)
+        for r in bpe_learn_merges(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+    assert got == want

@@ -321,3 +321,17 @@ def test_grid_subspace_fast_matches_slow(spark, sf_small):
         for r in grid_assign_subspaces_fast(qa, cb_slow, subdims).collect()
     }
     assert fast == slow
+
+
+def test_grid_kmeans_fast_empty_and_single_corpus(spark):
+    """r10 refactor edge case: an empty corpus must yield empty frames
+    with the contract schemas (a 1-D empty numpy matrix crashed the
+    k×dim unpack), and a single vector is its own kept cell."""
+    from pymongraph_spark.operators.dedup import semdedup, semdedup_hierarchical
+
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    assert semdedup(empty).count() == 0
+    assert semdedup_hierarchical(empty).count() == 0
+    one = spark.createDataFrame([(7, [1.0] * 8)], "vec_id: long, embedding: array<float>")
+    rows = semdedup(one).collect()
+    assert len(rows) == 1 and rows[0].removed == 0 and rows[0].dup_of is None
