@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymongraph_spark.graph.model import EDGE_FIELDS, VERTEX_FIELDS, PropertyGraph
+from pymongraph_spark.session import run_concurrently
 
 
 def _current_version(path: str) -> str | None:
@@ -76,10 +77,14 @@ def save(g: PropertyGraph, path: str, keep_versions: int = 2) -> str:
     while os.path.isdir(os.path.join(path, version)):  # same-ms save
         version = f"v{int(version[1:]) + 1}"
     vdir = os.path.join(path, version)
-    g.vertices.select(VERTEX_FIELDS).write.partitionBy("label").parquet(
-        os.path.join(vdir, "vertices")
+    run_concurrently(
+        lambda: g.vertices.select(VERTEX_FIELDS)
+        .write.partitionBy("label")
+        .parquet(os.path.join(vdir, "vertices")),
+        lambda: g.edges.select(EDGE_FIELDS).write.parquet(
+            os.path.join(vdir, "edges")
+        ),
     )
-    g.edges.select(EDGE_FIELDS).write.parquet(os.path.join(vdir, "edges"))
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "_CURRENT.tmp")
     with open(tmp, "w") as fh:
@@ -555,8 +560,10 @@ def merge_into(
     # Materialize BEFORE the pointer swap (lazy plans must not read the
     # version dir we are about to replace).
     merged = PropertyGraph(
-        merged.vertices.localCheckpoint(eager=True),
-        merged.edges.localCheckpoint(eager=True),
+        *run_concurrently(
+            lambda: merged.vertices.localCheckpoint(eager=True),
+            lambda: merged.edges.localCheckpoint(eager=True),
+        )
     )
     save(merged, path)
     return merged
@@ -773,8 +780,14 @@ def merge_into_log(
     if not os.path.exists(os.path.join(bdir, "_COMMITTED")):
         # torn previous attempt (dir without marker) → rewrite it
         shutil.rmtree(bdir, ignore_errors=True)
-        new.vertices.select(VERTEX_FIELDS).write.parquet(os.path.join(bdir, "vertices"))
-        new.edges.select(EDGE_FIELDS).write.parquet(os.path.join(bdir, "edges"))
+        run_concurrently(
+            lambda: new.vertices.select(VERTEX_FIELDS).write.parquet(
+                os.path.join(bdir, "vertices")
+            ),
+            lambda: new.edges.select(EDGE_FIELDS).write.parquet(
+                os.path.join(bdir, "edges")
+            ),
+        )
         with open(os.path.join(bdir, "_COMMITTED"), "w") as fh:
             fh.write("ok")
     if len(_committed_deltas(path)) >= compact_every:
@@ -989,8 +1002,10 @@ def compact_log(spark: SparkSession, path: str) -> PropertyGraph | None:
     if folded is None or not deltas:
         return folded
     folded = PropertyGraph(
-        folded.vertices.localCheckpoint(eager=True),
-        folded.edges.localCheckpoint(eager=True),
+        *run_concurrently(
+            lambda: folded.vertices.localCheckpoint(eager=True),
+            lambda: folded.edges.localCheckpoint(eager=True),
+        )
     )
     save(folded, path)
     # advance the watermark BEFORE dropping the deltas: a crash between

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymongraph_spark.graph.model import PropertyGraph, edge_id, vertex_id
+from pymongraph_spark.session import run_concurrently
 
 # graph_importer.py:11-23 — relation fields not copied as plain properties.
 NOT_BROWSE_FIELDS = [
@@ -376,8 +377,12 @@ def build_graph_tables(staging: DataFrame) -> PropertyGraph:
         )
     )
     try:
-        vertices = vertices.localCheckpoint(eager=True)
-        edges = edges.localCheckpoint(eager=True)
+        # independent DAGs — materialize the pair concurrently (both read
+        # the persisted staging blocks; see session.run_concurrently)
+        vertices, edges = run_concurrently(
+            lambda: vertices.localCheckpoint(eager=True),
+            lambda: edges.localCheckpoint(eager=True),
+        )
     finally:
         staging.unpersist()
     return PropertyGraph(vertices, edges)

@@ -349,6 +349,12 @@ def st87_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(
         os.path.join(input_dir, a_part), os.path.join(input_dir, "replay-dup.txt")
     )
+    # the parallel write stamps the part files the same mtime; this
+    # fixture's reports carry no conflicting cross-file updates (the
+    # merge converges under any order — that's the point of the test),
+    # but batch order should still be deterministic, and the staging
+    # discipline is the product guarantee (streaming/staging.py)
+    stamp_monotone_mtimes(input_dir)
 
     q = stream_import(
         spark, input_dir, store_path, ckpt,
