@@ -603,9 +603,12 @@ def merge_into(
 # left by a dead process on the SAME host is detected by pid-liveness
 # and taken over immediately; a dead writer on ANOTHER host holds the
 # store only until its lease expires. The takeover rewrite is
-# tmp+os.replace (atomic on POSIX); the claim race between two writers
-# observing the same expired lease is the usual lease-file caveat —
-# milliseconds wide, and the loser errors on its next renewal.
+# tmp+os.replace (atomic on POSIX) followed by a settle-and-re-read that
+# fails the LOSER of a same-expired-lease claim race immediately (not on
+# its next renewal); release displaces the lease via atomic rename and
+# restores it if it belonged to a successor. The residual window (a
+# claim landing between the settle re-read and the first append) is the
+# usual lease-file caveat on filesystems without compare-and-swap.
 # --------------------------------------------------------------------------
 
 
@@ -688,8 +691,26 @@ def _acquire_log_lease(path: str) -> None:
             "micro-batches through one stream_import query, or release "
             "with store.release_log_lease from the owning process"
         )
-    # expired, or dead same-host pid: take over
+    # expired, or dead same-host pid: take over — then RE-READ and verify
+    # the claim actually won. Two writers can observe the same expired
+    # lease and both os.replace; without this check the loser only errors
+    # on its NEXT acquire, so its current append/compaction interleaves
+    # with the winner's. The settle delay makes both claimants' re-reads
+    # land after the last os.replace whenever the two writes race within
+    # it (the residual window is the standard lease-file caveat).
     _write_lease(lease, token, now + _lease_ttl())
+    time.sleep(0.05)
+    try:
+        with open(lease) as fh:
+            winner = fh.readline().strip()
+    except OSError:
+        winner = ""
+    if winner != token:
+        raise ConcurrentLogWriterError(
+            f"log-mode store {path}: lost the expired-lease takeover race "
+            f"to writer {winner!r}; retry after its lease lapses or route "
+            "all micro-batches through one stream_import query"
+        )
     _WRITER_TOKENS[key] = token
 
 
@@ -701,10 +722,33 @@ def release_log_lease(path: str) -> None:
     if token is None:
         return
     lease = os.path.join(_log_dir(path), "_WRITER_LEASE")
+    # read-then-unlink would race a successor's fresh claim (we could
+    # delete a lease written between our read and our unlink). Instead
+    # atomically DISPLACE the lease file, inspect it offline, and restore
+    # it if it turned out to be someone else's.
+    import uuid
+
+    claim = f"{lease}.release.{os.getpid()}.{uuid.uuid4().hex}"
     try:
-        with open(lease) as fh:
-            if fh.readline().strip() == token:
-                os.unlink(lease)
+        os.rename(lease, claim)
+    except OSError:
+        return  # no lease on disk — nothing to release
+    try:
+        with open(claim) as fh:
+            owner = fh.readline().strip()
+    except OSError:
+        owner = ""
+    if owner != token:
+        # a successor claimed before this release ran: put their lease
+        # back. link() is atomic-exclusive — if yet another claimant
+        # re-created the lease meanwhile, the newest claim stands and the
+        # displaced claimant fails its own post-takeover re-read above.
+        try:
+            os.link(claim, lease)
+        except OSError:
+            pass
+    try:
+        os.unlink(claim)
     except OSError:
         pass
 

@@ -49,22 +49,26 @@ def stream_import(
     batch order is what $set merge resolution follows — two reports
     updating the same vertex resolve last-batch-wins. Files tied at
     millisecond mtime granularity (any parallel writer) arrive in
-    ARBITRARY order, making that resolution nondeterministic; a tie in
-    ``input_dir`` warns loudly at start (streaming.staging
-    .warn_same_mtime). Backfills should be staged with
+    ARBITRARY order, making that resolution nondeterministic; ties are
+    detected loudly BOTH at stream start and per micro-batch for files
+    that land while the stream runs (streaming.staging.mtime_tie_monitor
+    — the long-running-stream mode is exactly where mid-stream writers
+    appear). Backfills should be staged with
     streaming.staging.stamp_monotone_mtimes / stage_time_sorted.
     """
     if merge_mode not in ("full", "log"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}; use 'full' or 'log'")
-    from pymongraph_spark.streaming.staging import warn_same_mtime
+    from pymongraph_spark.streaming.staging import mtime_tie_monitor
 
-    warn_same_mtime(input_dir, context="stream_import")
+    check_ties = mtime_tie_monitor(input_dir, context="stream_import")
+    check_ties()  # start-of-stream sweep (covers everything already staged)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.text(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        check_ties()  # files that landed since the last batch
         reports = batch_df.filter(F.length(F.trim("value")) > 0).select(
             F.monotonically_increasing_id().alias("ord"), "value"
         )

@@ -4798,9 +4798,14 @@ def _t102_parts(n_merges: int = _T102_MERGES) -> tuple[list[str], list[str]]:
     ),
     b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
     w{i} AS MATERIALIZED (
-      SELECT replace(enc,
+      -- vocab-exhaustion guard: when b{i} is empty (no pair left to
+      -- merge) its scalar subqueries go NULL and the replace returns
+      -- NULL — COALESCE passes enc through unchanged, mirroring the
+      -- Spark trainer's loop break
+      SELECT COALESCE(replace(enc,
                      '<' || (SELECT l FROM b{i}) || '><' || (SELECT r FROM b{i}) || '>',
-                     '<' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '>') AS enc,
+                     '<' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '>'),
+                      enc) AS enc,
              freq
       FROM w{i - 1}
     ),
@@ -4816,7 +4821,8 @@ def _t102_parts(n_merges: int = _T102_MERGES) -> tuple[list[str], list[str]]:
            (SELECT r FROM b{i}) AS right_sym,
            (SELECT l FROM b{i}) || (SELECT r FROM b{i}) AS merged,
            (SELECT cnt FROM b{i}) AS pair_count,
-           (SELECT toks FROM t{i}) AS corpus_tokens_after"""
+           (SELECT toks FROM t{i}) AS corpus_tokens_after
+    WHERE EXISTS (SELECT 1 FROM b{i})"""
         )
     return ctes, selects
 
@@ -4847,12 +4853,21 @@ def t102_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _t103_oracle(n_merges: int = _T102_MERGES) -> str:
     ctes, _ = _t102_parts(n_merges)
-    rep = "enc0"
+    # one aliased column per merge level (e1..eN, each referencing the
+    # previous LEVEL's column, never re-inlining the whole chain) with a
+    # COALESCE vocab-exhaustion guard: an exhausted step (empty b{i})
+    # NULLs the replace — pass the encoding through, like the trainer's
+    # break. Nesting subqueries keeps the SQL text linear in n_merges.
+    inner = (
+        "SELECT doc_id, word, regexp_replace(word, '(.)', '<\\1>', 'g') AS e0"
+        " FROM docw"
+    )
     for i in range(1, n_merges + 1):
-        rep = (
-            f"replace({rep}, "
+        inner = (
+            f"SELECT doc_id, word, COALESCE(replace(e{i - 1}, "
             f"'<' || (SELECT l FROM b{i}) || '><' || (SELECT r FROM b{i}) || '>', "
-            f"'<' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '>')"
+            f"'<' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '>'), e{i - 1})"
+            f" AS e{i} FROM ({inner})"
         )
     return (
         "WITH "
@@ -4864,10 +4879,7 @@ def _t103_oracle(n_merges: int = _T102_MERGES) -> str:
       FROM documents
     ),
     encd AS (
-      SELECT doc_id, word, {rep} AS enc
-      FROM (SELECT doc_id, word,
-                   regexp_replace(word, '(.)', '<\\1>', 'g') AS enc0
-            FROM docw)
+      SELECT doc_id, word, e{n_merges} AS enc FROM ({inner})
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
@@ -4888,7 +4900,13 @@ def t103_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges:
         # learned symbols are [a-z0-9]+ concatenations — safe to inline
         rep = f"replace({rep}, '<{m.left_sym}><{m.right_sym}>', '<{m.merged}>')"
-    syms = f"split(substring({rep}, 2, length({rep}) - 2), '><')"
+    # hoist the replace chain through ONE aliased column so it is
+    # evaluated once per row structurally: split(substring(rep),
+    # length(rep)) would otherwise embed the chain twice, relying on
+    # codegen CSE. CollapseProject keeps the two Projects separate
+    # because duplicating a non-cheap alias is against its cost rule —
+    # pinned by test_t103_replace_chain_evaluated_once.
+    syms = "split(substring(__enc, 2, length(__enc) - 2), '><')"
     return (
         docs.select(
             "doc_id",
@@ -4899,6 +4917,11 @@ def t103_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.length("word").alias("__wlen"),
+            F.expr(rep).alias("__enc"),
+        )
+        .select(
+            "doc_id",
+            "__wlen",
             F.size(F.expr(syms)).alias("__ntok"),
         )
         .groupBy("doc_id")

@@ -709,7 +709,12 @@ def st90_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is emitted exactly when its later wave arrives, so the final pair set
 # equals the batch ground truth — which is what makes it oracle-checkable
 # (the d58 unrolled-CTE kmeans + a cross-wave same-cell pair join).
-# at-least-once replays are absorbed by the read-back distinct().
+# IDEMPOTENT under at-least-once replay: both sinks are batch-id-keyed
+# subdirs (b=<id>) written exactly once — a replayed batch overwrites its
+# own subdir with identical content, and the probe join reads only index
+# partitions with b < batch_id, so a replay can never probe rows the same
+# batch already appended (which would emit same-wave and identity pairs
+# the read-back distinct() cannot remove).
 # SCALE: the pretrained codebook's k must scale with the expected corpus
 # so cell occupancy stays bounded (the d58→d62 lesson; at fixed k the
 # per-trigger candidate count grows linearly with the standing index —
@@ -722,6 +727,16 @@ _ST91_T = 1_300_000_000_000
 def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
+    base = scratch_dir("st91_embneardup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+    return _st91_run(spark, sf_dir, base)
+
+
+def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """st91 body, restartable on an existing ``base``: a second call with
+    the same base resumes from the checkpoint and REPLAYS any batch whose
+    commit is missing — the at-least-once path the batch-id-keyed sinks
+    make idempotent (pinned by test_st91_replayed_batch_is_idempotent)."""
     from pymongraph_spark.catalog import load_tables
     from pymongraph_spark.operators.similarity import (
         GRID_SCALE,
@@ -733,12 +748,10 @@ def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFr
         quantize_arr,
     )
 
-    base = scratch_dir("st91_embneardup", sf_dir)
     input_dir = os.path.join(base, "in")
     index_dir = os.path.join(base, "index")
     pairs_dir = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
 
     emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
     # offline codebook: the exact-grid Lloyd's d58 uses (k=16, 2 rounds),
@@ -748,14 +761,15 @@ def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFr
     _, cent = grid_kmeans_cells_fast(qa, grid_seeds(emb, 16, "vec_id"), 2)
     cells_arr, cmat = _centroid_matrix(cent)
 
-    staged: list[str] = []
-    for wave in range(4):
-        emb.filter(F.col("vec_id") % 4 == wave).coalesce(1).write.mode(
-            "append"
-        ).parquet(input_dir)
-        seen = set(staged)
-        staged.extend(sorted(p for p in _data_files(input_dir) if p not in seen))
-    stamp_monotone_mtimes(input_dir, order=staged)
+    if not os.path.isdir(input_dir):  # restart keeps the staged waves
+        staged: list[str] = []
+        for wave in range(4):
+            emb.filter(F.col("vec_id") % 4 == wave).coalesce(1).write.mode(
+                "append"
+            ).parquet(input_dir)
+            seen = set(staged)
+            staged.extend(sorted(p for p in _data_files(input_dir) if p not in seen))
+        stamp_monotone_mtimes(input_dir, order=staged)
 
     schema = spark.read.parquet(input_dir).schema
     stream = (
@@ -765,6 +779,9 @@ def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(index_dir, f"b={batch_id}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch already fully committed — skip
         qb = quantize_arr(batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr")
         probe = (
             qb.join(_assign_from_matrix(qb, cells_arr, cmat), "vec_id")
@@ -779,7 +796,12 @@ def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFr
                     "cell",
                 )
                 .join(
-                    spark.read.parquet(index_dir).select(
+                    # partition column b comes from the subdir names; the
+                    # b < batch_id prune keeps a replay from probing rows
+                    # this same batch appended on its first attempt
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("b") < F.lit(batch_id))
+                    .select(
                         F.col("vec_id").alias("vec_id_corpus"),
                         F.col("qarr").alias("__qc"),
                         "cell",
@@ -793,8 +815,13 @@ def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFr
                 )
                 .filter(F.col("l2sq") <= F.lit(_ST91_T))
             )
-            pairs.write.mode("append").parquet(pairs_dir)
-        probe.write.mode("append").parquet(index_dir)
+            # pairs before index: a crash between the two leaves the pair
+            # subdir committed and the index subdir absent — the replay
+            # overwrites both with identical content
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"b={batch_id}")
+            )
+        probe.write.mode("overwrite").parquet(bdir)
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -807,7 +834,11 @@ def st91_streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFr
         return spark.createDataFrame(
             [], "vec_id_new bigint, vec_id_corpus bigint, l2sq bigint"
         )
-    return spark.read.parquet(pairs_dir).distinct()
+    return (
+        spark.read.parquet(pairs_dir)
+        .select("vec_id_new", "vec_id_corpus", "l2sq")  # drop partition col b
+        .distinct()
+    )
 
 
 def _st91_oracle() -> str:

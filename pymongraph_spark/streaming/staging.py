@@ -139,3 +139,58 @@ def warn_same_mtime(input_dir: str, context: str = "") -> list[list[str]]:
             stacklevel=2,
         )
     return groups
+
+
+def mtime_tie_monitor(input_dir: str, context: str = ""):
+    """Incremental form of :func:`warn_same_mtime` for LONG-RUNNING
+    streams: a start-only check misses every file that lands after the
+    stream begins — the parallel-writer scenario this module exists for.
+    Returns a zero-argument callable for the foreachBatch handler to
+    invoke once per micro-batch; each call scans only files not yet seen
+    (one ``os.listdir`` — cheap at any batch cadence) and warns on any
+    millisecond-mtime tie a NEW file participates in, whether with
+    another new file or with one already processed (either way the
+    source's pick order within the tie was arbitrary). Each colliding
+    group is reported once; the monitor accumulates all groups and the
+    callable returns the cumulative list, for tests."""
+    seen: dict[str, int] = {}
+    reported: set[tuple[str, ...]] = set()
+    groups_all: list[list[str]] = []
+
+    def check() -> list[list[str]]:
+        by_ms: dict[int, list[str]] = {}
+        new_ms: set[int] = set()
+        for path in _data_files(input_dir):
+            if path in seen:
+                by_ms.setdefault(seen[path], []).append(path)
+                continue
+            try:
+                ms = int(os.path.getmtime(path) / _MTIME_QUANTUM)
+            except OSError:
+                continue
+            seen[path] = ms
+            by_ms.setdefault(ms, []).append(path)
+            new_ms.add(ms)
+        fresh = []
+        for ms in sorted(new_ms):
+            g = sorted(by_ms[ms])
+            if len(g) > 1 and tuple(g) not in reported:
+                reported.add(tuple(g))
+                fresh.append(g)
+        if fresh:
+            groups_all.extend(fresh)
+            flat = [os.path.basename(p) for g in fresh for p in g]
+            warnings.warn(
+                f"{len(flat)} files in {input_dir} share a millisecond-"
+                "level modification time (detected mid-stream); their "
+                "arrival order through the file source was ARBITRARY — "
+                "under a watermark this can late-drop whole files. Stage "
+                "writers with stage_time_sorted / stamp_monotone_mtimes"
+                + (f" [{context}]" if context else "")
+                + f": {flat[:8]}{'…' if len(flat) > 8 else ''}",
+                UserWarning,
+                stacklevel=2,
+            )
+        return groups_all
+
+    return check

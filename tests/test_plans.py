@@ -522,3 +522,15 @@ def test_shingled_grams_single_construction(spark):
     assert plan.count("array_distinct") == 1, plan
     late = shingled(docs, n=3).select("doc_id", F.explode("shingles").alias("gram"))
     assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, late.collect()))
+
+
+def test_t103_replace_chain_evaluated_once(spark):
+    """VERDICT r10 blemish 2: t103's 12-deep nested replace chain must be
+    evaluated once per row STRUCTURALLY (hoisted through one aliased
+    column), not by codegen CSE grace. The optimized plan must contain
+    the chain's innermost regexp_replace exactly once — CollapseProject
+    duplicating the alias into both size() and substring() would show it
+    twice."""
+    df = QUERIES["t103_bpe_encode_lengths"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan

@@ -467,6 +467,58 @@ def test_log_mode_single_writer_lease(spark, tmp_path):
     store.merge_into_log(spark, logd, b3, batch_id=3, compact_every=100)
 
 
+def test_lease_takeover_loser_fails_immediately(spark, tmp_path, monkeypatch):
+    """ADVICE r10: two writers observing the same expired lease both
+    claim; the LOSER must error at takeover (post-claim re-read), not on
+    its next acquire — otherwise its current append interleaves with the
+    winner's. Simulated by racing a rival claim into the settle window."""
+    import os
+    import time as _time
+
+    logd = str(tmp_path / "log")
+    b1, b2, _ = _batches(spark)
+    store.merge_into_log(spark, logd, b1, batch_id=0, compact_every=100)
+    key = os.path.abspath(logd)
+    lease = os.path.join(logd, "log", "_WRITER_LEASE")
+
+    # expired foreign lease on disk; we are a fresh writer
+    store._WRITER_TOKENS.pop(key)
+    store._write_lease(lease, "otherhost:1:feedface", _time.time() - 1)
+
+    real_sleep = _time.sleep
+
+    def rival_claims_during_settle(seconds):
+        store._write_lease(lease, "rivalhost:2:cafebabe", _time.time() + 600)
+        real_sleep(0)
+
+    monkeypatch.setattr(store.time, "sleep", rival_claims_during_settle)
+    with pytest.raises(store.ConcurrentLogWriterError, match="takeover race"):
+        store.merge_into_log(spark, logd, b2, batch_id=1, compact_every=100)
+    assert key not in store._WRITER_TOKENS
+    os.unlink(lease)
+
+
+def test_release_restores_successor_lease(spark, tmp_path):
+    """ADVICE r10: release must not delete a SUCCESSOR's fresh lease —
+    the displace-inspect-restore path hands it back intact."""
+    import os
+    import time as _time
+
+    logd = str(tmp_path / "log")
+    b1, _, _ = _batches(spark)
+    store.merge_into_log(spark, logd, b1, batch_id=0, compact_every=100)
+    lease = os.path.join(logd, "log", "_WRITER_LEASE")
+
+    # a successor (expired-TTL takeover elsewhere) now owns the lease,
+    # but OUR process still thinks it does and releases
+    exp = _time.time() + 600
+    store._write_lease(lease, "successor:3:0ddba11", exp)
+    store.release_log_lease(logd)
+    with open(lease) as fh:
+        assert fh.readline().strip() == "successor:3:0ddba11"
+    os.unlink(lease)
+
+
 def test_stream_import_log_mode_matches_full_mode(spark, tmp_path):
     inp = tmp_path / "in"
     _write_reports(inp, "batch1.jsonl", [REPORT_1])

@@ -111,3 +111,45 @@ def test_warn_same_mtime_detects_and_stamp_clears(tmp_path):
     assert len(groups) == 1 and len(groups[0]) == 3
     stamp_monotone_mtimes(str(d))
     assert warn_same_mtime(str(d)) == []
+
+
+def test_mtime_tie_monitor_catches_mid_stream_ties(tmp_path):
+    """ADVICE r10: a start-only tie check misses files landing after the
+    stream begins. The per-batch monitor must (a) pass a clean staged
+    dir, (b) warn when NEW files tie with each other, (c) warn when a
+    new file ties with an ALREADY-SEEN one, (d) never re-report a group."""
+    from pymongraph_spark.streaming.staging import mtime_tie_monitor
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t = time.time() - 120
+    for i, n in enumerate(("a.jsonl", "b.jsonl")):
+        (d / n).write_text("x")
+        os.utime(d / n, (t + i, t + i))
+    check = mtime_tie_monitor(str(d), context="test")
+    assert check() == []  # clean start
+
+    # two NEW files land mid-stream with a shared millisecond mtime
+    for n in ("c.jsonl", "d.jsonl"):
+        (d / n).write_text("x")
+        os.utime(d / n, (t + 10, t + 10))
+    with pytest.warns(UserWarning, match="mid-stream"):
+        groups = check()
+    assert [sorted(os.path.basename(p) for p in g) for g in groups] == [
+        ["c.jsonl", "d.jsonl"]
+    ]
+
+    # a new file tying with an ALREADY-PROCESSED one is just as arbitrary
+    (d / "e.jsonl").write_text("x")
+    os.utime(d / "e.jsonl", (t + 1, t + 1))  # ties with b.jsonl
+    with pytest.warns(UserWarning, match="mid-stream"):
+        groups = check()
+    assert len(groups) == 2
+    assert sorted(os.path.basename(p) for p in groups[1]) == ["b.jsonl", "e.jsonl"]
+
+    # idempotent: nothing new → no warning, same cumulative groups
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert len(check()) == 2

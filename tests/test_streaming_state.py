@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from pymongraph_spark.streaming import deduped_event_stream, running_user_stats
 
+from tests.conftest import SF_SMALL
+
 SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
 
 
@@ -188,3 +190,34 @@ def test_tws_probe_and_classic_equivalence(spark, sf_small):
                 .outputMode("update").trigger(availableNow=True).start()
             )
             q.awaitTermination()
+
+
+def test_st91_replayed_batch_is_idempotent(spark, tmp_path):
+    """ADVICE r10: an at-least-once REPLAY of an st91 micro-batch must not
+    emit same-wave or identity pairs (the replayed batch would otherwise
+    probe an index already containing its own rows — l2sq=0 survivors
+    that distinct() cannot remove). Simulated for real: run the stream,
+    delete the final batch's checkpoint COMMIT (offsets stay), restart —
+    Structured Streaming replays that batch; the batch-id-keyed sinks
+    must absorb it bit-identically."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st91_run
+
+    base = str(tmp_path / "st91")
+    sf = SF_SMALL
+    first = sorted(map(tuple, _st91_run(spark, sf, base).collect()))
+
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")  # local checksum-FS shadow
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    replayed = sorted(map(tuple, _st91_run(spark, sf, base).collect()))
+    assert replayed == first
+    for a, b, l2 in replayed:
+        assert a != b and a % 4 > b % 4  # cross-wave orientation intact

@@ -360,3 +360,62 @@ def test_bpe_learn_merges_exhausted_vocab_stops_early(spark):
     assert len(rows) == 1
     assert (rows[0].left_sym, rows[0].right_sym, rows[0].merged) == ("a", "b", "ab")
     assert rows[0].pair_count == 3 and rows[0].corpus_tokens_after == 3
+
+
+def test_bpe_oracles_guarded_against_vocab_exhaustion(spark, tmp_path):
+    """ADVICE r10: on a corpus with fewer than n_merges learnable merges
+    the Spark trainer breaks early, but an unguarded oracle CTE chain
+    still emitted n_merges rows (NULLed winners) and NULLed the t103
+    replace chain. Both oracles must now agree with Spark row-for-row."""
+    from pymongraph_spark.functions.text import bpe_learn_merges
+    from pymongraph_spark.queries.llm import (
+        _T102_MERGES,
+        _t102_oracle,
+        _t103_oracle,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "ab cd")], "doc_id: long, text: string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+
+    got = bpe_learn_merges(df, n_merges=_T102_MERGES).orderBy("step").collect()
+    want = con.execute(_t102_oracle() + " ORDER BY step").fetchall()
+    assert [tuple(r) for r in got] == want
+    assert 0 < len(got) < _T102_MERGES  # the exhaustion case is exercised
+
+    # t103: replay the (short) learned chain over the documents
+    merges = got
+    rep = "regexp_replace(word, '(.)', '<$1>')"
+    for m in merges:
+        rep = f"replace({rep}, '<{m.left_sym}><{m.right_sym}>', '<{m.merged}>')"
+    enc = F.expr(rep)
+    spark_tok = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '([a-z0-9]+)', 1)")
+            ).alias("word"),
+        )
+        .select("doc_id", F.length("word").alias("wl"), enc.alias("e"))
+        .select(
+            "doc_id",
+            "wl",
+            F.size(F.expr("split(substring(e, 2, length(e) - 2), '><')")).alias("nt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wl").cast("bigint").alias("n_chars"),
+            F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    want_tok = con.execute(_t103_oracle() + " ORDER BY doc_id").fetchall()
+    assert [tuple(r) for r in spark_tok] == want_tok
