@@ -171,7 +171,10 @@ _BPE_PAIRS = (
 
 
 def bpe_learn_merges(
-    docs: "DataFrame", n_merges: int = 12, text_col: str = "text"
+    docs: "DataFrame",
+    n_merges: int = 12,
+    text_col: str = "text",
+    timings: "list[float] | None" = None,
 ) -> "DataFrame":
     """Learn the top-``n_merges`` BPE merges over a document corpus by
     iterative pair counting; returns one row per learned merge:
@@ -183,10 +186,24 @@ def bpe_learn_merges(
       corpus — one shuffle); every iteration after that runs on the
       VOCABULARY frame (unique word × freq), orders of magnitude smaller
       and bounded regardless of corpus size;
-    - per merge: adjacent-pair counts are an explode + partial-agg
-      groupBy over the vocab, the winner is a TakeOrdered-1 with the
-      deterministic tie-break (count DESC, then lexicographically
-      smallest (left, right) pair — Sennrich's max() made total);
+    - pair counts are maintained INCREMENTALLY (VERDICT r10 item 4 —
+      the standard Sennrich trick): only the vocabulary is pair-counted
+      in full, ONCE; per merge, the delta touches only words CONTAINING
+      the winning pair (−old pairs, +new pairs, by linearity of the
+      positional count) — the difference between n_merges=12 and a
+      production 32k-merge vocab, probed flat-or-declining per merge at
+      n_merges=256 (SCALE_PROBE_bpe_r11.json);
+    - the maintained counts live in a DRIVER DICT, like the k×dim
+      centroid matrix of grid_kmeans_cells_fast: distinct (left, right)
+      SYMBOL pairs are bounded by the merge budget and the base charset
+      (≤ 36² at start, +O(symbols) per merge — what HF/Sennrich trainers
+      hold in RAM), independent of corpus and vocabulary size. Winner
+      selection is a driver max with the deterministic tie-break (count
+      DESC, then lexicographically smallest (left, right) — Sennrich's
+      max() made total; symbols are ASCII so Python and UTF8 binary
+      orderings agree), zero Spark jobs; per merge exactly TWO small
+      jobs run (delta aggregate over affected words, map-only vocab
+      replace);
     - applying a merge is a MAP-ONLY string replace on the encoded
       vocab (no shuffle), localCheckpointed so iteration i never
       re-derives merges 1..i-1 (the vocab frame is small; at 100 TB the
@@ -195,9 +212,16 @@ def bpe_learn_merges(
     Pair counts follow the published algorithm: positional (overlapping
     "aaa" counts (a,a) twice) while application is left-to-right greedy
     non-overlapping ("aaa" -> ["aa","a"]) — pinned against a pure-Python
-    reference in tests. corpus_tokens_after is recomputed per step, so
-    an engine whose replace semantics diverged would show immediately.
+    reference in tests. corpus_tokens_after comes from the maintained
+    frame via the identity Σ_pairs cnt = Σ_words freq·(|syms|−1) =
+    tokens − total_word_freq, so an engine whose replace semantics
+    diverged would still show immediately.
+
+    ``timings``: optional list the per-merge wall-clock seconds are
+    appended to (for scale probes).
     """
+    import time as _time
+
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -211,31 +235,59 @@ def bpe_learn_merges(
     enc = words.select(
         F.expr("regexp_replace(word, '(.)', '<$1>')").alias("enc"), "freq"
     ).localCheckpoint(eager=True)
+    wtot = enc.agg(F.sum("freq")).first()[0] or 0
+
+    def pair_counts(frame, enc_col: str, sign: int):
+        syms = _BPE_SYMS.replace("enc", enc_col)
+        pairs = _BPE_PAIRS.replace(_BPE_SYMS, syms)
+        return (
+            frame.filter(F.expr(f"size({syms}) >= 2"))
+            .select(F.explode(F.expr(pairs)).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg((F.lit(sign) * F.sum("freq")).alias("cnt"))
+        )
+
+    # the ONE full-vocabulary pair count, collected into driver metadata;
+    # every later update is a delta over only the affected words
+    cnts: dict[tuple[str, str], int] = {
+        (r["l"], r["r"]): r["cnt"] for r in pair_counts(enc, "enc", 1).collect()
+    }
+    ptot = sum(cnts.values())  # Σ pairs = tokens − total word freq
     rows = []
     for step in range(1, n_merges + 1):
-        pairs = (
-            enc.filter(F.expr(f"size({_BPE_SYMS}) >= 2"))
-            .select(F.explode(F.expr(_BPE_PAIRS)).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
-        if not best:
+        t0 = _time.monotonic()
+        if not cnts:
             break  # vocabulary fully merged — nothing left to learn
-        b = best[0]
+        (bl, br), bc = min(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
         # symbols are [a-z0-9]+ concatenations — safe to inline in expr
-        enc = enc.select(
-            F.expr(
-                f"replace(enc, '<{b['l']}><{b['r']}>', '<{b['l']}{b['r']}>')"
-            ).alias("enc"),
-            "freq",
-        ).localCheckpoint(eager=True)
-        toks = enc.agg(
-            F.sum(F.expr(f"freq * size({_BPE_SYMS})")).alias("t")
-        ).first()["t"]
-        rows.append(
-            (step, b["l"], b["r"], b["l"] + b["r"], int(b["cnt"]), int(toks))
+        pat, rep = f"<{bl}><{br}>", f"<{bl}{br}>"
+        # delta: only words CONTAINING the winning pair change their
+        # adjacent-pair multiset — subtract their old pairs, add their
+        # new ones (linearity of the positional count over words)
+        aff = enc.filter(F.expr(f"contains(enc, '{pat}')")).select(
+            "enc", F.expr(f"replace(enc, '{pat}', '{rep}')").alias("enc2"), "freq"
         )
+        delta = (
+            pair_counts(aff, "enc", -1)
+            .unionByName(pair_counts(aff, "enc2", 1))
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        for d in delta:
+            k = (d["l"], d["r"])
+            c = cnts.get(k, 0) + d["cnt"]
+            ptot += d["cnt"]
+            if c > 0:
+                cnts[k] = c
+            else:
+                cnts.pop(k, None)
+        enc = enc.select(
+            F.expr(f"replace(enc, '{pat}', '{rep}')").alias("enc"), "freq"
+        ).localCheckpoint(eager=True)
+        rows.append((step, bl, br, bl + br, int(bc), int(wtot + ptot)))
+        if timings is not None:
+            timings.append(_time.monotonic() - t0)
     return spark.createDataFrame(
         rows,
         "step int, left_sym string, right_sym string, merged string, "
