@@ -1085,6 +1085,35 @@ def _dedup_within_cells(
 _LEAF_STRIDE = 1 << 20  # leaf cell id = coarse_cell * stride + fine index
 
 
+def _fine_lloyd(ids, q, kk, iters):
+    """The per-coarse-cell fine Lloyd's loop of semdedup_hierarchical,
+    factored so the streaming codebook extractor (hierarchical_codebook)
+    trains EXACTLY the same fine centroids the batch operator assigns
+    against. Seeds are the kk smallest vec_ids' vectors in ascending id
+    order; per round: first-min argmin assignment (similarity._argmin
+    _kernel — the grid tie-break), empty fine clusters DROPPED exactly
+    like the grid family's groupBy mean update, truncated-toward-zero
+    integer-division mean (sum div count, sign-adjusted for numpy's
+    floor semantics). Returns (cent, idx): the FINAL fine centroid
+    matrix with rows in ascending original-fine-id order and their
+    surviving fine ids."""
+    import numpy as np
+
+    from pymongraph_spark.operators.similarity import _argmin_kernel
+
+    cent = q[np.argsort(ids)[:kk]].copy()  # smallest ids seed, in id order
+    idx = np.arange(kk, dtype=np.int64)  # fine id of each centroid row
+    for _ in range(iters):
+        pos = _argmin_kernel(cent)(q)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, pos, q)
+        counts = np.bincount(pos, minlength=len(idx))
+        nz = counts > 0
+        s, c = sums[nz], counts[nz][:, None]
+        cent, idx = np.sign(s) * (np.abs(s) // c), idx[nz]
+    return cent, idx
+
+
 def semdedup_hierarchical(
     emb: DataFrame,
     k_clusters: int = 16,
@@ -1147,6 +1176,8 @@ def semdedup_hierarchical(
         import numpy as np
         import pandas as pd
 
+        from pymongraph_spark.operators.similarity import _argmin_kernel
+
         coarse_cell = int(pdf["cell"].iloc[0])
         ids = pdf["vec_id"].to_numpy()
         q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
@@ -1154,36 +1185,9 @@ def semdedup_hierarchical(
         assert kk < _LEAF_STRIDE, (
             f"fine cluster count {kk} >= 2^20 — raise _LEAF_STRIDE"
         )
-        cent = q[np.argsort(ids)[:kk]].copy()  # smallest ids seed, in id order
-        idx = np.arange(kk, dtype=np.int64)  # fine id of each centroid row
-
-        def _assign(c):
-            m = max(int(np.abs(q).max()), int(np.abs(c).max()), 1)
-            if 4 * q.shape[1] * m * m < 2**53:  # exact float64 dgemm tier
-                qf, cf = q.astype(np.float64), c.astype(np.float64)
-                d = (qf * qf).sum(1)[:, None] + (cf * cf).sum(1)[None, :] - 2.0 * (qf @ cf.T)
-            else:  # pragma: no cover — beyond any GRID_SCALE geometry
-                d = (q * q).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2 * (q @ c.T)
-            # centroid rows stay in ascending-fine-id order, so numpy's
-            # first-min argmin == min_by((d, fine)) — the grid tie-break
-            return d.argmin(axis=1)
-
-        for _ in range(iters):
-            pos = _assign(cent)
-            sums = np.zeros_like(cent)
-            np.add.at(sums, pos, q)
-            counts = np.bincount(pos, minlength=len(idx))
-            # empty fine clusters are DROPPED, exactly like the grid
-            # family's groupBy mean update (a cell with no members has no
-            # rows) — keeps the SQL replay a plain aggregation
-            nz = counts > 0
-            s, c = sums[nz], counts[nz][:, None]
-            # truncated (toward-zero) integer division — the grid tier's
-            # mean-update rule (sum div count), sign-adjusted for numpy's
-            # floor semantics
-            cent, idx = np.sign(s) * (np.abs(s) // c), idx[nz]
+        cent, idx = _fine_lloyd(ids, q, kk, iters)
         return pd.DataFrame(
-            {"vec_id": ids, "cell": coarse_cell * _LEAF_STRIDE + idx[_assign(cent)]}
+            {"vec_id": ids, "cell": coarse_cell * _LEAF_STRIDE + idx[_argmin_kernel(cent)(q)]}
         )
 
     leaves = grouped.groupBy("cell").applyInPandas(
@@ -1193,6 +1197,122 @@ def semdedup_hierarchical(
         leaves, "vec_id"
     )
     return _dedup_within_cells(arr, leaves, threshold_l2sq)
+
+
+def hierarchical_codebook(
+    emb: DataFrame,
+    k_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train semdedup_hierarchical's two-level (coarse → fine) codebook
+    ONCE and return it as DRIVER METADATA — the pretrained artifact a
+    streaming near-dup probes against (VERDICT r10 item 1: the batch
+    tier solved bounded-occupancy with this shape; the stream reuses it
+    so assignment stays map-only at any k∝corpus).
+
+    Returns ``(cells_arr, cmat, fine_cb)``: the coarse centroid matrix
+    (ascending cell ids, k1×dim int64 — what grid_assign_whole_fast
+    broadcasts) plus ``fine_cb`` mapping each coarse cell to its
+    surviving fine centroids ``(fine_ids int64[], fine_cmat int64
+    [k2_g×dim])`` in ascending-fine-id order. Total size is k×dim —
+    bounded like MLlib's broadcast centroids, NOT corpus-scale.
+
+    Arithmetic is shared with semdedup_hierarchical via _fine_lloyd, so
+    assign_hierarchical over the training corpus reproduces its leaf
+    cells bit-exactly (pinned by
+    test_hierarchical_codebook_matches_batch_leaves)."""
+    import math
+
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        _centroid_matrix,
+        grid_kmeans_cells_fast,
+        grid_seeds,
+        quantize_arr,
+    )
+
+    k1 = max(2, math.isqrt(max(k_clusters - 1, 0)) + 1)
+    k2 = max(1, -(-k_clusters // k1))
+    if k2 >= _LEAF_STRIDE:
+        raise ValueError(
+            f"fine cluster count k2={k2} >= 2^20 leaf stride; "
+            f"k_clusters={k_clusters} needs a larger _LEAF_STRIDE"
+        )
+    qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")
+    coarse, cent = grid_kmeans_cells_fast(qa, grid_seeds(emb, k1, id_col), iters)
+    cells_arr, cmat = _centroid_matrix(cent)
+
+    def emit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+        fcent, fidx = _fine_lloyd(ids, q, min(k2, len(pdf)), iters)
+        return pd.DataFrame(
+            {
+                "coarse": int(pdf["cell"].iloc[0]),
+                "fine": fidx,
+                "cent": list(fcent),
+            }
+        )
+
+    rows = (
+        qa.join(coarse, "vec_id")
+        .groupBy("cell")
+        .applyInPandas(emit, schema="coarse bigint, fine bigint, cent array<bigint>")
+        .collect()  # bounded by k×dim — driver metadata, like _centroid_matrix
+    )
+    import numpy as np
+
+    by_coarse: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["coarse"], r["fine"])):
+        by_coarse.setdefault(int(r["coarse"]), []).append(r)
+    fine_cb = {
+        c: (
+            np.array([r["fine"] for r in v], dtype=np.int64),
+            np.array([r["cent"] for r in v], dtype=np.int64),
+        )
+        for c, v in by_coarse.items()
+    }
+    return cells_arr, cmat, fine_cb
+
+
+def assign_hierarchical(qarr_df: DataFrame, cells_arr, cmat, fine_cb) -> DataFrame:
+    """Map-only two-level nearest-centroid assignment against a
+    hierarchical_codebook: coarse argmin over the k1×dim matrix, then
+    fine argmin over that coarse cell's fine centroids — O(√k) products
+    per vector instead of flat Lloyd's O(k), n rows stay n rows, zero
+    shuffle (the streaming analogue of d62's refine; same first-min
+    tie-breaks). Input (vec_id, qarr); returns (vec_id, cell) with
+    cell = coarse·2^20 + fine. Fails loud on a coarse cell absent from
+    the codebook (impossible for vectors drawn from the training
+    corpus; a foreign vector landing there means the codebook is stale)."""
+    import numpy as np
+    import pandas as pd
+
+    from pymongraph_spark.operators.similarity import _argmin_kernel
+
+    coarse_pos = _argmin_kernel(cmat)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+            coarse = cells_arr[coarse_pos(q)]
+            leaf = np.empty(len(pdf), dtype=np.int64)
+            for c in np.unique(coarse):
+                mask = coarse == c
+                fidx, fmat = fine_cb[int(c)]
+                leaf[mask] = c * _LEAF_STRIDE + fidx[_argmin_kernel(fmat)(q[mask])]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": leaf})
+
+    return qarr_df.select("vec_id", "qarr").mapInPandas(
+        assign, schema="vec_id bigint, cell bigint"
+    )
 
 
 def bloom_decontaminate(

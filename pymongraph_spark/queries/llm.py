@@ -4144,17 +4144,19 @@ def d58_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k_clusters=16, iters=2, threshold_l2sq=_D58_T)
 
 
-def _hier_oracle(k: int, iters: int, threshold: int, scale: int = _GRID_SCALE) -> str:
-    """Unrolled-CTE DuckDB replay of semdedup_hierarchical
-    (operators/dedup.py): the coarse phase is the shared exact-grid
-    prefix (k1 = ceil(√k) whole-vector cells), the fine phase reruns the
-    same Lloyd arithmetic WITHIN each coarse cell — seeds are the k2
-    smallest vec_ids per cell (row_number over the cell), assignment
-    considers only same-coarse-cell centroids (the fc join carries the
-    coarse key), empty fine clusters drop out of the mean aggregation
-    exactly as in the numpy refine, and ties break (d, fine) like
-    numpy's first-min argmin over ascending-fine centroid rows. Leaf id
-    = coarse·2^20 + fine, then the standard within-cell L2² removal."""
+def _hier_leaf_parts(k: int, iters: int, scale: int = _GRID_SCALE) -> str:
+    """Unrolled-CTE DuckDB replay of the two-level leaf ASSIGNMENT of
+    semdedup_hierarchical / hierarchical_codebook (operators/dedup.py):
+    the coarse phase is the shared exact-grid prefix (k1 = ceil(√k)
+    whole-vector cells), the fine phase reruns the same Lloyd arithmetic
+    WITHIN each coarse cell — seeds are the k2 smallest vec_ids per cell
+    (row_number over the cell), assignment considers only
+    same-coarse-cell centroids (the fc join carries the coarse key),
+    empty fine clusters drop out of the mean aggregation exactly as in
+    the numpy refine, and ties break (d, fine) like numpy's first-min
+    argmin over ascending-fine centroid rows. Ends at the ``leaf`` CTE
+    (vec_id, cell = coarse·2^20 + fine); shared by the d62 dedup oracle
+    and the st92 streaming pair oracle."""
     import math
 
     k1 = max(2, math.isqrt(max(k - 1, 0)) + 1)
@@ -4204,7 +4206,15 @@ def _hier_oracle(k: int, iters: int, threshold: int, scale: int = _GRID_SCALE) -
                  row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rn
           FROM faf) WHERE rn = 1
       ) f JOIN bf ON bf.vec_id = f.vec_id
-    ), pr AS (
+    )""")
+    return "".join(parts)
+
+
+def _hier_oracle(k: int, iters: int, threshold: int, scale: int = _GRID_SCALE) -> str:
+    """d62: the _hier_leaf_parts leaf assignment + the standard
+    within-cell L2² removal."""
+    return _hier_leaf_parts(k, iters, scale) + f"""
+    , pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM leaf a JOIN leaf b ON a.cell = b.cell AND a.vec_id < b.vec_id
     ), pd AS (
@@ -4219,8 +4229,7 @@ def _hier_oracle(k: int, iters: int, threshold: int, scale: int = _GRID_SCALE) -
     )
     SELECT l.vec_id, l.cell,
            CAST(r.dup_of IS NOT NULL AS INT) AS removed, r.dup_of
-    FROM leaf l LEFT JOIN rem r USING (vec_id)""")
-    return "".join(parts)
+    FROM leaf l LEFT JOIN rem r USING (vec_id)"""
 
 
 @query(

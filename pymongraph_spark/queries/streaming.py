@@ -742,9 +742,47 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         GRID_SCALE,
         _assign_from_matrix,
         _centroid_matrix,
-        _l2sq_arr,
         grid_kmeans_cells_fast,
         grid_seeds,
+        quantize_arr,
+    )
+
+    def make_flat_assign(emb: DataFrame):
+        # offline codebook: the exact-grid Lloyd's d58 uses (k=16, 2
+        # rounds), trained once on the standing corpus; the stream only
+        # ever does map-only assignment against its k×dim matrix
+        qa = quantize_arr(emb, "vec_id", "embedding", GRID_SCALE, out="qarr")
+        _, cent = grid_kmeans_cells_fast(qa, grid_seeds(emb, 16, "vec_id"), 2)
+        cells_arr, cmat = _centroid_matrix(cent)
+        return lambda qb: _assign_from_matrix(qb, cells_arr, cmat)
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    return _stream_neardup_run(spark, emb, base, _ST91_T, make_flat_assign)
+
+
+def _stream_neardup_run(
+    spark: SparkSession,
+    emb: DataFrame,
+    base: str,
+    threshold: int,
+    make_assign,
+    waves: int = 4,
+    batch_times: list | None = None,
+) -> DataFrame:
+    """Shared streaming near-dup core (st91 flat / st92 hierarchical /
+    scale probes): stage ``emb`` as ``waves`` mtime-monotone files, then
+    per micro-batch (a) map-only cell assignment via the PRETRAINED
+    codebook ``make_assign(emb)`` builds, (b) same-cell equi-join
+    against the standing index, exact integer-L2² pairs under
+    ``threshold``, (c) batch-id-keyed idempotent append of batch and
+    pairs. Restartable on an existing ``base`` (replays are absorbed —
+    see _st91_run). ``batch_times`` (optional list) collects
+    (batch_id, rows, seconds) per trigger, for scale probes."""
+    import time as _time
+
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        _l2sq_arr,
         quantize_arr,
     )
 
@@ -753,18 +791,12 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     pairs_dir = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
 
-    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
-    # offline codebook: the exact-grid Lloyd's d58 uses (k=16, 2 rounds),
-    # trained once on the standing corpus; the stream only ever does
-    # map-only assignment against its k×dim matrix
-    qa = quantize_arr(emb, "vec_id", "embedding", GRID_SCALE, out="qarr")
-    _, cent = grid_kmeans_cells_fast(qa, grid_seeds(emb, 16, "vec_id"), 2)
-    cells_arr, cmat = _centroid_matrix(cent)
+    assign = make_assign(emb)
 
     if not os.path.isdir(input_dir):  # restart keeps the staged waves
         staged: list[str] = []
-        for wave in range(4):
-            emb.filter(F.col("vec_id") % 4 == wave).coalesce(1).write.mode(
+        for wave in range(waves):
+            emb.filter(F.col("vec_id") % waves == wave).coalesce(1).write.mode(
                 "append"
             ).parquet(input_dir)
             seen = set(staged)
@@ -779,12 +811,13 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
         bdir = os.path.join(index_dir, f"b={batch_id}")
         if os.path.exists(os.path.join(bdir, "_SUCCESS")):
             return  # replayed batch already fully committed — skip
         qb = quantize_arr(batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr")
         probe = (
-            qb.join(_assign_from_matrix(qb, cells_arr, cmat), "vec_id")
+            qb.join(assign(qb), "vec_id")
             .select("vec_id", "qarr", "cell")
             .localCheckpoint(eager=True)  # reused twice below
         )
@@ -813,7 +846,7 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
                     "vec_id_corpus",
                     _l2sq_arr(F.col("__qn"), F.col("__qc")).alias("l2sq"),
                 )
-                .filter(F.col("l2sq") <= F.lit(_ST91_T))
+                .filter(F.col("l2sq") <= F.lit(threshold))
             )
             # pairs before index: a crash between the two leaves the pair
             # subdir committed and the index subdir absent — the replay
@@ -822,6 +855,10 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
                 os.path.join(pairs_dir, f"b={batch_id}")
             )
         probe.write.mode("overwrite").parquet(bdir)
+        if batch_times is not None:
+            batch_times.append(
+                (batch_id, probe.count(), round(_time.perf_counter() - t0, 3))
+            )
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -869,4 +906,71 @@ def _st91_oracle() -> str:
 
 query("st91_streaming_embedding_neardup", oracle=_st91_oracle())(
     st91_streaming_embedding_neardup
+)
+
+
+# --------------------------------------------------------------------------
+# st92: streaming embedding near-dup with a HIERARCHICAL pretrained
+# codebook (VERDICT r10 item 1 — the one measured scale-killer left
+# standing): st91's flat codebook keeps per-trigger cost O(batch ×
+# same-cell index rows), which at FIXED k grows linearly with the
+# standing corpus (measured 11.9× for 10×, SCALE_PROBE_st91.json) — and
+# growing a flat k is exactly the k∝n regime d58 proved super-linear.
+# Here the stream reuses the d62 coarse+fine codebook
+# (operators/dedup.hierarchical_codebook): assignment is still map-only
+# but costs O(√k) products per vector, so k can scale WITH the corpus —
+# bounded cell occupancy, flat per-trigger cost at any standing-index
+# size (two-scale probe with k∝n: SCALE_PROBE_st92.json). Same
+# batch-id-keyed idempotent sinks and mtime-monotone staging as st91;
+# oracle = the d62 unrolled two-level kmeans leaf assignment + the
+# cross-wave same-leaf pair join under the d58 integer-L2² threshold.
+# --------------------------------------------------------------------------
+def st92_streaming_embedding_neardup_hier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import (
+        assign_hierarchical,
+        hierarchical_codebook,
+    )
+
+    def make_hier_assign(emb: DataFrame):
+        cells_arr, cmat, fine_cb = hierarchical_codebook(emb, k_clusters=16, iters=2)
+        return lambda qb: assign_hierarchical(qb, cells_arr, cmat, fine_cb)
+
+    base = scratch_dir("st92_embneardup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    return _stream_neardup_run(spark, emb, base, _ST91_T, make_hier_assign)
+
+
+def _st92_oracle() -> str:
+    """DuckDB replay: the d62 two-level kmeans leaf assignment (the same
+    codebook the stream pretrains — _hier_leaf_parts is d62's own leaf
+    CTE chain) + cross-wave same-leaf pairs under the integer-L2²
+    threshold, orientation wave(new) > wave(corpus) as in st91."""
+    from pymongraph_spark.queries.llm import _hier_leaf_parts
+
+    return f"""
+    {_hier_leaf_parts(16, 2)}
+    , pairs AS (
+      SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus
+      FROM leaf a JOIN leaf b ON a.cell = b.cell
+      WHERE a.vec_id % 4 > b.vec_id % 4
+    ), pd2 AS (
+      SELECT p.vec_id_new, p.vec_id_corpus,
+             CAST(SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) AS BIGINT) AS l2sq
+      FROM pairs p
+      JOIN q q1 ON q1.vec_id = p.vec_id_new
+      JOIN q q2 ON q2.vec_id = p.vec_id_corpus AND q2.dim = q1.dim
+      GROUP BY p.vec_id_new, p.vec_id_corpus
+    )
+    SELECT vec_id_new, vec_id_corpus, l2sq FROM pd2 WHERE l2sq <= {_ST91_T}
+    """
+
+
+query("st92_streaming_embedding_neardup_hier", oracle=_st92_oracle())(
+    st92_streaming_embedding_neardup_hier
 )

@@ -821,3 +821,30 @@ def test_chunk_neardup_pairs_raises_on_chunk_idx_overflow(spark):
     )
     with pytest.raises(Exception, match="chunk_idx overflow"):
         chunk_neardup_pairs(big, chunk_tokens=1).count()
+
+
+def test_hierarchical_codebook_matches_batch_leaves(spark, sf_small):
+    """st92's pretrained artifact: map-only two-level assignment against
+    hierarchical_codebook must reproduce semdedup_hierarchical's leaf
+    cells BIT-EXACTLY for every vector of the training corpus — the
+    property that makes the streaming pair set oracle-checkable with
+    d62's own unrolled-CTE leaf replay (_hier_leaf_parts)."""
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.dedup import (
+        assign_hierarchical,
+        hierarchical_codebook,
+        semdedup_hierarchical,
+    )
+    from pymongraph_spark.operators.similarity import GRID_SCALE, quantize_arr
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    batch = {
+        r.vec_id: r.cell
+        for r in semdedup_hierarchical(emb, 16, 2).select("vec_id", "cell").collect()
+    }
+    ca, cm, fcb = hierarchical_codebook(emb, k_clusters=16, iters=2)
+    qa = quantize_arr(emb, "vec_id", "embedding", GRID_SCALE, out="qarr")
+    stream = {
+        r.vec_id: r.cell for r in assign_hierarchical(qa, ca, cm, fcb).collect()
+    }
+    assert stream == batch and len(batch) > 0
