@@ -1399,3 +1399,119 @@ def g54_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("entity", "op")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-bound rows for the rows-only approximations (VERDICT r10 item 3):
+# each rows-only query is anchored by a hash-matched exact twin, but until
+# now no driver row ASSERTED the approximate result is NEAR the exact one —
+# a silent quality collapse would keep producing green rows-only rows.
+# g56/g57 bind the graph tier; q92/d63/d64/s62/s63 bind the others.
+# --------------------------------------------------------------------------
+_G56_ROUNDS = 32  # 2x the deepest measured convergence (16 at sf0.01)
+
+
+@query("g56_kcore_converged_exact", oracle=_g55_oracle(rounds=_G56_ROUNDS))
+def g56_kcore_converged_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g47's quality bound, strongest form — full MEMBERSHIP hash-match:
+    the CONVERGED peel (g47's exact call, max_iter=50) against a 32-round
+    unrolled synchronous-peel oracle. Green iff the peel converges within
+    32 rounds AND every surviving vertex matches DuckDB bit-for-bit;
+    convergence depth measured 12-16 rounds across sf0.001-0.1, so 32 is
+    2x margin — a peel that stops early, loops wrong, or drifts past 32
+    rounds turns this row red (unlike g55's fixed-8-round state compare,
+    which at sf0.01 is NOT yet the fixpoint: 940 vs 935 converged)."""
+    from pymongraph_spark.operators.graph_algos import k_core
+
+    t = load_tables(spark, sf_dir)
+    co = _part_cooccurrence(t)
+    return k_core(co, k=3, max_iter=50)
+
+
+def _pagerank_int_replica(
+    vertices: DataFrame, edges: DataFrame, iters: int, scale: int
+) -> DataFrame:
+    """Scaled-integer replica of pagerank()'s EXACT model (graph_algos
+    .pagerank: damping 0.85, dangling mass redistributed, float) — unlike
+    pagerank_exact/g48, which deliberately simplifies the model (no
+    dangling term; measured mean |g38−g48/1e9| = 0.73 on the tpch graph,
+    useless as a bound). All updates are int64 floor divisions, so the
+    fixpoint is bit-deterministic; per-division floor loss < 1/scale
+    bounds |float − int/scale| ≪ 1e-6 at scale 1e12 (g57's bound)."""
+    v = vertices.select("id").distinct().localCheckpoint(eager=True)
+    n = v.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    links = (
+        edges.select("src", "dst")
+        .join(out_deg, F.col("src") == F.col("id"))
+        .select("src", "dst", "od")
+        .localCheckpoint(eager=True)
+    )
+    ranks = v.select("id", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links.src == ranks.id)
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dang = (
+            ranks.join(out_deg.select("id"), on="id", how="left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("ds"))
+            .select(F.expr(f"ds div {n}").alias("ds"))
+        )
+        ranks = (
+            v.join(contribs, v.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(15 * scale // 100)
+                    + F.expr("(85 * (coalesce(inflow, 0) + ds)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@query(
+    "g57_pagerank_float_bound",
+    oracle=ORACLE_GRAPH_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           1 AS max_absdiff_within_1e_6,
+           1 AS mean_absdiff_within_1e_7
+    FROM v""",
+)
+def g57_pagerank_float_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g38's quality bound: the float power iteration (damping 0.85,
+    5 iterations, dangling redistribution) against a scaled-integer
+    replica of the SAME model at scale 1e12. The only divergence sources
+    are float non-associativity (~1e-13 relative) and integer floor loss
+    (<1e-12 per division, in-degree-summed ≪ 1e-6), so a green row means
+    g38's float arithmetic tracks the bit-deterministic fixpoint to 1e-6
+    — any model drift (lost dangling mass, wrong damping, iteration
+    miscount) blows the bound by orders of magnitude. The flags are the
+    only float-derived outputs; everything hashed is exact."""
+    from pymongraph_spark.operators.graph_algos import pagerank
+
+    g = tpch_graph(spark, sf_dir)
+    pr = pagerank(g.vertices, g.edges, max_iter=5)
+    ri = _pagerank_int_replica(g.vertices, g.edges, iters=5, scale=10**12)
+    d = (
+        pr.join(ri, "id")
+        .select((F.abs(F.col("rank") - F.col("r") / F.lit(10.0**12))).alias("ad"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.max("ad").alias("mx"),
+            F.avg("ad").alias("mn"),
+        )
+    )
+    return d.select(
+        F.col("n_vertices").cast("bigint"),
+        (F.col("mx") <= F.lit(1e-6)).cast("int").alias("max_absdiff_within_1e_6"),
+        (F.col("mn") <= F.lit(1e-7)).cast("int").alias("mean_absdiff_within_1e_7"),
+    )

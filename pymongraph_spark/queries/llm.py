@@ -4940,3 +4940,194 @@ def t103_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__ntok").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-bound rows for the rows-only approximations (VERDICT r10 item 3,
+# with g56/g57 in queries/graph.py and q92 in queries/relational.py): each
+# emits ONLY exact values + integer bound flags, so the hash gate binds
+# approximation QUALITY without putting engine-specific hash values (which
+# DuckDB cannot reproduce) into the hashed output.
+# --------------------------------------------------------------------------
+@query(
+    "d63_minhash_recall_bound",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+           1 AS recall_milli_ge_900
+    FROM ex
+    """,
+)
+def d63_minhash_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d42's quality bound: the xxhash64 banded-LSH pair set must recall
+    ≥ 90% of the UNBLOCKED exact 3-gram-Jaccard ≥ 0.5 pair set (the
+    ground truth d42's verify step targets; measured recall 1.0 at
+    sf0.001/0.01/0.1 — the 16-band/4-row S-curve misses a j=0.9 pair
+    with probability ~4e-8). A banding bug, signature collapse, or
+    broken verify threshold drops the flag to 0 and the row red, where
+    d42's rows-only gate stayed green. The corpus² exact join is gate-
+    scale only — the production recall estimator would sample."""
+    from pymongraph_spark.operators.dedup import minhash_lsh_pairs, token_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # block_cols=() — the UNBLOCKED ground truth: d42's LSH bands don't
+    # know about lang, and 19 of sf0.01's 25 true pairs are cross-lang
+    exact = token_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=()).select(
+        "doc_id_a", "doc_id_b"
+    )
+    lsh = minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("doc_id_a", "doc_id_b")
+    j = exact.join(lsh, ["doc_id_a", "doc_id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+        .crossJoin(j.agg(F.count(F.lit(1)).alias("__hits")))
+        .select(
+            F.col("exact_pairs").cast("bigint"),
+            (
+                F.col("__hits") * F.lit(1000)
+                >= F.lit(900) * F.greatest(F.col("exact_pairs"), F.lit(1))
+            ).cast("int").alias("recall_milli_ge_900"),
+        )
+    )
+
+
+@query(
+    "d64_simhash_locality_bound",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           1 AS planted_recall_at_3_ge_700,
+           1 AS mean_hamming_le_4
+    FROM documents
+    """,
+)
+def d64_simhash_locality_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d43's quality bound, planted form. A recall floor against exact
+    high-Jaccard pairs would be arbitrary for simhash on this corpus
+    (measured: hamming≤3 recall of j≥0.95 pairs is 0.154-0.571 and
+    scale-DEPENDENT, and the d46 md5 family's pair set overlaps d43's at
+    set-jaccard 0.03 — the two hash families are not comparable pairwise).
+    What IS stable and deterministic is the fingerprint's LOCALITY
+    contract: dropping one token from a document must flip few bits.
+    Planted single-token-drop near-dups (jaccard ≈ 0.99 by construction)
+    measured: ≥ 77% within hamming 3 (d43's detection radius) and mean
+    hamming ≤ 1.65 across sf0.001-0.1 — floors 0.70 and 4.0. A
+    degraded fingerprint (bit-mask bug, tokenizer drift, sign-sum error)
+    explodes the mean and collapses the planted recall."""
+    from pymongraph_spark.operators.dedup import simhash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pert = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+\s*$", "").alias("text"),
+    )
+    s = simhash(docs.select("doc_id", "text").unionByName(pert))
+    a = s.filter(F.col("doc_id") < 1_000_000_000).select(
+        F.col("doc_id").alias("id"), F.col("simhash").alias("__h1")
+    )
+    b = s.filter(F.col("doc_id") >= 1_000_000_000).select(
+        (F.col("doc_id") - 1_000_000_000).alias("id"),
+        F.col("simhash").alias("__h2"),
+    )
+    d = a.join(b, "id").select(
+        F.bit_count(F.expr("__h1 ^ __h2")).alias("__ham")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.avg((F.col("__ham") <= 3).cast("int")) >= F.lit(0.70)
+        ).cast("int").alias("planted_recall_at_3_ge_700"),
+        (F.avg("__ham") <= F.lit(4.0)).cast("int").alias("mean_hamming_le_4"),
+    )
+
+
+@query(
+    "s62_lsh_topk_recall_bound",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           1 AS mean_recall_milli_ge_500
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def s62_lsh_topk_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s51's quality bound: mean recall@5 of the multi-probe/multi-table
+    sign-LSH top-k against s50's exact brute-force top-k must stay ≥ 0.5
+    (measured 0.675/0.8/0.85 at sf0.001/0.01/0.1 with the s51 config:
+    8 planes, radius 2, 4 tables — deterministic, seeded hyperplanes).
+    A bucketing or probe-expansion bug collapses recall to ~0 and the
+    row red, where s51's rows-only gate stayed green."""
+    from pymongraph_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=8, probe_radius=2, n_tables=4
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.col("__n")).alias("__recall")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("__recall") >= F.lit(0.5)).cast("int").alias(
+            "mean_recall_milli_ge_500"
+        ),
+    )
+
+
+@query(
+    "s63_vectorized_equiv_bound",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(0 AS BIGINT) AS n_set_mismatch
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def s63_vectorized_equiv_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s53's quality bound: the Arrow-vectorized brute force reorders
+    float sums (numpy SIMD-blocked dot), so its cosine VALUES are not
+    bit-comparable to s50's strict left fold — but the top-5 neighbor
+    SETS must agree exactly unless a true tie straddles the k boundary
+    (none in this corpus; measured 0 mismatches at sf0.001/0.01/0.1). A
+    transposed matrix, off-by-one batch slice, or wrong norm turns
+    n_set_mismatch > 0 and the row red."""
+    from pymongraph_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=5)
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    vect = brute_force_topk_vectorized(emb, qpdf, k=5)
+    sets = lambda df, col: df.groupBy("query_id").agg(  # noqa: E731
+        F.array_sort(F.collect_list("neighbor_id")).alias(col)
+    )
+    j = sets(exact, "__e").join(sets(vect, "__v"), "query_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("__e") != F.col("__v")).cast("bigint")).alias(
+            "n_set_mismatch"
+        ),
+    )

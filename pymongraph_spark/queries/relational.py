@@ -751,6 +751,46 @@ def q58_exact_distinct_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "q92_hll_error_bound",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+           1 AS parts_within_3rsd,
+           1 AS suppliers_within_3rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q92_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q29's quality bound (VERDICT r10 item 3): the HLL estimate must sit
+    within 3×rsd of the exact distinct count, per group and per column —
+    a sketch-quality collapse (wrong relativeSD plumbing, merge bug)
+    turns the flag 0 and the row red, where q29's rows-only gate stayed
+    green. Measured max relative error 0.0067 across sf0.001-0.1 at
+    rsd=0.01; the 0.03 bound is the standard 3-sigma envelope. Hashed
+    outputs are the exact counts + integer flags — nothing
+    approximation-valued reaches the hash."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    j = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("__as"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(0.03) * F.col(e)
+    ).cast("int")
+    return j.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        within("__ap", "exact_parts").alias("parts_within_3rsd"),
+        within("__as", "exact_suppliers").alias("suppliers_within_3rsd"),
+    )
+
+
 # --------------------------------------------------------------------------
 # File formats (SURVEY §2.13 row 1): the same relation written to and read
 # back from CSV, JSON, and ORC must aggregate identically to the parquet
