@@ -4692,6 +4692,45 @@ def d61_chunk_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STOPS = "['" + "', '".join(STOPWORDS) + "']"
 
 
+def _gopher_metric_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher rule inputs (Rae et al. 2021 §A1.1, integer-milli form):
+    per doc with >= 1 token — n_words, summed word length, alpha-word
+    count, distinct-stopword count. Shared verbatim by the gated t100 row
+    and the t104 pipeline composition so the composed filter is the SAME
+    operator the gate verifies, not a copy."""
+    toks = tokens("text")
+    return docs.filter(token_count("text") >= 1).select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+
+
+def _gopher_rules() -> tuple:
+    """(ok_word_count, ok_mean_word_len, ok_alpha_words, ok_stopwords)
+    boolean Columns over _gopher_metric_frame's schema."""
+    mean_len = F.expr("div(sum_len * 1000, n_words)")
+    alpha_frac = F.expr("div(n_alpha * 1000, n_words)")
+    return (
+        F.col("n_words").between(50, 100000),
+        mean_len.between(3000, 10000),
+        alpha_frac >= 800,
+        F.col("n_stop") >= 2,
+    )
+
+
 @query(
     "t100_gopher_quality_rules",
     oracle=f"""
@@ -4727,30 +4766,10 @@ _SQL_STOPS = "['" + "', '".join(STOPWORDS) + "']"
 )
 def t100_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = tokens("text")
-    m = docs.filter(token_count("text") >= 1).select(
-        "doc_id",
-        token_count("text").alias("n_words"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-        ).alias("sum_len"),
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
-            )
-        )
-        .cast("bigint")
-        .alias("n_stop"),
-    )
+    m = _gopher_metric_frame(docs)
     mean_len = F.expr("div(sum_len * 1000, n_words)")
     alpha_frac = F.expr("div(n_alpha * 1000, n_words)")
-    ok_wc = F.col("n_words").between(50, 100000)
-    ok_mwl = mean_len.between(3000, 10000)
-    ok_alpha = alpha_frac >= 800
-    ok_stops = F.col("n_stop") >= 2
+    ok_wc, ok_mwl, ok_alpha, ok_stops = _gopher_rules()
     return m.select(
         "doc_id",
         "n_words",
@@ -5130,4 +5149,196 @@ def s63_vectorized_equiv_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("__e") != F.col("__v")).cast("bigint")).alias(
             "n_set_mismatch"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# t104: END-TO-END PIPELINE COMPOSITION (VERDICT r10 item 5) — the gate's
+# first test that the LLM-pipeline operators COMPOSE, not just run alone.
+# One registered query chains, through the operators' real interfaces:
+#   exact dedup (operators.dedup.dedup_keep_first, the d40 survivor rule)
+#   -> Bloom decontamination (operators.dedup.bloom_decontaminate over the
+#      d52/d59 80/10/10 md5 split; cross-engine filter bits, no false
+#      negatives, false positives replayed EXACTLY by the oracle)
+#   -> Gopher quality rules (_gopher_metric_frame/_gopher_rules — the
+#      SAME code path t100 gates)
+#   -> per-shard sequence packing (the t66 exclusive-cumsum bins at a
+#      512-token context — the filtered test corpus holds ~1.1k tokens
+#      per shard, so 4096 would leave every shard in bin 0 and the bin
+#      arithmetic untested; 512 yields 2-3 bins per shard,
+#      partitioned by the sink's shard key so packing parallelizes across
+#      shards at 100 TB instead of forcing a global sort)
+#   -> shard manifest (operators.sink.shard_expr — the t72/write_shards
+#      assignment, so this manifest matches a written layout).
+# The composed DuckDB oracle replays every stage in one WITH chain; any
+# interface or ordering bug between stages turns the row red. All-integer
+# output -> exact hash match.
+# --------------------------------------------------------------------------
+_T104_SHARD8 = _sql_md5_fold("CAST(doc_id AS VARCHAR)", 8, 8)
+# 5-gram shingles for the decontamination stage: d59's 3-grams flag
+# 378/395 of the synthetic corpus (3-grams collide on common phrases) —
+# a pipeline that drops 96% of its input hash-matches vacuously. The
+# published decontamination recipes use longer windows (GPT-3 13-grams);
+# 5-grams measured 43/395 flagged at sf0.01 — both branches exercised.
+_T104_NGRAM = 5
+_T104_SQL_SHINGLES = (
+    f"list_distinct([array_to_string(toks[i:i+{_T104_NGRAM - 1}], ' ') "
+    f"for i in generate_series(1, greatest(len(toks) - {_T104_NGRAM - 1}, 0))])"
+)
+
+
+@query(
+    "t104_pipeline_compose",
+    oracle=f"""
+    WITH surv_ids AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS h
+            FROM documents)
+      GROUP BY h
+    ),
+    b AS (
+      SELECT d.doc_id, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks
+      FROM documents d JOIN surv_ids USING (doc_id)
+    ),
+    sh AS (
+      SELECT doc_id, bucket, unnest({_T104_SQL_SHINGLES}) AS gram
+      FROM (SELECT doc_id, bucket, toks FROM b WHERE len(toks) >= {_T104_NGRAM})
+    ),
+    ev AS (SELECT DISTINCT gram FROM sh WHERE bucket >= 90),
+    pos_ev AS (
+      SELECT {_D59_SEED_FOLD} AS pos
+      FROM ev, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    words AS (
+      SELECT pos // 63 AS w,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      FROM pos_ev GROUP BY pos // 63
+    ),
+    tr AS (SELECT DISTINCT doc_id, gram FROM sh WHERE bucket < 80),
+    probe AS (
+      SELECT tr.doc_id, tr.gram, {_D59_SEED_FOLD} AS pos
+      FROM tr, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    gh AS (
+      SELECT p.doc_id, p.gram,
+             SUM(CASE WHEN (COALESCE(w.bits, 0)
+                            & (1::BIGINT << CAST(p.pos % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM probe p LEFT JOIN words w ON w.w = p.pos // 63
+      GROUP BY p.doc_id, p.gram
+    ),
+    flagged AS (
+      SELECT doc_id FROM gh GROUP BY doc_id
+      HAVING MAX(CASE WHEN nh = 3 THEN 1 ELSE 0 END) = 1
+    ),
+    train AS (
+      SELECT b.doc_id, b.toks
+      FROM b LEFT JOIN flagged f USING (doc_id)
+      WHERE b.bucket < 80 AND f.doc_id IS NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                              (a, b) -> a + b) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_distinct(toks), {_SQL_STOPS}))
+               AS BIGINT) AS n_stop
+      FROM train WHERE len(toks) >= 1
+    ),
+    kept AS (
+      SELECT doc_id, n_words AS n_tokens FROM m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND sum_len * 1000 // n_words BETWEEN 3000 AND 10000
+        AND n_alpha * 1000 // n_words >= 800
+        AND n_stop >= 2
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens, {_T104_SHARD8} AS shard_id FROM kept
+    ),
+    placed AS (
+      SELECT shard_id, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS off
+      FROM sharded
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT off // 512) AS n_sequences,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed GROUP BY shard_id
+    """,
+)
+def t104_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import (
+        bloom_decontaminate,
+        dedup_keep_first,
+        shingled_grams,
+    )
+    from pymongraph_spark.operators.sink import shard_expr
+
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    # Stage 1 — exact dedup, keep-first survivor rule (d40 discipline).
+    surv = dedup_keep_first(docs)
+
+    # Stage 2 — Bloom decontamination over the d52/d59 md5 split: eval
+    # grams (bucket >= 90) fold into the broadcast filter; train docs
+    # (bucket < 80) whose any-shingle hits all 3 seeds are dropped.
+    # bucket is a pure function of doc_id — computed post-explode to keep
+    # the single exchange (the d59 InferFiltersFromGenerate note applies).
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    grams = shingled_grams(surv, n=_T104_NGRAM).withColumn("bucket", bucket)
+    ev = grams.filter(F.col("bucket") >= 90).select("gram").distinct()
+    tr = grams.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    flagged = (
+        bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3)
+        .filter(F.col("bloom_flagged") == 1)
+        .select("doc_id")
+    )
+    # docs with < _T104_NGRAM tokens have no shingles, hence no flag row
+    # — the anti-join keeps them (they cannot contain an eval n-gram),
+    # matching the oracle's LEFT JOIN ... IS NULL.
+    train = (
+        surv.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 80)
+        .join(flagged, "doc_id", "left_anti")
+    )
+
+    # Stage 3 — Gopher rules, the exact t100 code path.
+    ok_wc, ok_mwl, ok_alpha, ok_stops = _gopher_rules()
+    kept = (
+        _gopher_metric_frame(train)
+        .filter(ok_wc & ok_mwl & ok_alpha & ok_stops)
+        .select("doc_id", F.col("n_words").alias("n_tokens"))
+    )
+
+    # Stage 4+5 — pack per shard (t66 exclusive-cumsum bins, partitioned
+    # by the sink's shard key) and emit the t72-shape manifest.
+    sharded = kept.select(
+        "doc_id", "n_tokens", shard_expr("doc_id", 8).alias("shard_id")
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sharded.withColumn(
+        "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.expr("off div 512")).alias("n_sequences"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
