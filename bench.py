@@ -146,17 +146,20 @@ def main() -> None:
     # not session bootstrap.
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
-    # Median of 3 runs per query: shared-host load and first-plan codegen
+    # Median of 5 runs per query: shared-host load and first-plan codegen
     # inject ±2× noise into single-shot numbers (BASELINE.md documents the
     # swing); the median is the honest central estimate, and the per-query
     # spread (max-min) is reported so regressions can be told from noise.
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # n=5 matches BASELINE.md's binding-record protocol (VERDICT r10 item
+    # 8: the r10 driver artifact at n=3 and the baseline record at n=5
+    # diverged 16.77 vs 17.76 with identical code — same n ends that).
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # Adaptive re-run (VERDICT r7 item 5: BENCH_r07's g43 spread was 3×
     # its median under host load): when max-min ≥ median after the base
     # runs, take up to MAX_RUNS total samples so one loaded-host outlier
     # can't dominate the recorded spread. Cost: extra runs only for
     # queries that actually measured noisy.
-    max_runs = max(runs_per_query, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
+    max_runs = max(runs_per_query, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "7")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     still_noisy: list[str] = []
