@@ -1199,6 +1199,28 @@ def semdedup_hierarchical(
     return _dedup_within_cells(arr, leaves, threshold_l2sq)
 
 
+def codebook_k_for(n_vectors: int, target_occupancy: int = 125) -> int:
+    """The production sizing rule for hierarchical_codebook (VERDICT r10
+    item 1's 'k-sizing not yet mechanized'): the leaf count that keeps
+    expected same-cell occupancy — the per-trigger join fan-in of a
+    streaming probe, and the within-cell exact-L2 cost of batch dedup —
+    bounded by ``target_occupancy`` at ANY corpus size. k grows linearly
+    with n, but every k-dependent cost stays bounded: the codebook is
+    k×dim driver metadata, assignment is O(√k) products/vector (two-level
+    argmin), and the trainer is d62's fused kernel, measured sub-linear
+    at the fourth decade (2.33× for 3×). Probe evidence
+    (SCALE_PROBE_st92.json, which applies this rule: 2000→k=16,
+    20000→k=160): occupancy flat ~125 across a 10× corpus, per-trigger
+    ratio 1.03 vs the fixed-k 6.89.
+
+    The st92 GATE row pins k=16 regardless — its DuckDB oracle is a
+    static unrolled-CTE string that must replay the same codebook — so
+    this rule is exercised by the probe and unit tests, not the gate."""
+    import math
+
+    return max(2, math.ceil(n_vectors / max(1, target_occupancy)))
+
+
 def hierarchical_codebook(
     emb: DataFrame,
     k_clusters: int = 16,
@@ -1313,6 +1335,33 @@ def assign_hierarchical(qarr_df: DataFrame, cells_arr, cmat, fine_cb) -> DataFra
     return qarr_df.select("vec_id", "qarr").mapInPandas(
         assign, schema="vec_id bigint, cell bigint"
     )
+
+
+def bloom_m_bits_for(
+    n_grams: int, gram_fp: float = 1e-4, n_hashes: int = 3
+) -> int:
+    """Production sizing rule for bloom_decontaminate's filter: the bit
+    count that holds the PER-GRAM false-positive rate at ``gram_fp`` for
+    ``n_grams`` distinct eval shingles under ``n_hashes`` seeds —
+    p = (1 - e^(-k·n/m))^k solved for m. Doc-level FP compounds over a
+    doc's grams (≈ g·gram_fp for small rates), so pick gram_fp ≈
+    doc_fp / typical_grams_per_doc: the default 1e-4 gives ~1% doc-level
+    FP at ~100 grams/doc.
+
+    Why this must scale with the EVAL SET, not stay fixed: the t104
+    scale probe measured the gate-pinned 65536-bit filter at 45k eval
+    grams running 87% full — gram FP 66%, every train doc "contaminated".
+    m grows linearly with eval grams (~63 bits/gram at the default), but
+    the filter stays a broadcast plan constant: 45k grams → 350 KB,
+    4.5M grams → 35 MB, still far under executor broadcast budgets while
+    the train-side probe remains map-only at any corpus size. The d59 /
+    t104 GATE rows pin m_bits=65536 — their DuckDB oracles are static
+    strings that must replay identical filter words."""
+    import math
+
+    base = gram_fp ** (1.0 / n_hashes)
+    m = math.ceil(-n_hashes * n_grams / math.log(1.0 - base))
+    return max(65536, m)
 
 
 def bloom_decontaminate(

@@ -5275,6 +5275,17 @@ _T104_SQL_SHINGLES = (
     """,
 )
 def t104_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the gate pins m_bits=65536 (the static oracle replays those exact
+    # filter words); production sizes the filter to the eval-gram count
+    # with dedup.bloom_m_bits_for — the t104 scale probe measured the
+    # pinned size 87% full (66% gram-FP) at 45k eval grams, and times the
+    # composition with the mechanized sizing (SCALE_PROBE_t104.json).
+    return pipeline_compose(spark, sf_dir, m_bits=65536)
+
+
+def pipeline_compose(
+    spark: SparkSession, sf_dir: str, m_bits: int = 65536
+) -> DataFrame:
     from pymongraph_spark.operators.dedup import (
         bloom_decontaminate,
         dedup_keep_first,
@@ -5301,7 +5312,7 @@ def t104_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = grams.filter(F.col("bucket") >= 90).select("gram").distinct()
     tr = grams.filter(F.col("bucket") < 80).select("doc_id", "gram")
     flagged = (
-        bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3)
+        bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
         .filter(F.col("bloom_flagged") == 1)
         .select("doc_id")
     )

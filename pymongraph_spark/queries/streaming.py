@@ -937,6 +937,11 @@ def st92_streaming_embedding_neardup_hier(
     )
 
     def make_hier_assign(emb: DataFrame):
+        # the gate pins k=16: the DuckDB oracle is a static unrolled-CTE
+        # string that must replay the same codebook. Production sizing is
+        # dedup.codebook_k_for(n_corpus) — k∝n at bounded occupancy,
+        # probe-verified (SCALE_PROBE_st92.json: trigger ratio 1.03 at
+        # 10× standing index) and unit-pinned.
         cells_arr, cmat, fine_cb = hierarchical_codebook(emb, k_clusters=16, iters=2)
         return lambda qb: assign_hierarchical(qb, cells_arr, cmat, fine_cb)
 

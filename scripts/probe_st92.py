@@ -136,11 +136,15 @@ def main() -> None:
     spark = get_spark(app_name="sparkgraph-probe-st92")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pymongraph_spark.operators.dedup import codebook_k_for
+
     results: dict[str, dict] = {"flat_fixed_k": {}, "hier_k_prop_n": {}}
-    for scale_name, sf_dir, k_hier in (("small", small, 16), ("big", big, 160)):
+    for scale_name, sf_dir in (("small", small), ("big", big)):
         emb, plants, vecs = planted_corpus(spark, sf_dir)
         emb = emb.localCheckpoint(eager=True)
         n_corpus = len(vecs)
+        # the mechanized production sizing rule (2000→16, 20000→160)
+        k_hier = codebook_k_for(n_corpus)
         for variant, hier, k in (
             ("flat_fixed_k", False, 16),
             ("hier_k_prop_n", True, k_hier),

@@ -848,3 +848,21 @@ def test_hierarchical_codebook_matches_batch_leaves(spark, sf_small):
         r.vec_id: r.cell for r in assign_hierarchical(qa, ca, cm, fcb).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_codebook_k_for_bounds_occupancy():
+    """The mechanized k-sizing rule: occupancy n/k never exceeds the
+    target, k never collapses below 2, and the probe's design points
+    (SCALE_PROBE_st92.json) come out of the rule, not hand-tuning."""
+    from pymongraph_spark.operators.dedup import codebook_k_for
+
+    assert codebook_k_for(2000) == 16
+    assert codebook_k_for(20000) == 160
+    for n in (1, 2, 100, 125, 126, 10**6, 10**9, 10**12):
+        k = codebook_k_for(n)
+        assert k >= 2
+        assert n / k <= 125 or n <= 250  # tiny corpora floor at k=2
+    # the bound holds at any explicit target too
+    for t in (1, 10, 1000):
+        for n in (10**3, 10**7):
+            assert n / codebook_k_for(n, t) <= max(t, n / 2)

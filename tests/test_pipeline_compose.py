@@ -81,3 +81,21 @@ def test_t104_manifest_shape(spark):
     for r in rows:
         assert r.n_docs > 0 and r.total_tokens > 0
         assert r.first_doc <= r.last_doc
+
+
+def test_bloom_m_bits_for_holds_gram_fp():
+    """The mechanized filter sizing: fill factor from the closed form
+    stays at the designed point, and the gate's pinned 65536 floor is
+    preserved for small eval sets."""
+    import math
+
+    from pymongraph_spark.operators.dedup import bloom_m_bits_for
+
+    assert bloom_m_bits_for(100) == 65536  # gate floor
+    for n in (10_000, 45_000, 450_000, 4_500_000):
+        for fp in (1e-3, 1e-4):
+            m = bloom_m_bits_for(n, gram_fp=fp)
+            got_fp = (1.0 - math.exp(-3.0 * n / m)) ** 3
+            assert got_fp <= fp * 1.001, (n, fp, m, got_fp)
+            # not absurdly oversized either: within 2x of the target
+            assert got_fp >= fp / 8, (n, fp, m, got_fp)
