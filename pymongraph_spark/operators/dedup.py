@@ -1354,14 +1354,20 @@ def bloom_m_bits_for(
     m grows linearly with eval grams (~63 bits/gram at the default), but
     the filter stays a broadcast plan constant: 45k grams → 350 KB,
     4.5M grams → 35 MB, still far under executor broadcast budgets while
-    the train-side probe remains map-only at any corpus size. The d59 /
-    t104 GATE rows pin m_bits=65536 — their DuckDB oracles are static
-    strings that must replay identical filter words."""
+    the train-side probe remains map-only at any corpus size.
+
+    The rule is deliberately INTEGER bits-per-gram × count (the per-gram
+    factor is ceil'd first: 64 at the 1e-4/3-seed default), not the raw
+    closed form, so an engine-neutral oracle can replay it with integer
+    arithmetic — cross-engine ln/pow need not agree to the ulp. d65
+    gates exactly this (GREATEST(65536, 64 * count) in DuckDB); the
+    d59 / t104 rows pin m_bits=65536 — their static oracles replay those
+    filter words."""
     import math
 
     base = gram_fp ** (1.0 / n_hashes)
-    m = math.ceil(-n_hashes * n_grams / math.log(1.0 - base))
-    return max(65536, m)
+    bits_per_gram = math.ceil(-n_hashes / math.log(1.0 - base))
+    return max(65536, bits_per_gram * n_grams)
 
 
 def bloom_decontaminate(

@@ -5353,3 +5353,107 @@ def pipeline_compose(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# d65: Bloom decontamination with the MECHANIZED filter sizing — the gate
+# row for bloom_m_bits_for. d59 pins m_bits=65536 (fine at its 3-gram
+# gate-scale eval set); the t104 scale probe measured that pinned size
+# 87% full at 45k eval grams (gram FP 66% — the filter stops filtering).
+# d65 sizes the filter from the eval-gram count at the 1e-4/3-seed
+# design point — m = max(65536, 64·n_ev) — and emits m_bits as a column,
+# so the driver hash-checks the sizing RULE cross-engine, not just the
+# probe. The rule is integer bits-per-gram × count precisely so DuckDB
+# can replay it without agreeing with CPython's ln/pow to the ulp.
+# 5-gram shingles (vs d59's 3) push n_ev above the 65536 floor at the
+# gate scales (~26k grams → m ≈ 1.7M), so the sized path — not the
+# floor — is what hash-matches.
+# --------------------------------------------------------------------------
+_D65_SEED_FOLD = _sql_md5_fold("CAST(s.seed AS VARCHAR) || ':' || gram", 12, "m")
+
+
+@query(
+    "d65_bloom_decontamination_sized",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket, unnest({_T104_SQL_SHINGLES}) AS gram
+      FROM (SELECT doc_id, bucket, toks FROM b WHERE len(toks) >= {_T104_NGRAM})
+    ),
+    ev AS (SELECT DISTINCT gram FROM sh WHERE bucket >= 90),
+    mparam AS (SELECT GREATEST(65536, 64 * COUNT(*)) AS m FROM ev),
+    pos_ev AS (
+      SELECT {_D65_SEED_FOLD} AS pos
+      FROM ev, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    words AS (
+      SELECT pos // 63 AS w,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      FROM pos_ev GROUP BY pos // 63
+    ),
+    tr AS (SELECT DISTINCT doc_id, gram FROM sh WHERE bucket < 80),
+    probe AS (
+      SELECT tr.doc_id, tr.gram, {_D65_SEED_FOLD} AS pos
+      FROM tr, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    gh AS (
+      SELECT p.doc_id, p.gram,
+             SUM(CASE WHEN (COALESCE(w.bits, 0)
+                            & (1::BIGINT << CAST(p.pos % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM probe p LEFT JOIN words w ON w.w = p.pos // 63
+      GROUP BY p.doc_id, p.gram
+    ),
+    bl AS (
+      SELECT doc_id, MAX(CASE WHEN nh = 3 THEN 1 ELSE 0 END) AS bf
+      FROM gh GROUP BY doc_id
+    ),
+    ex AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)
+    SELECT bl.doc_id,
+           CAST(bl.bf AS INT) AS bloom_flagged,
+           CAST(ex.doc_id IS NOT NULL AS INT) AS exact_flagged,
+           CAST(bl.bf = 1 AND ex.doc_id IS NULL AS INT) AS false_positive,
+           CAST((SELECT m FROM mparam) AS BIGINT) AS m_bits
+    FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
+    """,
+)
+def d65_bloom_decontamination_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import (
+        bloom_decontaminate,
+        bloom_m_bits_for,
+        shingled_grams,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sh = shingled_grams(docs, n=_T104_NGRAM).withColumn("bucket", bucket)
+    ev = sh.filter(F.col("bucket") >= 90).select("gram").distinct()
+    # one bounded count job sizes the filter — the filter build collects
+    # the eval grams to a broadcast constant anyway, so the count adds no
+    # new scaling term; at 100 TB you'd count the (small) eval set once
+    # and reuse m across runs.
+    m_bits = bloom_m_bits_for(ev.count())
+    tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    bl = bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
+    ex = (
+        tr.join(ev, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ex", F.lit(1))
+    )
+    return bl.join(ex, "doc_id", "left").select(
+        "doc_id",
+        F.col("bloom_flagged").cast("int").alias("bloom_flagged"),
+        F.coalesce("__ex", F.lit(0)).cast("int").alias("exact_flagged"),
+        ((F.col("bloom_flagged") == 1) & F.col("__ex").isNull())
+        .cast("int")
+        .alias("false_positive"),
+        F.lit(m_bits).cast("bigint").alias("m_bits"),
+    )
