@@ -293,3 +293,45 @@ def bpe_learn_merges(
         "step int, left_sym string, right_sym string, merged string, "
         "pair_count bigint, corpus_tokens_after bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction — the Dolma toolkit's tagger family (Soldaini
+# et al. 2024 tag emails / phone numbers / IP addresses with regexes and
+# mask them before training). Patterns are restricted to the syntax Java
+# regex (Spark executors) and RE2 (DuckDB oracles) parse IDENTICALLY:
+# character classes, bounded repetition, non-capturing groups, \b word
+# boundaries — no lookaround, no backreferences. Single-sourced here so
+# the Spark expressions and the SQL oracles interpolate the same strings.
+# --------------------------------------------------------------------------
+_IPV4_OCTET = r"(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])"
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ipv4": rf"\b(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+#: redaction order is load-bearing only between phone and ssn (disjoint
+#: by digit grouping, but masking phones first keeps the invariant
+#: obvious); emails/ips share no match span with either.
+PII_ORDER = ("email", "phone", "ipv4", "ssn")
+
+
+def pii_count(c: Column | str, kind: str) -> Column:
+    """Non-overlapping match count of one PII kind (leftmost-greedy —
+    identical in Java regex and RE2 for these patterns)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def pii_redact(c: Column | str) -> Column:
+    """Mask every PII span with its [KIND] placeholder, all kinds, all
+    occurrences (Spark regexp_replace is replace-all; the oracle twin
+    needs DuckDB's 'g' flag)."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = c
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

@@ -5457,3 +5457,131 @@ def d65_bloom_decontamination_sized(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("false_positive"),
         F.lit(m_bits).cast("bigint").alias("m_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# t105: PII detection + redaction (the Dolma tagger family — emails,
+# phone numbers, IPv4s, SSN-shaped ids tagged by regex and masked before
+# training; Soldaini et al. 2024). The synthetic corpus contains no PII,
+# so — the q26 discipline — deterministic PII is synthesized from
+# doc_id arithmetic and embedded in the real text: ~1/3 of docs get an
+# email, 1/4 a phone, 1/5 an IP, 1/7 an SSN (overlapping residues give
+# multi-PII docs; residue gaps leave clean docs, so both branches of
+# every pattern are live). Patterns are single-sourced from
+# functions.text.PII_PATTERNS, restricted to the regex subset Java and
+# RE2 parse identically; md5 of the redacted text pins the MASKING
+# byte-for-byte cross-engine, not just the counts. Map-only projection —
+# no shuffle at any scale.
+# --------------------------------------------------------------------------
+def _t105_oracle() -> str:
+    from pymongraph_spark.functions.text import PII_ORDER, PII_PATTERNS
+
+    red = "pii_text"
+    for kind in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '[{kind.upper()}]', 'g')"
+    counts = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_{k}"
+        for k in PII_ORDER
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                     THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 2
+                     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 3
+                     THEN ' id ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                          || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+                          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                     ELSE '' END AS pii_text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             {counts},
+             {red} AS redacted
+      FROM s
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn,
+           CAST(n_email + n_phone + n_ipv4 + n_ssn > 0 AS INT) AS has_pii,
+           md5(redacted) AS masked_md5,
+           CAST(length(redacted) AS BIGINT) AS masked_len
+    FROM c
+    """
+
+
+@query("t105_pii_redaction", oracle=_t105_oracle())
+def t105_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.text import PII_ORDER, pii_count, pii_redact
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id")
+    s = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    did.cast("string"),
+                    F.lit("@example.com ok"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    (did % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    (did % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 2,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 3,
+                F.concat(
+                    F.lit(" id "),
+                    (did % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    (did % 90 + 10).cast("string"),
+                    F.lit("-"),
+                    (did % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+    counted = s.select(
+        "doc_id",
+        *[pii_count("pii_text", k).alias(f"n_{k}") for k in PII_ORDER],
+        pii_redact("pii_text").alias("redacted"),
+    )
+    total = sum(F.col(f"n_{k}") for k in PII_ORDER)
+    return counted.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "n_ssn",
+        (total > 0).cast("int").alias("has_pii"),
+        F.md5(F.col("redacted")).alias("masked_md5"),
+        F.length("redacted").cast("bigint").alias("masked_len"),
+    )

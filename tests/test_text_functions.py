@@ -419,3 +419,40 @@ def test_bpe_oracles_guarded_against_vocab_exhaustion(spark, tmp_path):
     )
     want_tok = con.execute(_t103_oracle() + " ORDER BY doc_id").fetchall()
     assert [tuple(r) for r in spark_tok] == want_tok
+
+
+def test_pii_count_and_redact(spark):
+    """Known-answer PII battery + the redaction fixpoint: counting any
+    kind over already-redacted text is zero, and clean text round-trips
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    from pymongraph_spark.functions.text import PII_ORDER, pii_count, pii_redact
+
+    rows = [
+        ("two emails a@b.io and c.d+x@e-f.org here", 2, 0, 0, 0),
+        ("call 555-123-4567 or 555-000-1111", 0, 2, 0, 0),
+        ("from 192.168.0.1 and 10.0.0.255 but not 999.1.1.1", 0, 0, 2, 0),
+        ("ssn 123-45-6789 once", 0, 0, 0, 1),
+        ("clean text with numbers 12345 and dots a.b", 0, 0, 0, 0),
+        # phone and ssn groupings must not cross-match
+        ("555-123-4567 vs 123-45-6789", 0, 1, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(rows)], "id long, t string"
+    )
+    got = df.select(
+        "id",
+        *[pii_count("t", k).alias(k) for k in PII_ORDER],
+        pii_redact("t").alias("red"),
+        *[pii_count(pii_redact("t"), k).alias(f"post_{k}") for k in PII_ORDER],
+    ).collect()
+    for r in got:
+        want = rows[r.id][1:]
+        assert tuple(r[k] for k in PII_ORDER) == want, (r.id, r)
+        assert all(r[f"post_{k}"] == 0 for k in PII_ORDER), r
+    clean = [r for r in got if sum(rows[r.id][1:]) == 0]
+    assert all(r.red == rows[r.id][0] for r in clean)
+    masked = {r.id: r.red for r in got}
+    assert masked[0] == "two emails [EMAIL] and [EMAIL] here"
+    assert masked[3] == "ssn [SSN] once"
