@@ -45,6 +45,14 @@ HEADLINE = [
     "s54_ivf_topk",
     "t61_quality_scores",
     "t64_tfidf_top_terms",
+    # round-11 flagships: the end-to-end pipeline composition (dedup →
+    # Bloom → Gopher → pack → manifest; its cost is the decon+dedup
+    # exchanges — at raw sf0.1 the output is legitimately empty, the
+    # work is not), the eval-sized Bloom decontamination, and the
+    # map-only PII scrub
+    "t104_pipeline_compose",
+    "d65_bloom_decontamination_sized",
+    "t105_pii_redaction",
 ]
 
 
