@@ -831,7 +831,16 @@ def _stream_neardup_run(
                 .join(
                     # partition column b comes from the subdir names; the
                     # b < batch_id prune keeps a replay from probing rows
-                    # this same batch appended on its first attempt
+                    # this same batch appended on its first attempt.
+                    # The index stays FLAT per batch (no partitionBy(cell)):
+                    # a cell-partitioned layout was implemented and
+                    # MEASURED WORSE at probe scale — 4.54× vs 1.26× per
+                    # decade — because a 1000-vector trigger touches ~all
+                    # cells (batch × occupancy ≈ 62% of the index), so
+                    # dir-pruning saves little while per-cell small files
+                    # multiply open/footer overhead. Cell pruning pays only
+                    # when batch × occupancy ≪ index AND cells are
+                    # compacted; see SCALE.md round-11 for the break-even.
                     spark.read.parquet(index_dir)
                     .filter(F.col("b") < F.lit(batch_id))
                     .select(

@@ -65,6 +65,27 @@ def main() -> None:
         assert verified > 0 and len(got) > 0
         last_id, last_rows, last_sec = batch_times[-1]
         assert last_rows == p92.N_PLANT, batch_times
+        # DETERMINISTIC scale metric, immune to the page-cache noise that
+        # swings single-trigger wall time at the big scale: the number of
+        # same-cell candidate rows the final trigger joins (probe wave 3
+        # vs standing waves 0-2 under the same codebook). Bounded
+        # occupancy == this stays ~batch × occupancy at every scale.
+        from pymongraph_spark.operators.dedup import (
+            assign_hierarchical,
+            hierarchical_codebook,
+        )
+        from pymongraph_spark.operators.similarity import quantize_arr
+
+        ca, cm, fcb = hierarchical_codebook(emb, k_clusters=k, iters=2)
+        qa = quantize_arr(emb, "vec_id", "embedding", GRID_SCALE, out="qarr")
+        cells = qa.join(
+            assign_hierarchical(qa, ca, cm, fcb), "vec_id"
+        ).select("vec_id", "cell")
+        import pyspark.sql.functions as F
+
+        probe_cells = cells.filter(F.col("vec_id") % 4 == 3)
+        index_cells = cells.filter(F.col("vec_id") % 4 != 3)
+        candidates = probe_cells.join(index_cells, "cell").count()
         out[name] = {
             "k": k,
             "standing_index": n_corpus,
@@ -72,6 +93,7 @@ def main() -> None:
             "pairs": len(got),
             "planted_verified": verified,
             "probe_trigger_sec": last_sec,
+            "probe_trigger_candidates": candidates,
             "all_batches": batch_times,
         }
         print(
@@ -82,6 +104,11 @@ def main() -> None:
         )
     out["probe_trigger_ratio_10x_index"] = round(
         out["big"]["probe_trigger_sec"] / out["small"]["probe_trigger_sec"], 2
+    )
+    out["candidate_ratio_10x_index"] = round(
+        out["big"]["probe_trigger_candidates"]
+        / max(1, out["small"]["probe_trigger_candidates"]),
+        2,
     )
     with open(os.path.join(REPO, "SCALE_PROBE_st92_decade2.json"), "w") as fh:
         json.dump(out, fh, indent=1)
