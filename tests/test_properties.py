@@ -210,3 +210,68 @@ def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
         for r in bpe_learn_merges(df, n_merges=n_merges).orderBy("step").collect()
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Cross-engine PII regex equivalence: t105's hash-match proves Java and
+# RE2 agree on the SYNTHESIZED corpus; this property drives the same
+# patterns over adversarial generated text (fragment shuffles that sit
+# ON the match boundaries — near-misses like 999.1.1.1, 12-345-6789,
+# a@b, digits glued to valid spans) and asserts count AND mask parity
+# between Spark and DuckDB for every kind. A divergence in \b semantics,
+# greediness, or class handling fails here before it can reach a gate.
+# --------------------------------------------------------------------------
+_pii_fragments = st.sampled_from(
+    [
+        "user7@example.com",
+        "a@b.io",
+        "a@b",  # no TLD — must NOT match
+        "x.y+z@mail-host.org",
+        "555-123-4567",
+        "12-345-6789",  # wrong grouping
+        "1555-123-4567",  # leading digit glues: \b must reject
+        "123-45-6789",
+        "123-456-789",  # 3-3-3: neither phone nor ssn
+        "10.0.0.1",
+        "255.255.255.255",
+        "999.1.1.1",
+        "1.2.3.4.5",  # five octets: \b-adjacent submatch behavior
+        "plain words",
+        "dots.and.digits.1",
+        "",
+    ]
+)
+
+
+@settings(**few)
+@given(frags=st.lists(_pii_fragments, min_size=1, max_size=6), sep=st.sampled_from([" ", "  ", " x ", ","]))
+def test_pii_patterns_cross_engine(spark, frags, sep):
+    import duckdb
+
+    from pymongraph_spark.functions.text import PII_ORDER, PII_PATTERNS, pii_count, pii_redact
+
+    text = sep.join(frags)
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            *[pii_count("t", k).alias(k) for k in PII_ORDER],
+            pii_redact("t").alias("red"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    red_sql = "t"
+    for kind in PII_ORDER:
+        red_sql = (
+            f"regexp_replace({red_sql}, '{PII_PATTERNS[kind]}', "
+            f"'[{kind.upper()}]', 'g')"
+        )
+    counts_sql = ", ".join(
+        f"len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS {k}" for k in PII_ORDER
+    )
+    duck = con.execute(
+        f"SELECT {counts_sql}, {red_sql} AS red FROM (SELECT ? AS t)", [text]
+    ).fetchone()
+    for i, k in enumerate(PII_ORDER):
+        assert row[k] == duck[i], (k, text, row[k], duck[i])
+    assert row.red == duck[len(PII_ORDER)], (text, row.red, duck[-1])
