@@ -5522,9 +5522,16 @@ def _t105_oracle() -> str:
 
 @query("t105_pii_redaction", oracle=_t105_oracle())
 def t105_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pii_projection(load_tables(spark, sf_dir)["documents"])
+
+
+def _pii_projection(docs: DataFrame) -> DataFrame:
+    """t105's full battery over any (doc_id, text) frame — shared with
+    the st93 streaming scrub so batch and stream are the SAME operator
+    (and the same oracle: redaction is per-doc deterministic, so the
+    stream's union of per-batch outputs equals the batch projection)."""
     from pymongraph_spark.functions.text import PII_ORDER, pii_count, pii_redact
 
-    docs = load_tables(spark, sf_dir)["documents"]
     did = F.col("doc_id")
     s = docs.select(
         "doc_id",

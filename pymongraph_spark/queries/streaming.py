@@ -988,3 +988,71 @@ def _st92_oracle() -> str:
 query("st92_streaming_embedding_neardup_hier", oracle=_st92_oracle())(
     st92_streaming_embedding_neardup_hier
 )
+
+
+# --------------------------------------------------------------------------
+# st93: streaming PII scrub — t105's battery (functions.text.PII_PATTERNS
+# tag + mask, Dolma tagger family) applied ON INGEST, the production
+# placement for a scrub: documents arrive in micro-batches (doc_id % 4
+# waves, mtime-monotone staging) and each trigger emits the scrubbed
+# projection for exactly its batch. Redaction is per-doc deterministic
+# and batches partition the corpus, so the union of per-batch outputs
+# EQUALS the batch operator's projection — st93 shares t105's oracle
+# verbatim (queries/llm._pii_projection is the single code path for
+# both). IDEMPOTENT under at-least-once replay: the sink is a
+# batch-id-keyed subdir with a _SUCCESS-marker skip (the st91
+# discipline), so a replayed batch rewrites identical content.
+# Map-only per trigger — no state, no shuffle, O(batch) at any scale.
+# --------------------------------------------------------------------------
+def st93_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.queries.llm import _pii_projection
+
+    base = scratch_dir("st93_pii", sf_dir)
+    input_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "scrubbed")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    staged: list[str] = []
+    for wave in range(4):
+        docs.filter(F.col("doc_id") % 4 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        seen = set(staged)
+        staged.extend(sorted(p for p in _data_files(input_dir) if p not in seen))
+    stamp_monotone_mtimes(input_dir, order=staged)
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(out_dir, f"b={batch_id}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch already fully committed — skip
+        _pii_projection(batch_df).write.mode("overwrite").parquet(bdir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).drop("b")
+
+
+def _st93_oracle() -> str:
+    from pymongraph_spark.queries.llm import _t105_oracle
+
+    return _t105_oracle()
+
+
+query("st93_streaming_pii_scrub", oracle=_st93_oracle())(st93_streaming_pii_scrub)

@@ -221,3 +221,18 @@ def test_st91_replayed_batch_is_idempotent(spark, tmp_path):
     assert replayed == first
     for a, b, l2 in replayed:
         assert a != b and a % 4 > b % 4  # cross-wave orientation intact
+
+
+def test_st93_stream_equals_batch(spark):
+    """The streaming PII scrub must emit EXACTLY the batch projection —
+    same rows, same masked md5s — because batches partition the corpus
+    and redaction is per-doc deterministic. Any drift (a batch skipped,
+    a doc double-emitted, a different code path) breaks equality."""
+    from pymongraph_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    stream = QUERIES["st93_streaming_pii_scrub"](spark, sf)
+    batch = QUERIES["t105_pii_redaction"](spark, sf)
+    assert stream.count() == batch.count()
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
