@@ -295,6 +295,114 @@ def bpe_learn_merges(
     )
 
 
+def bpe_encode_doc_stats(
+    docs: "DataFrame",
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Production-scale BPE ENCODE (the apply half of the tokenizer
+    stack — VERDICT r11 item 1): per document, pre-tokenize to
+    ``[a-z0-9]+`` words and encode each word with the learned ``merges``
+    table, returning (doc_id, n_words, n_chars, n_bpe_tokens) — the
+    t103 output shape.
+
+    Why not t103's nested-replace expression chain: that chain is
+    O(n_merges) EXPRESSION DEPTH — a plan constant that dies in
+    Catalyst/codegen orders of magnitude before a production 32k-merge
+    vocab. Here the merge table is a BROADCAST RANK MAP and the encode
+    runs Arrow-batched inside mapInPandas — per-doc cost independent of
+    n_merges (probed flat at 12/64/256 merges, SCALE_PROBE_bpe_encode):
+
+    - the published greedy apply algorithm (Sennrich et al. 2016 as
+      implemented by the GPT-2/HF tokenizers): repeatedly merge every
+      leftmost-non-overlapping occurrence of the LOWEST-RANK pair
+      present in the word. For a valid trained table this is provably
+      byte-identical to replaying the merges in training order (a pair's
+      occurrences are only ever destroyed, never created, by merges of
+      lower rank than both its symbols' creations) — pinned against the
+      t103 expression chain and a pure-Python sequential reference in
+      tests/test_text_functions.py + test_properties.py;
+    - a per-executor MEMO over unique words: corpora are Zipfian, so
+      almost every word instance is a cache hit — the encode loop runs
+      once per DISTINCT word per batch, not per instance;
+    - map-only: no shuffle, no state; the merge table ships once per
+      executor via broadcast (a 32k-merge table is a few hundred KB).
+
+    ``docs[text_col]`` must be pre-normalized (lowercased) UPSTREAM with
+    JVM-side ``F.lower`` — Python ``str.lower()`` diverges from UTF8
+    lowercasing on some Unicode code points, and keeping normalization
+    in the plan keeps the oracle twin byte-identical.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {(l, r): i for i, (l, r) in enumerate(merges)}
+    )
+    out_schema = (
+        f"{id_col} long, n_words bigint, n_chars bigint, n_bpe_tokens bigint"
+    )
+
+    def encode(batches):
+        import re as _re
+
+        ranks = ranks_bc.value
+        memo: dict[str, int] = {}
+        word_re = _re.compile(r"[a-z0-9]+")
+
+        def n_tokens(word: str) -> int:
+            n = memo.get(word)
+            if n is not None:
+                return n
+            syms = list(word)
+            while len(syms) >= 2:
+                best = None
+                bl = br = None
+                prev = syms[0]
+                for nxt in syms[1:]:
+                    r = ranks.get((prev, nxt))
+                    if r is not None and (best is None or r < best):
+                        best, bl, br = r, prev, nxt
+                    prev = nxt
+                if best is None:
+                    break
+                merged = bl + br
+                out = []
+                i, ln = 0, len(syms)
+                while i < ln:
+                    if i < ln - 1 and syms[i] == bl and syms[i + 1] == br:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = len(syms)
+            return memo[word]
+
+        for pdf in batches:
+            ids, nw, nc, nb = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = word_re.findall(text) if text else []
+                if not words:
+                    continue  # t103 semantics: wordless docs emit no row
+                ids.append(did)
+                nw.append(len(words))
+                nc.append(sum(map(len, words)))
+                nb.append(sum(n_tokens(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_chars": pd.Series(nc, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(nb, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(encode, schema=out_schema)
+
+
 # --------------------------------------------------------------------------
 # PII detection + redaction — the Dolma toolkit's tagger family (Soldaini
 # et al. 2024 tag emails / phone numbers / IP addresses with regexes and
@@ -305,8 +413,13 @@ def bpe_learn_merges(
 # the Spark expressions and the SQL oracles interpolate the same strings.
 # --------------------------------------------------------------------------
 _IPV4_OCTET = r"(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])"
+# Case-insensitivity via EXPLICIT [A-Za-z] classes, not an inline (?i)
+# flag (ADVICE r11): Java's (?i) is ASCII-only while RE2's is Unicode
+# case-folding (e.g. U+212A KELVIN SIGN folds to 'k' in RE2 only), so a
+# flag would silently leave the Java∩RE2-identical subset. Explicit
+# classes keep the two engines byte-identical on any input.
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
     "ipv4": rf"\b(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
@@ -319,7 +432,16 @@ PII_ORDER = ("email", "phone", "ipv4", "ssn")
 
 def pii_count(c: Column | str, kind: str) -> Column:
     """Non-overlapping match count of one PII kind (leftmost-greedy —
-    identical in Java regex and RE2 for these patterns)."""
+    identical in Java regex and RE2 for these patterns).
+
+    Counts are RAW-TEXT tag counts, computed independently per kind on
+    the un-redacted text, while :func:`pii_redact` masks sequentially in
+    PII_ORDER — so a span matching two kinds (e.g. a phone-shaped email
+    local part '555-123-4567@x.com') is counted under BOTH kinds but
+    masked once, by the earliest kind in PII_ORDER. This is the Dolma
+    tagger convention (taggers tag independently; the scrub masks once)
+    and is engine-neutral, but it means Σ n_* can exceed the number of
+    emitted masks on overlapping spans."""
     c = F.col(c) if isinstance(c, str) else c
     return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast(
         "bigint"

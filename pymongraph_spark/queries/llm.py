@@ -5185,6 +5185,11 @@ _T104_SQL_SHINGLES = (
     f"list_distinct([array_to_string(toks[i:i+{_T104_NGRAM - 1}], ' ') "
     f"for i in generate_series(1, greatest(len(toks) - {_T104_NGRAM - 1}, 0))])"
 )
+# seed-fold mod the MECHANIZED filter size m (the d65 fold — r11 item 4:
+# the composed gate previously pinned m_bits=65536, the regime d65's
+# probe measured saturated at 10× scale; now the composition is gated in
+# its working regime and m_bits is a hashed output column)
+_T104_SEED_FOLD = _sql_md5_fold("CAST(s.seed AS VARCHAR) || ':' || gram", 12, "m")
 
 
 @query(
@@ -5206,9 +5211,10 @@ _T104_SQL_SHINGLES = (
       FROM (SELECT doc_id, bucket, toks FROM b WHERE len(toks) >= {_T104_NGRAM})
     ),
     ev AS (SELECT DISTINCT gram FROM sh WHERE bucket >= 90),
+    mparam AS (SELECT GREATEST(65536, 64 * COUNT(*)) AS m FROM ev),
     pos_ev AS (
-      SELECT {_D59_SEED_FOLD} AS pos
-      FROM ev, (SELECT unnest([0, 1, 2]) AS seed) s
+      SELECT {_T104_SEED_FOLD} AS pos
+      FROM ev, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
     ),
     words AS (
       SELECT pos // 63 AS w,
@@ -5217,8 +5223,8 @@ _T104_SQL_SHINGLES = (
     ),
     tr AS (SELECT DISTINCT doc_id, gram FROM sh WHERE bucket < 80),
     probe AS (
-      SELECT tr.doc_id, tr.gram, {_D59_SEED_FOLD} AS pos
-      FROM tr, (SELECT unnest([0, 1, 2]) AS seed) s
+      SELECT tr.doc_id, tr.gram, {_T104_SEED_FOLD} AS pos
+      FROM tr, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
     ),
     gh AS (
       SELECT p.doc_id, p.gram,
@@ -5267,24 +5273,24 @@ _T104_SQL_SHINGLES = (
     )
     SELECT CAST(shard_id AS INT) AS shard_id,
            COUNT(*) AS n_docs,
-           COUNT(DISTINCT off // 512) AS n_sequences,
+           CAST(MAX((off + n_tokens + 511) // 512) AS BIGINT) AS n_sequences,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
-           MAX(doc_id) AS last_doc
+           MAX(doc_id) AS last_doc,
+           CAST((SELECT m FROM mparam) AS BIGINT) AS m_bits
     FROM placed GROUP BY shard_id
     """,
 )
 def t104_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the gate pins m_bits=65536 (the static oracle replays those exact
-    # filter words); production sizes the filter to the eval-gram count
-    # with dedup.bloom_m_bits_for — the t104 scale probe measured the
-    # pinned size 87% full (66% gram-FP) at 45k eval grams, and times the
-    # composition with the mechanized sizing (SCALE_PROBE_t104.json).
-    return pipeline_compose(spark, sf_dir, m_bits=65536)
+    # m_bits=None → mechanized sizing (dedup.bloom_m_bits_for), emitted
+    # as a hashed output column so the SIZING RULE is gated inside the
+    # composition (r11 item 4) — the r11 gate pinned 65536, the regime
+    # the t104 scale probe measured 87% full / 66% gram-FP at 10× scale.
+    return pipeline_compose(spark, sf_dir, m_bits=None)
 
 
 def pipeline_compose(
-    spark: SparkSession, sf_dir: str, m_bits: int = 65536
+    spark: SparkSession, sf_dir: str, m_bits: int | None = None
 ) -> DataFrame:
     from pymongraph_spark.operators.dedup import (
         bloom_decontaminate,
@@ -5309,7 +5315,19 @@ def pipeline_compose(
         % 100
     )
     grams = shingled_grams(surv, n=_T104_NGRAM).withColumn("bucket", bucket)
-    ev = grams.filter(F.col("bucket") >= 90).select("gram").distinct()
+    # localCheckpoint before the sizing count (the d65/ADVICE discipline:
+    # the count and the filter build must not each re-run the eval-side
+    # shingle scan); the checkpointed frame is tiny — distinct eval grams.
+    ev = (
+        grams.filter(F.col("bucket") >= 90)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if m_bits is None:
+        from pymongraph_spark.operators.dedup import bloom_m_bits_for
+
+        m_bits = bloom_m_bits_for(ev.count())
     tr = grams.filter(F.col("bucket") < 80).select("doc_id", "gram")
     flagged = (
         bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
@@ -5346,12 +5364,22 @@ def pipeline_compose(
     placed = sharded.withColumn(
         "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
-    return placed.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(F.expr("off div 512")).alias("n_sequences"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+    # n_sequences = 512-token bins the packed spans [off, off+n_tokens)
+    # OCCUPY (ADVICE r11: counting only bins where a doc STARTS
+    # undercounts when a doc crosses a bin boundary). Packing is
+    # contiguous per shard, so occupancy = ceil(span end / 512) of the
+    # last span = ceil(total_tokens / 512) — computed from the spans so
+    # the packing offsets stay load-bearing.
+    return (
+        placed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.expr("(off + n_tokens + 511) div 512")).alias("n_sequences"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn("m_bits", F.lit(m_bits).cast("bigint"))
     )
 
 
@@ -5434,11 +5462,18 @@ def d65_bloom_decontamination_sized(spark: SparkSession, sf_dir: str) -> DataFra
         % 100
     )
     sh = shingled_grams(docs, n=_T104_NGRAM).withColumn("bucket", bucket)
-    ev = sh.filter(F.col("bucket") >= 90).select("gram").distinct()
-    # one bounded count job sizes the filter — the filter build collects
-    # the eval grams to a broadcast constant anyway, so the count adds no
-    # new scaling term; at 100 TB you'd count the (small) eval set once
-    # and reuse m across runs.
+    # localCheckpoint before counting (ADVICE r11): the sizing count and
+    # the filter build otherwise each re-run the eval-side shingle scan.
+    # One bounded job sizes the filter — the filter build collects the
+    # eval grams to a broadcast constant anyway, so the count adds no new
+    # scaling term; at 100 TB you'd count the (small) eval set once and
+    # reuse m across runs.
+    ev = (
+        sh.filter(F.col("bucket") >= 90)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     m_bits = bloom_m_bits_for(ev.count())
     tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
     bl = bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
@@ -5489,7 +5524,7 @@ def _t105_oracle() -> str:
       SELECT doc_id,
              text
              || CASE WHEN doc_id % 3 = 0
-                     THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+                     THEN ' reach User' || CAST(doc_id AS VARCHAR) || '@Example.COM ok'
                      ELSE '' END
              || CASE WHEN doc_id % 4 = 1
                      THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
@@ -5539,10 +5574,13 @@ def _pii_projection(docs: DataFrame) -> DataFrame:
             F.col("text"),
             F.when(
                 did % 3 == 0,
+                # mixed-case on purpose (ADVICE r11): the gate must
+                # exercise the case-insensitive email classes, not just
+                # lowercase PII
                 F.concat(
-                    F.lit(" reach user"),
+                    F.lit(" reach User"),
                     did.cast("string"),
-                    F.lit("@example.com ok"),
+                    F.lit("@Example.COM ok"),
                 ),
             ).otherwise(F.lit("")),
             F.when(

@@ -81,9 +81,10 @@ def prep_corpus(spark, src_sf: str, dst_dir: str) -> dict:
 
 def flags_and_planted(spark, sf_dir: str) -> tuple[int, int, int, int, int]:
     """Replay t104's decontamination stage alone, with the filter SIZED BY
-    THE MECHANIZED RULE (bloom_m_bits_for — the gate row pins 65536, which
-    this probe measured 87% full / 66% gram-FP at 45k eval grams; at probe
-    scale the production sizing is the claim under test). Returns
+    THE MECHANIZED RULE (bloom_m_bits_for — since r12 the gate row uses
+    the same sizing and hash-checks m_bits as an output column; the r11
+    probe measured the old pinned 65536 87% full / 66% gram-FP at 45k
+    eval grams). Returns
     (n_train, n_flagged, n_planted_in_train, n_planted_flagged, m_bits)."""
     from pyspark.sql import functions as F
 
@@ -124,8 +125,8 @@ def flags_and_planted(spark, sf_dir: str) -> tuple[int, int, int, int, int]:
 
 def run_once(spark, sf_dir: str, m_bits: int) -> tuple[float, dict]:
     """Time the SAME composition the gate registers (queries.llm.
-    pipeline_compose — t104 is this function at the oracle-pinned
-    m_bits=65536) with the production-sized filter."""
+    pipeline_compose — t104 is this function under the mechanized
+    sizing) with the production-sized filter."""
     from pymongraph_spark.queries.llm import pipeline_compose
 
     t0 = time.monotonic()

@@ -224,8 +224,12 @@ def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
 _pii_fragments = st.sampled_from(
     [
         "user7@example.com",
+        "John.Doe@Example.COM",  # mixed case (ADVICE r11)
+        "UPPER@HOST.IO",
+        "MiXeD123@sub.Domain-x.Net",
         "a@b.io",
         "a@b",  # no TLD — must NOT match
+        "a@b.c",  # 1-char TLD — must NOT match, any case
         "x.y+z@mail-host.org",
         "555-123-4567",
         "12-345-6789",  # wrong grouping

@@ -230,9 +230,8 @@ def test_st93_stream_equals_batch(spark):
     a doc double-emitted, a different code path) breaks equality."""
     from pymongraph_spark.queries import QUERIES
 
-    sf = "/root/testdata/sf0.001"
-    stream = QUERIES["st93_streaming_pii_scrub"](spark, sf)
-    batch = QUERIES["t105_pii_redaction"](spark, sf)
+    stream = QUERIES["st93_streaming_pii_scrub"](spark, SF_SMALL)
+    batch = QUERIES["t105_pii_redaction"](spark, SF_SMALL)
     assert stream.count() == batch.count()
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0

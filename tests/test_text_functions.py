@@ -431,6 +431,9 @@ def test_pii_count_and_redact(spark):
 
     rows = [
         ("two emails a@b.io and c.d+x@e-f.org here", 2, 0, 0, 0),
+        # mixed/upper case must count and mask (ADVICE r11 — the classes
+        # are [A-Za-z...]; lowercase-only patterns missed these)
+        ("mail John.Doe@Example.COM and UPPER@HOST.IO now", 2, 0, 0, 0),
         ("call 555-123-4567 or 555-000-1111", 0, 2, 0, 0),
         ("from 192.168.0.1 and 10.0.0.255 but not 999.1.1.1", 0, 0, 2, 0),
         ("ssn 123-45-6789 once", 0, 0, 0, 1),
@@ -455,4 +458,5 @@ def test_pii_count_and_redact(spark):
     assert all(r.red == rows[r.id][0] for r in clean)
     masked = {r.id: r.red for r in got}
     assert masked[0] == "two emails [EMAIL] and [EMAIL] here"
-    assert masked[3] == "ssn [SSN] once"
+    assert masked[1] == "mail [EMAIL] and [EMAIL] now"
+    assert masked[4] == "ssn [SSN] once"
