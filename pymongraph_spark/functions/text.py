@@ -295,6 +295,49 @@ def bpe_learn_merges(
     )
 
 
+def bpe_encode_word(word: str, ranks: "dict[tuple[str, str], int]") -> list[str]:
+    """Greedy lowest-rank-first BPE apply for ONE word — the published
+    apply algorithm (Sennrich et al. 2016 as shipped by the GPT-2/HF
+    tokenizers): find the lowest-rank adjacent symbol pair present,
+    merge every leftmost-non-overlapping occurrence, repeat until no
+    ranked pair remains. For a valid trained table this is byte-
+    identical to replaying the merges in training order (each replace-
+    all, leftmost-non-overlapping): a pair (l, r) can only OCCUR once
+    both symbols exist, symbols are created in rank order, and merging
+    a pair never creates a new occurrence of any equal-or-lower-rank
+    pair — so both orders merge the same occurrences. Pinned against a
+    sequential-replay reference (tests/test_properties.py) and the t103
+    expression chain (tests/test_text_functions.py).
+
+    Module-level (not a closure) so tests can drive it without Spark;
+    the mapInPandas path in :func:`bpe_encode_doc_stats` wraps it in a
+    per-executor memo over unique words."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        bl = br = None
+        prev = syms[0]
+        for nxt in syms[1:]:
+            r = ranks.get((prev, nxt))
+            if r is not None and (best is None or r < best):
+                best, bl, br = r, prev, nxt
+            prev = nxt
+        if best is None:
+            break
+        merged = bl + br
+        out = []
+        i, ln = 0, len(syms)
+        while i < ln:
+            if i < ln - 1 and syms[i] == bl and syms[i + 1] == br:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_encode_doc_stats(
     docs: "DataFrame",
     merges: "list[tuple[str, str]]",
@@ -353,33 +396,9 @@ def bpe_encode_doc_stats(
 
         def n_tokens(word: str) -> int:
             n = memo.get(word)
-            if n is not None:
-                return n
-            syms = list(word)
-            while len(syms) >= 2:
-                best = None
-                bl = br = None
-                prev = syms[0]
-                for nxt in syms[1:]:
-                    r = ranks.get((prev, nxt))
-                    if r is not None and (best is None or r < best):
-                        best, bl, br = r, prev, nxt
-                    prev = nxt
-                if best is None:
-                    break
-                merged = bl + br
-                out = []
-                i, ln = 0, len(syms)
-                while i < ln:
-                    if i < ln - 1 and syms[i] == bl and syms[i + 1] == br:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            memo[word] = len(syms)
-            return memo[word]
+            if n is None:
+                n = memo[word] = len(bpe_encode_word(word, ranks))
+            return n
 
         for pdf in batches:
             ids, nw, nc, nb = [], [], [], []

@@ -4962,6 +4962,78 @@ def t103_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t106: PRODUCTION-SCALE BPE ENCODE (VERDICT r11 item 1 — the one operator
+# whose production regime was structurally unserved): t103's nested-
+# replace chain is O(n_merges) EXPRESSION DEPTH, dead in Catalyst/codegen
+# well before a 32k-merge vocab. t106 is the scale path: the merge table
+# is a FROZEN 256-merge artifact (learned by the t102 trainer over the
+# vocab-sustaining sf0.1 corpus, SCALE_PROBE_bpe_r12.json — exactly how a
+# production tokenizer ships its vocab) broadcast as a rank map, and the
+# encode runs Arrow-batched greedy lowest-rank-first merging inside
+# mapInPandas with a unique-word memo — per-doc cost independent of
+# n_merges (probed flat at 12/64/256 merges, SCALE_PROBE_bpe_encode.json)
+# and byte-identical to the expression chain on any valid table
+# (tests/test_text_functions.py, test_properties.py).
+# Input is enriched with one deterministic hex word per doc
+# (lower(text) || ' ' || md5(doc_id), the trainer corpus recipe) so the
+# hex-heavy half of the frozen table actually fires at gate scale.
+# Oracle: the same 256 merges replayed IN TRAINING ORDER as a linear
+# chain of 256 replace CTEs (each leftmost-non-overlapping replace-all on
+# the bracket encoding — the engine-neutral primitive every BPE oracle
+# here uses); no exhaustion guard needed, the table is a constant.
+# --------------------------------------------------------------------------
+def _t106_oracle() -> str:
+    from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
+
+    ctes = [
+        """docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               lower(text) || ' ' || md5(CAST(doc_id AS VARCHAR)),
+               '([a-z0-9]+)', 1)) AS word
+      FROM documents
+    )""",
+        "e0 AS (SELECT doc_id, word, "
+        "regexp_replace(word, '(.)', '<\\1>', 'g') AS e FROM docw)",
+    ]
+    for i, (l, r) in enumerate(FROZEN_MERGES_R12, start=1):
+        # learned symbols are [a-z0-9]+ concatenations — safe to inline
+        ctes.append(
+            f"e{i} AS (SELECT doc_id, word, "
+            f"replace(e, '<{l}><{r}>', '<{l}{r}>') AS e FROM e{i - 1})"
+        )
+    n = len(FROZEN_MERGES_R12)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(substr(e, 2, length(e) - 2), '><')))
+             AS BIGINT) AS n_bpe_tokens
+    FROM e{n} GROUP BY doc_id"""
+    )
+
+
+@query("t106_bpe_encode_frozen", oracle=_t106_oracle())
+def t106_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
+    from pymongraph_spark.functions.text import bpe_encode_doc_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # normalization + enrichment stay JVM-side (F.lower / F.md5) so the
+    # Python stage receives pre-normalized text — see bpe_encode_doc_stats
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.lower("text"), F.lit(" "), F.md5(F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    return bpe_encode_doc_stats(enriched, FROZEN_MERGES_R12)
+
+
+# --------------------------------------------------------------------------
 # Quality-bound rows for the rows-only approximations (VERDICT r10 item 3,
 # with g56/g57 in queries/graph.py and q92 in queries/relational.py): each
 # emits ONLY exact values + integer bound flags, so the hash gate binds
@@ -5292,17 +5364,25 @@ def t104_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_compose(
     spark: SparkSession, sf_dir: str, m_bits: int | None = None
 ) -> DataFrame:
-    from pymongraph_spark.operators.dedup import (
-        bloom_decontaminate,
-        dedup_keep_first,
-        shingled_grams,
-    )
-    from pymongraph_spark.operators.sink import shard_expr
+    from pymongraph_spark.operators.dedup import dedup_keep_first
 
     docs = load_tables(spark, sf_dir)["documents"]
 
     # Stage 1 — exact dedup, keep-first survivor rule (d40 discipline).
     surv = dedup_keep_first(docs)
+    return _compose_tail(surv, m_bits=m_bits)
+
+
+def _compose_tail(surv: DataFrame, m_bits: int | None = None) -> DataFrame:
+    """Stages 2-5 of the composed pipeline (Bloom decontamination →
+    Gopher rules → per-shard packing → manifest) over any (doc_id, text)
+    survivor frame — shared by t104 (exact-dedup survivors) and t107
+    (exact + MinHash near-dup survivors)."""
+    from pymongraph_spark.operators.dedup import (
+        bloom_decontaminate,
+        shingled_grams,
+    )
+    from pymongraph_spark.operators.sink import shard_expr
 
     # Stage 2 — Bloom decontamination over the d52/d59 md5 split: eval
     # grams (bucket >= 90) fold into the broadcast filter; train docs
@@ -5380,6 +5460,197 @@ def pipeline_compose(
             F.max("doc_id").alias("last_doc"),
         )
         .withColumn("m_bits", F.lit(m_bits).cast("bigint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# t107: the composed pipeline WITH THE FUZZY TIER (VERDICT r11 item 3 —
+# t104 composes exact dedup only, so the near-dup ↔ decontamination
+# interface, the most expensive seam at 100 TB, had no composed gate):
+#   plant near-dups → exact dedup (d40) → MinHash LSH near-dup pairs
+#   (the d45 engine-neutral recipe) → connected components, keep min id
+#   (the d49 cluster rule) → Bloom decontamination (sized, d65 rule) →
+#   Gopher rules → per-shard packing → manifest.
+# The synthetic corpus's only high-jaccard pairs are EXACT duplicates,
+# which stage 1 removes — an unplanted fuzzy stage would hash-match
+# vacuously. So the query PLANTS near-dups deterministically (the
+# q26/t105 discipline, the SCALE_PROBE_st92 planting idea): every doc
+# with doc_id % 40 = 3 gets a copy at doc_id + 1000000 with a short tail
+# appended — distinct text (survives exact dedup), ~0.98 3-gram jaccard
+# (caught by 16-band LSH at threshold 0.5) — and the manifest carries
+# n_neardup_dropped, hash-checked nonzero by both engines. The oracle
+# replays ALL of it in one WITH RECURSIVE chain: planting, dedup, the
+# full d45 banded-join candidate generation, transitive closure, the
+# keep-min drop, then the sized-Bloom/Gopher/packing tail.
+# --------------------------------------------------------------------------
+_T107_PLANT_MOD = 40
+_T107_TAIL = " planted near dup tail r12"
+
+
+def _t107_oracle() -> str:
+    d45_ctes, d45_final = _d45_parts(source="sv")
+    return f"""
+    WITH RECURSIVE pl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '{_T107_TAIL}' AS text
+      FROM documents WHERE doc_id % {_T107_PLANT_MOD} = 3
+    ),
+    surv_ids AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS h
+            FROM pl)
+      GROUP BY h
+    ),
+    sv AS (SELECT pl.doc_id, pl.text FROM pl JOIN surv_ids USING (doc_id)),
+    {d45_ctes},
+    npairs AS ({d45_final}),
+    und AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM npairs
+      UNION ALL SELECT doc_id_b, doc_id_a FROM npairs
+    ),
+    reach(id, root) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id
+    ),
+    dropped AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(root) <> id
+    ),
+    fz AS (
+      SELECT sv.doc_id, sv.text FROM sv LEFT JOIN dropped d USING (doc_id)
+      WHERE d.doc_id IS NULL
+    ),
+    fb AS (
+      SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks FROM fz
+    ),
+    fsh AS (
+      SELECT doc_id, bucket, unnest({_T104_SQL_SHINGLES}) AS gram
+      FROM (SELECT doc_id, bucket, toks FROM fb WHERE len(toks) >= {_T104_NGRAM})
+    ),
+    ev AS (SELECT DISTINCT gram FROM fsh WHERE bucket >= 90),
+    mparam AS (SELECT GREATEST(65536, 64 * COUNT(*)) AS m FROM ev),
+    pos_ev AS (
+      SELECT {_T104_SEED_FOLD} AS pos
+      FROM ev, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    words AS (
+      SELECT pos // 63 AS w,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      FROM pos_ev GROUP BY pos // 63
+    ),
+    tr AS (SELECT DISTINCT doc_id, gram FROM fsh WHERE bucket < 80),
+    probe AS (
+      SELECT tr.doc_id, tr.gram, {_T104_SEED_FOLD} AS pos
+      FROM tr, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    gh AS (
+      SELECT p.doc_id, p.gram,
+             SUM(CASE WHEN (COALESCE(w.bits, 0)
+                            & (1::BIGINT << CAST(p.pos % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM probe p LEFT JOIN words w ON w.w = p.pos // 63
+      GROUP BY p.doc_id, p.gram
+    ),
+    flagged AS (
+      SELECT doc_id FROM gh GROUP BY doc_id
+      HAVING MAX(CASE WHEN nh = 3 THEN 1 ELSE 0 END) = 1
+    ),
+    train AS (
+      SELECT fb.doc_id, fb.toks
+      FROM fb LEFT JOIN flagged f USING (doc_id)
+      WHERE fb.bucket < 80 AND f.doc_id IS NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                              (a, b) -> a + b) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_distinct(toks), {_SQL_STOPS}))
+               AS BIGINT) AS n_stop
+      FROM train WHERE len(toks) >= 1
+    ),
+    kept AS (
+      SELECT doc_id, n_words AS n_tokens FROM m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND sum_len * 1000 // n_words BETWEEN 3000 AND 10000
+        AND n_alpha * 1000 // n_words >= 800
+        AND n_stop >= 2
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens, {_T104_SHARD8} AS shard_id FROM kept
+    ),
+    placed AS (
+      SELECT shard_id, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS off
+      FROM sharded
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(MAX((off + n_tokens + 511) // 512) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST((SELECT m FROM mparam) AS BIGINT) AS m_bits,
+           CAST((SELECT COUNT(*) FROM dropped) AS BIGINT) AS n_neardup_dropped
+    FROM placed GROUP BY shard_id
+    """
+
+
+@query("t107_pipeline_compose_fuzzy", oracle=_t107_oracle())
+def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.operators.dedup import (
+        dedup_keep_first,
+        minhash_lsh_pairs_neutral,
+    )
+    from pymongraph_spark.operators.graph_algos import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % _T107_PLANT_MOD == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_T107_TAIL)).alias("text"),
+    )
+    full = docs.unionByName(planted)
+
+    # Stage 1 — exact dedup (the planted copies survive: distinct text).
+    surv = dedup_keep_first(full)
+
+    # Stage 1.5 — the FUZZY tier: d45 banded MinHash candidates verified
+    # at jaccard >= 0.5, connected components over the (tiny) pair graph,
+    # keep the min id per cluster (the d49 rule). At 100 TB the pair
+    # graph holds only docs with >= 1 near-dup, so the CC loop never
+    # touches the corpus.
+    pairs = (
+        minhash_lsh_pairs_neutral(surv, n=3, num_hashes=64, bands=16, threshold=0.5)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        pairs.select(F.col("doc_id_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    noncanon = (
+        connected_components(verts, edges, max_iter=200, strict=True)
+        .filter(F.col("component") != F.col("id"))
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    n_dropped = noncanon.count()  # bounded: pair-graph vertices only
+    fuzzy = surv.join(noncanon, "doc_id", "left_anti")
+
+    # Stages 2-5 — the t104 tail (sized Bloom → Gopher → pack → manifest)
+    # over the fuzzy survivors; n_neardup_dropped is hash-checked nonzero.
+    return _compose_tail(fuzzy).withColumn(
+        "n_neardup_dropped", F.lit(n_dropped).cast("bigint")
     )
 
 

@@ -768,16 +768,52 @@ def _stream_neardup_run(
     make_assign,
     waves: int = 4,
     batch_times: list | None = None,
+    compact_every: int | None = None,
+    occupancy: list | None = None,
+    occupancy_target: int = 125,
 ) -> DataFrame:
     """Shared streaming near-dup core (st91 flat / st92 hierarchical /
-    scale probes): stage ``emb`` as ``waves`` mtime-monotone files, then
-    per micro-batch (a) map-only cell assignment via the PRETRAINED
-    codebook ``make_assign(emb)`` builds, (b) same-cell equi-join
-    against the standing index, exact integer-L2² pairs under
-    ``threshold``, (c) batch-id-keyed idempotent append of batch and
-    pairs. Restartable on an existing ``base`` (replays are absorbed —
-    see _st91_run). ``batch_times`` (optional list) collects
-    (batch_id, rows, seconds) per trigger, for scale probes."""
+    st94 compacted / scale probes): stage ``emb`` as ``waves``
+    mtime-monotone files, then per micro-batch (a) map-only cell
+    assignment via the PRETRAINED codebook ``make_assign(emb)`` builds,
+    (b) same-cell equi-join against the standing index, exact
+    integer-L2² pairs under ``threshold``, (c) batch-id-keyed idempotent
+    append of batch and pairs. Restartable on an existing ``base``
+    (replays are absorbed — see _st91_run). ``batch_times`` (optional
+    list) collects (batch_id, rows, seconds) per trigger, for scale
+    probes.
+
+    ``compact_every`` (VERDICT r11 item 2): the flat one-``b=N``-subdir-
+    per-trigger index layout grows listing + footer overhead linearly in
+    TRIGGER COUNT (fine at 4 probe triggers, a small-files accumulation
+    at 10⁴-10⁵ production triggers). When set, every ``compact_every``
+    committed batches the store.py LSM discipline (generation-fold +
+    retirement GC) folds the standing index into ONE cumulative
+    generation file ``gen/upto=<H>`` carrying the batch id as an
+    explicit ``b`` column, then retires the folded ``b=*`` subdirs and
+    superseded generations — live per-batch subdirs stay bounded by
+    ``compact_every`` at any trigger count. Crash-safe in write order:
+    the new generation commits (atomic _SUCCESS) BEFORE any retirement
+    delete, and the read path takes only the LATEST committed generation
+    plus ``b > covered`` subdirs, so a crash between fold and GC (both
+    copies on disk) never double-counts. The ``b < batch_id`` replay
+    prune applies unchanged to the generation's ``b`` column.
+
+    ``occupancy`` (VERDICT r11 item 5 — codebook drift monitor): when a
+    list is passed, each trigger appends
+    (batch_id, n_cells, index_rows, mean_occupancy, max_occupancy,
+    needs_refresh) for the standing index INCLUDING this batch. Counts
+    are maintained in a driver dict from each batch's per-cell counts (a
+    k-row collect of the batch assignment the trigger already computed —
+    no new shuffle over the index). needs_refresh fires when
+    max_occupancy > 4 × ``occupancy_target`` (the codebook_k_for design
+    occupancy): the bounded-occupancy guarantee behind flat per-trigger
+    cost assumes the pretrain corpus was representative, and a drifting
+    stream erodes it silently — the documented refresh rule is to
+    retrain the codebook at codebook_k_for(index_rows) when the flag
+    fires (probe: scripts/probe_occupancy_drift.py catches a
+    deliberately undersized codebook)."""
+    import shutil as _shutil
     import time as _time
 
     from pymongraph_spark.operators.similarity import (
@@ -788,8 +824,86 @@ def _stream_neardup_run(
 
     input_dir = os.path.join(base, "in")
     index_dir = os.path.join(base, "index")
+    gen_dir = os.path.join(base, "gen")
     pairs_dir = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
+
+    def _committed_gens() -> list[int]:
+        if not os.path.isdir(gen_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(gen_dir)
+            if d.startswith("upto=")
+            and os.path.exists(os.path.join(gen_dir, d, "_SUCCESS"))
+        )
+
+    def _live_batches() -> list[int]:
+        if not os.path.isdir(index_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(index_dir)
+            if d.startswith("b=")
+        )
+
+    def _standing_index(batch_id: int):
+        """Latest committed generation + newer per-batch subdirs, both
+        pruned to b < batch_id (the replay guard). None when empty."""
+        gens = _committed_gens()
+        covered = gens[-1] if gens else -1
+        frames = []
+        if covered >= 0:
+            frames.append(
+                spark.read.parquet(os.path.join(gen_dir, f"upto={covered}"))
+                .filter(F.col("b") < F.lit(batch_id))
+                .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
+            )
+        if any(b > covered for b in _live_batches()):
+            frames.append(
+                # partition column b comes from the subdir names; the
+                # b < batch_id prune keeps a replay from probing rows
+                # this same batch appended on its first attempt.
+                # The per-batch tier stays FLAT (no partitionBy(cell)):
+                # a cell-partitioned layout was implemented and
+                # MEASURED WORSE at probe scale — 4.54× vs 1.26× per
+                # decade — because a 1000-vector trigger touches ~all
+                # cells (batch × occupancy ≈ 62% of the index), so
+                # dir-pruning saves little while per-cell small files
+                # multiply open/footer overhead. Cell pruning pays only
+                # when batch × occupancy ≪ index AND cells are
+                # compacted; see SCALE.md round-11 for the break-even.
+                spark.read.parquet(index_dir)
+                .filter((F.col("b") > F.lit(covered)) & (F.col("b") < F.lit(batch_id)))
+                .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _compact(upto: int) -> None:
+        """Generation-fold + retirement GC (the store.py LSM pattern):
+        fold latest generation + b ≤ upto subdirs into gen/upto=<upto>,
+        commit, then retire the folded inputs."""
+        folded = _standing_index(upto + 1)  # everything with b <= upto
+        if folded is None:
+            return
+        gens_before = _committed_gens()
+        folded.write.mode("overwrite").parquet(
+            os.path.join(gen_dir, f"upto={upto}")
+        )
+        # retirement GC — only after the new generation committed
+        for g in gens_before:
+            if g < upto:
+                _shutil.rmtree(os.path.join(gen_dir, f"upto={g}"), ignore_errors=True)
+        for b in _live_batches():
+            if b <= upto:
+                _shutil.rmtree(os.path.join(index_dir, f"b={b}"), ignore_errors=True)
+
+    cell_counts: dict = {}  # occupancy monitor state (driver-side, k-bounded)
 
     assign = make_assign(emb)
 
@@ -813,15 +927,19 @@ def _stream_neardup_run(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
         bdir = os.path.join(index_dir, f"b={batch_id}")
-        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
-            return  # replayed batch already fully committed — skip
+        gens = _committed_gens()
+        if (gens and batch_id <= gens[-1]) or os.path.exists(
+            os.path.join(bdir, "_SUCCESS")
+        ):
+            return  # replayed batch already fully committed (or compacted)
         qb = quantize_arr(batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr")
         probe = (
             qb.join(assign(qb), "vec_id")
             .select("vec_id", "qarr", "cell")
             .localCheckpoint(eager=True)  # reused twice below
         )
-        if os.path.isdir(index_dir):
+        standing = _standing_index(batch_id)
+        if standing is not None:
             pairs = (
                 probe.select(
                     F.col("vec_id").alias("vec_id_new"),
@@ -829,21 +947,7 @@ def _stream_neardup_run(
                     "cell",
                 )
                 .join(
-                    # partition column b comes from the subdir names; the
-                    # b < batch_id prune keeps a replay from probing rows
-                    # this same batch appended on its first attempt.
-                    # The index stays FLAT per batch (no partitionBy(cell)):
-                    # a cell-partitioned layout was implemented and
-                    # MEASURED WORSE at probe scale — 4.54× vs 1.26× per
-                    # decade — because a 1000-vector trigger touches ~all
-                    # cells (batch × occupancy ≈ 62% of the index), so
-                    # dir-pruning saves little while per-cell small files
-                    # multiply open/footer overhead. Cell pruning pays only
-                    # when batch × occupancy ≪ index AND cells are
-                    # compacted; see SCALE.md round-11 for the break-even.
-                    spark.read.parquet(index_dir)
-                    .filter(F.col("b") < F.lit(batch_id))
-                    .select(
+                    standing.select(
                         F.col("vec_id").alias("vec_id_corpus"),
                         F.col("qarr").alias("__qc"),
                         "cell",
@@ -864,6 +968,26 @@ def _stream_neardup_run(
                 os.path.join(pairs_dir, f"b={batch_id}")
             )
         probe.write.mode("overwrite").parquet(bdir)
+        if occupancy is not None:
+            # per-RUN monitor: batch cell counts (k rows, no index scan)
+            # accumulate into a driver dict — a restarted process starts
+            # the monitor fresh, it never affects results
+            for r in probe.groupBy("cell").count().collect():
+                cell_counts[r["cell"]] = cell_counts.get(r["cell"], 0) + r["count"]
+            n_rows = sum(cell_counts.values())
+            max_occ = max(cell_counts.values())
+            occupancy.append(
+                {
+                    "batch_id": batch_id,
+                    "n_cells": len(cell_counts),
+                    "index_rows": int(n_rows),
+                    "mean_occupancy": round(n_rows / len(cell_counts), 2),
+                    "max_occupancy": int(max_occ),
+                    "needs_refresh": bool(max_occ > 4 * occupancy_target),
+                }
+            )
+        if compact_every is not None and len(_live_batches()) >= compact_every:
+            _compact(batch_id)
         if batch_times is not None:
             batch_times.append(
                 (batch_id, probe.count(), round(_time.perf_counter() - t0, 3))
@@ -934,30 +1058,39 @@ query("st91_streaming_embedding_neardup", oracle=_st91_oracle())(
 # oracle = the d62 unrolled two-level kmeans leaf assignment + the
 # cross-wave same-leaf pair join under the d58 integer-L2² threshold.
 # --------------------------------------------------------------------------
-def st92_streaming_embedding_neardup_hier(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import shutil
-
-    from pymongraph_spark.catalog import load_tables
+def _make_hier_assign(emb: DataFrame):
     from pymongraph_spark.operators.dedup import (
         assign_hierarchical,
         hierarchical_codebook,
     )
 
-    def make_hier_assign(emb: DataFrame):
-        # the gate pins k=16: the DuckDB oracle is a static unrolled-CTE
-        # string that must replay the same codebook. Production sizing is
-        # dedup.codebook_k_for(n_corpus) — k∝n at bounded occupancy,
-        # probe-verified (SCALE_PROBE_st92.json: trigger ratio 1.03 at
-        # 10× standing index) and unit-pinned.
-        cells_arr, cmat, fine_cb = hierarchical_codebook(emb, k_clusters=16, iters=2)
-        return lambda qb: assign_hierarchical(qb, cells_arr, cmat, fine_cb)
+    # the gate pins k=16: the DuckDB oracle is a static unrolled-CTE
+    # string that must replay the same codebook. Production sizing is
+    # dedup.codebook_k_for(n_corpus) — k∝n at bounded occupancy,
+    # probe-verified (SCALE_PROBE_st92.json: trigger ratio 1.03 at
+    # 10× standing index) and unit-pinned.
+    cells_arr, cmat, fine_cb = hierarchical_codebook(emb, k_clusters=16, iters=2)
+    return lambda qb: assign_hierarchical(qb, cells_arr, cmat, fine_cb)
+
+
+def _st92_run(spark: SparkSession, sf_dir: str, base: str, **kw) -> DataFrame:
+    """st92 body, restartable on an existing ``base`` (the _st91_run
+    contract); ``kw`` forwards compact_every / occupancy / batch_times
+    to the shared core (st94 and the probes use these)."""
+    from pymongraph_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    return _stream_neardup_run(spark, emb, base, _ST91_T, _make_hier_assign, **kw)
+
+
+def st92_streaming_embedding_neardup_hier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
 
     base = scratch_dir("st92_embneardup", sf_dir)
     shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
-    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
-    return _stream_neardup_run(spark, emb, base, _ST91_T, make_hier_assign)
+    return _st92_run(spark, sf_dir, base)
 
 
 def _st92_oracle() -> str:
@@ -987,6 +1120,32 @@ def _st92_oracle() -> str:
 
 query("st92_streaming_embedding_neardup_hier", oracle=_st92_oracle())(
     st92_streaming_embedding_neardup_hier
+)
+
+
+# --------------------------------------------------------------------------
+# st94: st92 with STANDING-INDEX COMPACTION live (VERDICT r11 item 2) —
+# the same hierarchical streaming near-dup, but every 2 committed batches
+# the generation-fold + retirement-GC path (the store.py LSM discipline)
+# folds the per-trigger b=N subdirs into one cumulative generation file,
+# so live per-batch subdirs stay bounded by compact_every at any trigger
+# count instead of growing one subdir per trigger forever. Pair results
+# are IDENTICAL to st92 by construction (the fold only relocates rows;
+# the b < batch_id replay prune applies to the generation's explicit b
+# column) — so st94 shares st92's oracle verbatim, and the gate hash-
+# checks that compaction never changes an answer. Flat per-trigger wall
+# + bounded file count at 50 triggers: scripts/probe_st94_compaction.py.
+# --------------------------------------------------------------------------
+def st94_streaming_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = scratch_dir("st94_embneardup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+    return _st92_run(spark, sf_dir, base, compact_every=2)
+
+
+query("st94_streaming_neardup_compacted", oracle=_st92_oracle())(
+    st94_streaming_neardup_compacted
 )
 
 

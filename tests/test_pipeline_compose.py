@@ -83,6 +83,37 @@ def test_t104_manifest_shape(spark):
         assert r.first_doc <= r.last_doc
 
 
+def test_t107_fuzzy_stage_drops_every_planted_neardup(spark):
+    """t107's near-dup stage must drop a verified NONZERO set (the r11
+    brief's non-vacuity demand): every planted copy that survives exact
+    dedup sits in a cluster with its lower-id source, so the keep-min
+    rule must drop at least all of them (jaccard ≈ 0.98 ≫ 0.5; the
+    16-band LSH miss probability is ~1e-18)."""
+    from pymongraph_spark.operators.dedup import dedup_keep_first
+    from pymongraph_spark.queries.llm import _T107_PLANT_MOD, _T107_TAIL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % _T107_PLANT_MOD == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_T107_TAIL)).alias("text"),
+    )
+    surv = dedup_keep_first(docs.unionByName(planted))
+    planted_surviving = surv.filter(F.col("doc_id") >= 1000000).count()
+    assert planted_surviving > 0, "planting vacuous: nothing to drop"
+
+    rows = QUERIES["t107_pipeline_compose_fuzzy"](spark, SF_SMALL).collect()
+    assert rows, "empty manifest"
+    n_dropped = {r.n_neardup_dropped for r in rows}
+    assert len(n_dropped) == 1  # one global count, repeated per shard
+    assert n_dropped.pop() >= planted_surviving
+    # manifest stays well-formed with the fuzzy tier in place
+    assert sorted(r.shard_id for r in rows) == list(range(8))
+    for r in rows:
+        assert r.n_docs > 0 and r.total_tokens > 0 and r.m_bits >= 65536
+
+
 def test_bloom_m_bits_for_holds_gram_fp():
     """The mechanized filter sizing: fill factor from the closed form
     stays at the designed point, and the gate's pinned 65536 floor is

@@ -213,6 +213,49 @@ def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
 
 
 # --------------------------------------------------------------------------
+# BPE greedy apply ≡ sequential replay (t106's encoder): for any VALID
+# trained table (learned by the reference trainer from a random corpus),
+# the greedy lowest-rank-first apply must equal replaying the merges in
+# training order, each as a leftmost-non-overlapping replace-all — the
+# exact semantics of t103's expression chain and the DuckDB oracles.
+# The encode is driven on words OUTSIDE the training corpus too (partial
+# merges, unseen symbols) — the production case for a frozen vocab.
+# --------------------------------------------------------------------------
+def _sequential_bpe(word: str, merges: list) -> list[str]:
+    """Replay merges in training order on the '<sym>...' encoding —
+    str.replace is leftmost-non-overlapping replace-all, the same
+    primitive the SQL oracles and the Spark chain use."""
+    if not word:
+        return []
+    enc = "".join(f"<{c}>" for c in word)
+    for l, r in merges:
+        enc = enc.replace(f"<{l}><{r}>", f"<{l}{r}>")
+    return enc[1:-1].split("><")
+
+
+@settings(**few)
+@given(
+    corpus=st.lists(st.text(alphabet="ab1", min_size=1, max_size=6), min_size=1, max_size=10),
+    probes=st.lists(st.text(alphabet="ab1c", min_size=0, max_size=12), min_size=1, max_size=8),
+    n_merges=st.integers(1, 8),
+)
+def test_bpe_greedy_apply_equals_sequential_replay(corpus, probes, n_merges):
+    from collections import Counter
+
+    from pymongraph_spark.functions.text import bpe_encode_word
+    from tests.test_text_functions import _bpe_reference
+
+    learned = _bpe_reference(dict(Counter(corpus)), n_merges)
+    merges = [(l, r) for _, l, r, _, _, _ in learned]
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    for w in probes:
+        assert bpe_encode_word(w, ranks) == _sequential_bpe(w, merges), (
+            w,
+            merges,
+        )
+
+
+# --------------------------------------------------------------------------
 # Cross-engine PII regex equivalence: t105's hash-match proves Java and
 # RE2 agree on the SYNTHESIZED corpus; this property drives the same
 # patterns over adversarial generated text (fragment shuffles that sit

@@ -223,6 +223,107 @@ def test_st91_replayed_batch_is_idempotent(spark, tmp_path):
         assert a != b and a % 4 > b % 4  # cross-wave orientation intact
 
 
+def test_st94_compaction_preserves_pairs_and_bounds_layout(spark, tmp_path):
+    """The generation-fold only RELOCATES index rows, so st94 (compacted)
+    must emit exactly st92's pairs; and after the run the per-batch tier
+    is bounded by compact_every while a single committed generation
+    covers the rest — the layout claim behind 'flat at any trigger
+    count'."""
+    import os
+
+    from pymongraph_spark.queries import QUERIES
+    from pymongraph_spark.queries.streaming import _st92_run
+
+    want = sorted(
+        map(
+            tuple,
+            QUERIES["st92_streaming_embedding_neardup_hier"](spark, SF_SMALL).collect(),
+        )
+    )
+    base = str(tmp_path / "st94")
+    got = sorted(map(tuple, _st92_run(spark, SF_SMALL, base, compact_every=2).collect()))
+    assert got == want and len(got) > 0
+
+    gens = [
+        d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("upto=")
+    ]
+    assert len(gens) == 1, f"retirement GC left superseded generations: {gens}"
+    live = [
+        d
+        for d in os.listdir(os.path.join(base, "index"))
+        if d.startswith("b=")
+    ]
+    assert len(live) < 2, f"per-batch tier not folded: {live}"
+
+
+def test_st94_replay_after_compaction_is_idempotent(spark, tmp_path):
+    """The st91 replay battery under compaction: delete the final batch's
+    checkpoint COMMIT and restart — the replayed batch's rows are already
+    inside a generation file, so the covered-generation skip (and the
+    b < batch_id prune on the generation's b column) must absorb the
+    replay bit-identically."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st92_run
+
+    base = str(tmp_path / "st94r")
+    first = sorted(
+        map(tuple, _st92_run(spark, SF_SMALL, base, compact_every=2).collect())
+    )
+
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    replayed = sorted(
+        map(tuple, _st92_run(spark, SF_SMALL, base, compact_every=2).collect())
+    )
+    assert replayed == first
+    for a, b, l2 in replayed:
+        assert a != b and a % 4 > b % 4  # cross-wave orientation intact
+
+
+def test_occupancy_monitor_columns_and_refresh_rule(spark, tmp_path):
+    """The codebook drift monitor (VERDICT r11 item 5): per-trigger rows
+    carry the standing-index occupancy including the arriving batch, and
+    needs_refresh fires exactly when max occupancy exceeds 4× the design
+    target — pinned by re-deriving the flag from the emitted columns and
+    by a deliberately tiny target that must trip it."""
+    from pymongraph_spark.queries.streaming import _st92_run
+
+    mon: list[dict] = []
+    _st92_run(spark, SF_SMALL, str(tmp_path / "occ"), occupancy=mon).collect()
+    assert len(mon) == 4  # one row per wave
+    prev_rows = 0
+    for row in mon:
+        assert set(row) == {
+            "batch_id",
+            "n_cells",
+            "index_rows",
+            "mean_occupancy",
+            "max_occupancy",
+            "needs_refresh",
+        }
+        assert row["index_rows"] > prev_rows  # cumulative, batch included
+        prev_rows = row["index_rows"]
+        assert 1 <= row["mean_occupancy"] <= row["max_occupancy"]
+        assert row["needs_refresh"] == (row["max_occupancy"] > 4 * 125)
+
+    # an undersized codebook (tiny design target) must trip the flag
+    mon2: list[dict] = []
+    _st92_run(
+        spark,
+        SF_SMALL,
+        str(tmp_path / "occ2"),
+        occupancy=mon2,
+        occupancy_target=1,
+    ).collect()
+    assert mon2[-1]["needs_refresh"] is True
+
+
 def test_st93_stream_equals_batch(spark):
     """The streaming PII scrub must emit EXACTLY the batch projection —
     same rows, same masked md5s — because batches partition the corpus

@@ -421,6 +421,68 @@ def test_bpe_oracles_guarded_against_vocab_exhaustion(spark, tmp_path):
     assert [tuple(r) for r in spark_tok] == want_tok
 
 
+def test_bpe_encode_doc_stats_matches_expression_chain(spark):
+    """The production encoder (broadcast rank map + greedy apply inside
+    mapInPandas) must be byte-identical to t103's nested-replace
+    expression chain on the same learned table — the cross-check that
+    lets t106 replace the chain at production merge counts."""
+    import re
+
+    from pymongraph_spark.functions.text import (
+        bpe_encode_doc_stats,
+        bpe_learn_merges,
+    )
+
+    docs = [
+        "the cat sat on the mat, the cat ate",
+        "lower lowest low low lower newer newest new",
+        "aaa aaa aa baaa abab ababab",  # overlap + self-adjacent merges
+        "The THE the 42 424 2",
+        "",  # wordless: must emit NO row on either path
+        "punct-only !!! ...",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id: long, text: string"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_learn_merges(df, n_merges=12).orderBy("step").collect()
+    ]
+    # pre-lower upstream (JVM-side) — both paths consume the same column
+    dfl = df.select("doc_id", F.lower("text").alias("text"))
+
+    rep = "regexp_replace(word, '(.)', '<$1>')"
+    for l, r in merges:
+        rep = f"replace({rep}, '<{l}><{r}>', '<{l}{r}>')"
+    chain = (
+        dfl.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(text, '([a-z0-9]+)', 1)")
+            ).alias("word"),
+        )
+        .select("doc_id", F.length("word").alias("wl"), F.expr(rep).alias("e"))
+        .select(
+            "doc_id",
+            "wl",
+            F.size(F.expr("split(substring(e, 2, length(e) - 2), '><')")).alias("nt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wl").cast("bigint").alias("n_chars"),
+            F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    got = sorted(map(tuple, bpe_encode_doc_stats(dfl, merges).collect()))
+    want = sorted(map(tuple, chain.collect()))
+    assert got == want
+    # the wordless docs emitted no row on either path
+    emitted = {t[0] for t in got}
+    has_words = {i for i, d in enumerate(docs) if re.findall(r"[a-z0-9]+", d.lower())}
+    assert emitted == has_words
+
+
 def test_pii_count_and_redact(spark):
     """Known-answer PII battery + the redaction fixpoint: counting any
     kind over already-redacted text is zero, and clean text round-trips
