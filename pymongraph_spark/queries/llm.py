@@ -5018,10 +5018,18 @@ def _t106_oracle() -> str:
 
 @query("t106_bpe_encode_frozen", oracle=_t106_oracle())
 def t106_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t106_projection(load_tables(spark, sf_dir)["documents"])
+
+
+def _t106_projection(docs: DataFrame) -> DataFrame:
+    """t106's full battery over any (doc_id, text) frame — shared with
+    the st95 on-ingest tokenizer so batch and stream are the SAME
+    operator (the t105/st93 discipline: encoding is per-doc
+    deterministic, so the stream's union of per-batch outputs equals
+    the batch projection and both share one oracle)."""
     from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
     from pymongraph_spark.functions.text import bpe_encode_doc_stats
 
-    docs = load_tables(spark, sf_dir)["documents"]
     # normalization + enrichment stay JVM-side (F.lower / F.md5) so the
     # Python stage receives pre-normalized text — see bpe_encode_doc_stats
     enriched = docs.select(

@@ -1215,3 +1215,72 @@ def _st93_oracle() -> str:
 
 
 query("st93_streaming_pii_scrub", oracle=_st93_oracle())(st93_streaming_pii_scrub)
+
+
+# --------------------------------------------------------------------------
+# st95: streaming BPE tokenization on ingest — t106's frozen-vocab encode
+# (broadcast rank map + greedy apply in mapInPandas) applied per micro-
+# batch, the production placement for tokenization in a training-data
+# pipeline: documents are token-counted AS THEY ARRIVE, not in a later
+# batch sweep. Same st93 shape: doc_id % 4 waves, mtime-monotone staging,
+# batch-id-keyed idempotent sinks with a _SUCCESS-marker skip. Encoding
+# is per-doc deterministic and batches partition the corpus, so the
+# union of per-batch outputs EQUALS the batch operator's projection —
+# st95 shares t106's oracle verbatim (queries/llm._t106_projection is
+# the single code path for both). Map-only per trigger: no state, no
+# shuffle, the frozen merge table broadcasts once — O(batch) at any
+# scale, and the rank-map encoder keeps per-doc cost independent of the
+# production vocab size (SCALE_PROBE_bpe_encode.json).
+# --------------------------------------------------------------------------
+def st95_streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.queries.llm import _t106_projection
+
+    base = scratch_dir("st95_bpe", sf_dir)
+    input_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "encoded")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    staged: list[str] = []
+    for wave in range(4):
+        docs.filter(F.col("doc_id") % 4 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        seen = set(staged)
+        staged.extend(sorted(p for p in _data_files(input_dir) if p not in seen))
+    stamp_monotone_mtimes(input_dir, order=staged)
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(out_dir, f"b={batch_id}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch already fully committed — skip
+        _t106_projection(batch_df).write.mode("overwrite").parquet(bdir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).drop("b")
+
+
+def _st95_oracle() -> str:
+    from pymongraph_spark.queries.llm import _t106_oracle
+
+    return _t106_oracle()
+
+
+query("st95_streaming_bpe_encode", oracle=_st95_oracle())(st95_streaming_bpe_encode)

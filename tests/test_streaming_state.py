@@ -336,3 +336,16 @@ def test_st93_stream_equals_batch(spark):
     assert stream.count() == batch.count()
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_st95_stream_equals_batch(spark):
+    """The on-ingest tokenizer must emit EXACTLY the batch projection
+    (t106) — same rows, same token counts — because batches partition
+    the corpus and the frozen-vocab encode is per-doc deterministic."""
+    from pymongraph_spark.queries import QUERIES
+
+    stream = QUERIES["st95_streaming_bpe_encode"](spark, SF_SMALL)
+    batch = QUERIES["t106_bpe_encode_frozen"](spark, SF_SMALL)
+    assert stream.count() == batch.count()
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
