@@ -53,6 +53,12 @@ HEADLINE = [
     "t104_pipeline_compose",
     "d65_bloom_decontamination_sized",
     "t105_pii_redaction",
+    # round-12 flagships: the production BPE encoder (frozen 256-merge
+    # broadcast rank map in mapInPandas — the Python-batch tokenize hot
+    # path) and the composed pipeline with the fuzzy MinHash tier (its
+    # cost adds the banded-join + CC stages to t104's)
+    "t106_bpe_encode_frozen",
+    "t107_pipeline_compose_fuzzy",
 ]
 
 
