@@ -786,18 +786,31 @@ def _stream_neardup_run(
     ``compact_every`` (VERDICT r11 item 2): the flat one-``b=N``-subdir-
     per-trigger index layout grows listing + footer overhead linearly in
     TRIGGER COUNT (fine at 4 probe triggers, a small-files accumulation
-    at 10⁴-10⁵ production triggers). When set, every ``compact_every``
-    committed batches the store.py LSM discipline (generation-fold +
-    retirement GC) folds the standing index into ONE cumulative
-    generation file ``gen/upto=<H>`` carrying the batch id as an
-    explicit ``b`` column, then retires the folded ``b=*`` subdirs and
-    superseded generations — live per-batch subdirs stay bounded by
-    ``compact_every`` at any trigger count. Crash-safe in write order:
-    the new generation commits (atomic _SUCCESS) BEFORE any retirement
-    delete, and the read path takes only the LATEST committed generation
-    plus ``b > covered`` subdirs, so a crash between fold and GC (both
-    copies on disk) never double-counts. The ``b < batch_id`` replay
-    prune applies unchanged to the generation's ``b`` column.
+    at 10⁴-10⁵ production triggers). When set, the store.py LSM
+    discipline (generation-fold + retirement GC) runs SIZE-TIERED:
+
+    - **minor fold** every ``compact_every`` committed batches: only the
+      new ``b=*`` subdirs fold into one generation ``gen/r=<lo>_<hi>``
+      (batch id carried as an explicit ``b`` column) — O(those batches)
+      written, NO rewrite of standing data;
+    - **major fold** when ``_MAJOR_FANOUT`` generations accumulate: the
+      generations merge into one covering their union — the classic
+      tiered-LSM shape, so total fold bytes are O(n log n) over the
+      stream's life instead of the O(n²/compact_every) a cumulative
+      re-fold per minor would cost (the r12 first-cut was cumulative;
+      its probe measured the fold rewriting the whole index every
+      compact_every triggers — this is the refinement its artifact
+      named).
+
+    Live per-batch subdirs stay ≤ compact_every and committed
+    generations ≤ _MAJOR_FANOUT at any trigger count. Crash-safe in
+    write order: a generation commits (atomic _SUCCESS) BEFORE any
+    retirement delete; generation ranges are disjoint-or-contained by
+    construction, and the read path keeps only the MAXIMAL ranges (a
+    crash between a major's commit and its GC leaves contained minors
+    on disk — skipped, never double-read) plus ``b > covered`` subdirs.
+    The ``b < batch_id`` replay prune applies unchanged to the
+    generations' ``b`` column.
 
     ``occupancy`` (VERDICT r11 item 5 — codebook drift monitor): when a
     list is passed, each trigger appends
@@ -828,15 +841,26 @@ def _stream_neardup_run(
     pairs_dir = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
 
-    def _committed_gens() -> list[int]:
+    def _committed_gens() -> list[tuple[int, int]]:
+        """Committed generation (lo, hi) ranges, reduced to the MAXIMAL
+        set: ranges are disjoint or strictly contained (a major contains
+        the minors it merged), so any contained range is a not-yet-GC'd
+        duplicate — skip it."""
         if not os.path.isdir(gen_dir):
             return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(gen_dir)
-            if d.startswith("upto=")
-            and os.path.exists(os.path.join(gen_dir, d, "_SUCCESS"))
-        )
+        raw = []
+        for d in os.listdir(gen_dir):
+            if d.startswith("r=") and os.path.exists(
+                os.path.join(gen_dir, d, "_SUCCESS")
+            ):
+                lo, hi = (int(x) for x in d[2:].split("_", 1))
+                raw.append((lo, hi))
+        raw.sort(key=lambda p: (p[0] - p[1], p[0]))  # widest first
+        kept: list[tuple[int, int]] = []
+        for lo, hi in raw:
+            if not any(lo >= klo and hi <= khi for klo, khi in kept):
+                kept.append((lo, hi))
+        return sorted(kept)
 
     def _live_batches() -> list[int]:
         if not os.path.isdir(index_dir):
@@ -848,14 +872,16 @@ def _stream_neardup_run(
         )
 
     def _standing_index(batch_id: int):
-        """Latest committed generation + newer per-batch subdirs, both
+        """Maximal committed generations + newer per-batch subdirs, all
         pruned to b < batch_id (the replay guard). None when empty."""
         gens = _committed_gens()
-        covered = gens[-1] if gens else -1
+        covered = gens[-1][1] if gens else -1
         frames = []
-        if covered >= 0:
+        if gens:
             frames.append(
-                spark.read.parquet(os.path.join(gen_dir, f"upto={covered}"))
+                spark.read.parquet(
+                    *[os.path.join(gen_dir, f"r={lo}_{hi}") for lo, hi in gens]
+                )
                 .filter(F.col("b") < F.lit(batch_id))
                 .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
             )
@@ -884,24 +910,53 @@ def _stream_neardup_run(
             out = out.unionByName(fr)
         return out
 
-    def _compact(upto: int) -> None:
-        """Generation-fold + retirement GC (the store.py LSM pattern):
-        fold latest generation + b ≤ upto subdirs into gen/upto=<upto>,
-        commit, then retire the folded inputs."""
-        folded = _standing_index(upto + 1)  # everything with b <= upto
-        if folded is None:
-            return
-        gens_before = _committed_gens()
-        folded.write.mode("overwrite").parquet(
-            os.path.join(gen_dir, f"upto={upto}")
+    _MAJOR_FANOUT = 4
+
+    def _gen_frame(ranges) -> DataFrame:
+        return (
+            spark.read.parquet(
+                *[os.path.join(gen_dir, f"r={lo}_{hi}") for lo, hi in ranges]
+            )
+            .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
         )
-        # retirement GC — only after the new generation committed
-        for g in gens_before:
-            if g < upto:
-                _shutil.rmtree(os.path.join(gen_dir, f"upto={g}"), ignore_errors=True)
-        for b in _live_batches():
-            if b <= upto:
-                _shutil.rmtree(os.path.join(index_dir, f"b={b}"), ignore_errors=True)
+
+    def _compact(upto: int) -> None:
+        """Size-tiered fold + retirement GC (the store.py LSM pattern).
+        MINOR: fold only the not-yet-covered b=* subdirs into one
+        generation r=<lo>_<upto> — O(those batches), no standing-data
+        rewrite. MAJOR (every _MAJOR_FANOUT minors): merge all committed
+        generations into one covering their union. Each commits
+        atomically (_SUCCESS) before any retirement delete; a crash
+        between commit and GC leaves duplicates the maximal-range read
+        path skips."""
+        gens = _committed_gens()
+        covered = gens[-1][1] if gens else -1
+        fresh = [b for b in _live_batches() if covered < b <= upto]
+        if fresh:
+            lo, hi = min(fresh), upto
+            (
+                spark.read.parquet(index_dir)
+                .filter((F.col("b") >= F.lit(lo)) & (F.col("b") <= F.lit(hi)))
+                .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(gen_dir, f"r={lo}_{hi}"))
+            )
+            for b in _live_batches():
+                if b <= hi:  # includes pre-covered stragglers from replays
+                    _shutil.rmtree(
+                        os.path.join(index_dir, f"b={b}"), ignore_errors=True
+                    )
+        gens = _committed_gens()
+        if len(gens) >= _MAJOR_FANOUT:
+            lo, hi = gens[0][0], gens[-1][1]
+            _gen_frame(gens).write.mode("overwrite").parquet(
+                os.path.join(gen_dir, f"r={lo}_{hi}")
+            )
+            for glo, ghi in gens:
+                if (glo, ghi) != (lo, hi):
+                    _shutil.rmtree(
+                        os.path.join(gen_dir, f"r={glo}_{ghi}"), ignore_errors=True
+                    )
 
     cell_counts: dict = {}  # occupancy monitor state (driver-side, k-bounded)
 
@@ -928,7 +983,7 @@ def _stream_neardup_run(
         t0 = _time.perf_counter()
         bdir = os.path.join(index_dir, f"b={batch_id}")
         gens = _committed_gens()
-        if (gens and batch_id <= gens[-1]) or os.path.exists(
+        if (gens and batch_id <= gens[-1][1]) or os.path.exists(
             os.path.join(bdir, "_SUCCESS")
         ):
             return  # replayed batch already fully committed (or compacted)
@@ -1126,10 +1181,12 @@ query("st92_streaming_embedding_neardup_hier", oracle=_st92_oracle())(
 # --------------------------------------------------------------------------
 # st94: st92 with STANDING-INDEX COMPACTION live (VERDICT r11 item 2) —
 # the same hierarchical streaming near-dup, but every 2 committed batches
-# the generation-fold + retirement-GC path (the store.py LSM discipline)
-# folds the per-trigger b=N subdirs into one cumulative generation file,
-# so live per-batch subdirs stay bounded by compact_every at any trigger
-# count instead of growing one subdir per trigger forever. Pair results
+# the size-tiered generation-fold + retirement-GC path (the store.py LSM
+# discipline) folds the fresh per-trigger b=N subdirs into a generation
+# file (minor), merging generations when 4 accumulate (major) — live
+# per-batch subdirs stay ≤ compact_every and generations ≤ 4 at any
+# trigger count instead of growing one subdir per trigger forever, with
+# total fold bytes O(n log n) over the stream's life. Pair results
 # are IDENTICAL to st92 by construction (the fold only relocates rows;
 # the b < batch_id replay prune applies to the generation's explicit b
 # column) — so st94 shares st92's oracle verbatim, and the gate hash-

@@ -48,7 +48,7 @@ def data_file_count(base: str) -> dict:
             if f.endswith(".parquet")
         )
     if os.path.isdir(gen):
-        out["generations"] = sum(1 for d in os.listdir(gen) if d.startswith("upto="))
+        out["generations"] = sum(1 for d in os.listdir(gen) if d.startswith("r="))
         out["index_data_files"] += sum(
             1
             for root, _, files in os.walk(gen)

@@ -245,9 +245,11 @@ def test_st94_compaction_preserves_pairs_and_bounds_layout(spark, tmp_path):
     assert got == want and len(got) > 0
 
     gens = [
-        d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("upto=")
+        d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("r=")
     ]
-    assert len(gens) == 1, f"retirement GC left superseded generations: {gens}"
+    # size-tiered: committed generations bounded by the major fanout (4),
+    # and at 4 waves / compact_every=2 the two minors haven't hit it
+    assert 1 <= len(gens) <= 4, f"generation tier out of bounds: {gens}"
     live = [
         d
         for d in os.listdir(os.path.join(base, "index"))
@@ -284,6 +286,42 @@ def test_st94_replay_after_compaction_is_idempotent(spark, tmp_path):
     assert replayed == first
     for a, b, l2 in replayed:
         assert a != b and a % 4 > b % 4  # cross-wave orientation intact
+
+
+def test_st94_major_fold_preserves_pairs(spark, tmp_path):
+    """12 waves at compact_every=2 force minors at b=1,3,5,... and a
+    MAJOR merge once 4 generations accumulate. Pairs must equal the
+    uncompacted run's, generations must stay below the fanout, and the
+    majors must have actually happened (some generation spans more than
+    one minor's range)."""
+    import os
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.queries.streaming import _ST91_T, _make_hier_assign, _stream_neardup_run
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"].select("vec_id", "embedding")
+    want = sorted(
+        map(
+            tuple,
+            _stream_neardup_run(
+                spark, emb, str(tmp_path / "flat"), _ST91_T, _make_hier_assign, waves=12
+            ).collect(),
+        )
+    )
+    base = str(tmp_path / "tiered")
+    got = sorted(
+        map(
+            tuple,
+            _stream_neardup_run(
+                spark, emb, base, _ST91_T, _make_hier_assign, waves=12, compact_every=2
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    gens = [d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("r=")]
+    assert 1 <= len(gens) <= 4, gens
+    spans = [tuple(int(x) for x in g[2:].split("_")) for g in gens]
+    assert any(hi - lo >= 3 for lo, hi in spans), f"no major fold ran: {spans}"
 
 
 def test_occupancy_monitor_columns_and_refresh_rule(spark, tmp_path):
