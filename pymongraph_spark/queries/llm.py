@@ -5663,6 +5663,226 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t108: the composed pipeline packing by TOKENIZER TOKENS — t104/t107
+# pack by whitespace word counts, but a production pipeline packs by the
+# tokenizer's own token counts (context windows are measured in BPE
+# tokens, not words). t108 chains exact dedup → sized Bloom
+# decontamination → Gopher rules → the t106 FROZEN-VOCAB ENCODE over the
+# kept docs (broadcast rank map in mapInPandas — the scale path) →
+# per-shard 512-TOKEN packing on n_bpe_tokens → manifest. This is the
+# true production stage order (tokenize after quality filtering, pack in
+# tokenizer units); the oracle replays the Bloom/Gopher chain and then
+# the frozen table as a sequential replace-CTE chain RESTRICTED TO THE
+# KEPT DOCS, so the tokenize↔pack interface is cross-engine-gated.
+# No md5-tail enrichment here (that is t106's gate trick to fire the hex
+# merges): t108 packs the real text's token counts.
+# MERGE-TABLE PREFIX, deliberately: the synthetic corpus's 31-word
+# vocabulary saturates at ~89 learned merges (SCALE_PROBE_bpe_r11), so
+# the full 256-merge table degenerately maps EVERY corpus word to one
+# token — total_tokens would coincide with t104's word counts and the
+# token-vs-word packing distinction would be gate-invisible (the
+# vacuous-evidence trap). The first 32 merges (a valid table's prefix is
+# itself a valid table) leave most words partially merged: tokens >
+# words, pinned by test_t108_packs_tokenizer_units.
+# --------------------------------------------------------------------------
+_T108_MERGES = 32
+
+
+def _t108_oracle() -> str:
+    from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
+
+    merges = FROZEN_MERGES_R12[:_T108_MERGES]
+    enc_ctes = [
+        """docw AS (
+      SELECT k.doc_id,
+             unnest(regexp_extract_all(lower(d.text), '([a-z0-9]+)', 1)) AS word
+      FROM kept k JOIN documents d USING (doc_id)
+    )""",
+        "e0 AS (SELECT doc_id, regexp_replace(word, '(.)', '<\\1>', 'g') AS e"
+        " FROM docw)",
+    ]
+    for i, (l, r) in enumerate(merges, start=1):
+        enc_ctes.append(
+            f"e{i} AS (SELECT doc_id, "
+            f"replace(e, '<{l}><{r}>', '<{l}{r}>') AS e FROM e{i - 1})"
+        )
+    n = len(merges)
+    enc_sql = ",\n    ".join(enc_ctes)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket, {_SQL_TOKS} AS toks
+      FROM documents d
+      WHERE doc_id IN (
+        SELECT MIN(doc_id)
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS h
+              FROM documents)
+        GROUP BY h)
+    ),
+    sh AS (
+      SELECT doc_id, bucket, unnest({_T104_SQL_SHINGLES}) AS gram
+      FROM (SELECT doc_id, bucket, toks FROM b WHERE len(toks) >= {_T104_NGRAM})
+    ),
+    ev AS (SELECT DISTINCT gram FROM sh WHERE bucket >= 90),
+    mparam AS (SELECT GREATEST(65536, 64 * COUNT(*)) AS m FROM ev),
+    pos_ev AS (
+      SELECT {_T104_SEED_FOLD} AS pos
+      FROM ev, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    words AS (
+      SELECT pos // 63 AS w,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      FROM pos_ev GROUP BY pos // 63
+    ),
+    tr AS (SELECT DISTINCT doc_id, gram FROM sh WHERE bucket < 80),
+    probe AS (
+      SELECT tr.doc_id, tr.gram, {_T104_SEED_FOLD} AS pos
+      FROM tr, mparam, (SELECT unnest([0, 1, 2]) AS seed) s
+    ),
+    gh AS (
+      SELECT p.doc_id, p.gram,
+             SUM(CASE WHEN (COALESCE(w.bits, 0)
+                            & (1::BIGINT << CAST(p.pos % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM probe p LEFT JOIN words w ON w.w = p.pos // 63
+      GROUP BY p.doc_id, p.gram
+    ),
+    flagged AS (
+      SELECT doc_id FROM gh GROUP BY doc_id
+      HAVING MAX(CASE WHEN nh = 3 THEN 1 ELSE 0 END) = 1
+    ),
+    train AS (
+      SELECT b.doc_id, b.toks
+      FROM b LEFT JOIN flagged f USING (doc_id)
+      WHERE b.bucket < 80 AND f.doc_id IS NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                              (a, b) -> a + b) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_distinct(toks), {_SQL_STOPS}))
+               AS BIGINT) AS n_stop
+      FROM train WHERE len(toks) >= 1
+    ),
+    kept AS (
+      SELECT doc_id FROM m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND sum_len * 1000 // n_words BETWEEN 3000 AND 10000
+        AND n_alpha * 1000 // n_words >= 800
+        AND n_stop >= 2
+    ),
+    {enc_sql},
+    toked AS (
+      SELECT doc_id,
+             CAST(sum(len(string_split(substr(e, 2, length(e) - 2), '><')))
+               AS BIGINT) AS n_tokens
+      FROM e{n} GROUP BY doc_id
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens, {_T104_SHARD8} AS shard_id FROM toked
+    ),
+    placed AS (
+      SELECT shard_id, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS off
+      FROM sharded
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(MAX((off + n_tokens + 511) // 512) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST((SELECT m FROM mparam) AS BIGINT) AS m_bits
+    FROM placed GROUP BY shard_id
+    """
+
+
+@query("t108_pipeline_compose_tokenized", oracle=_t108_oracle())
+def t108_pipeline_compose_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
+    from pymongraph_spark.functions.text import bpe_encode_doc_stats
+    from pymongraph_spark.operators.dedup import (
+        bloom_decontaminate,
+        bloom_m_bits_for,
+        dedup_keep_first,
+        shingled_grams,
+    )
+    from pymongraph_spark.operators.sink import shard_expr
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    surv = dedup_keep_first(docs)
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    grams = shingled_grams(surv, n=_T104_NGRAM).withColumn("bucket", bucket)
+    ev = (
+        grams.filter(F.col("bucket") >= 90)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m_bits = bloom_m_bits_for(ev.count())
+    tr = grams.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    flagged = (
+        bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
+        .filter(F.col("bloom_flagged") == 1)
+        .select("doc_id")
+    )
+    train = (
+        surv.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 80)
+        .join(flagged, "doc_id", "left_anti")
+    )
+    ok_wc, ok_mwl, ok_alpha, ok_stops = _gopher_rules()
+    kept_ids = (
+        _gopher_metric_frame(train)
+        .filter(ok_wc & ok_mwl & ok_alpha & ok_stops)
+        .select("doc_id")
+    )
+
+    # the production stage order: TOKENIZE the kept docs with the frozen
+    # vocab (JVM-side lower, then the broadcast-rank-map encode), pack
+    # in the tokenizer's own units
+    kept_docs = docs.join(kept_ids, "doc_id", "left_semi").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    toked = bpe_encode_doc_stats(kept_docs, FROZEN_MERGES_R12[:_T108_MERGES]).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+
+    sharded = toked.select(
+        "doc_id", "n_tokens", shard_expr("doc_id", 8).alias("shard_id")
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sharded.withColumn(
+        "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.expr("(off + n_tokens + 511) div 512")).alias("n_sequences"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn("m_bits", F.lit(m_bits).cast("bigint"))
+    )
+
+
+# --------------------------------------------------------------------------
 # d65: Bloom decontamination with the MECHANIZED filter sizing — the gate
 # row for bloom_m_bits_for. d59 pins m_bits=65536 (fine at its 3-gram
 # gate-scale eval set); the t104 scale probe measured that pinned size

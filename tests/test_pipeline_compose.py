@@ -114,6 +114,23 @@ def test_t107_fuzzy_stage_drops_every_planted_neardup(spark):
         assert r.n_docs > 0 and r.total_tokens > 0 and r.m_bits >= 65536
 
 
+def test_t108_packs_tokenizer_units(spark):
+    """t108 runs the SAME dedup→Bloom→Gopher front as t104 and then packs
+    by frozen-vocab BPE tokens instead of words: per shard it must keep
+    exactly t104's doc set (n_docs, first/last equal) while total_tokens
+    is strictly larger (every word encodes to ≥1 token; with a 256-merge
+    vocab most words need several)."""
+    t104 = {r.shard_id: r for r in QUERIES["t104_pipeline_compose"](spark, SF_SMALL).collect()}
+    t108 = {r.shard_id: r for r in QUERIES["t108_pipeline_compose_tokenized"](spark, SF_SMALL).collect()}
+    assert set(t104) == set(t108) == set(range(8))
+    for sid in t104:
+        a, b = t104[sid], t108[sid]
+        assert (a.n_docs, a.first_doc, a.last_doc) == (b.n_docs, b.first_doc, b.last_doc)
+        assert b.total_tokens > a.total_tokens  # BPE tokens ≥ words, strictly here
+        assert b.n_sequences >= a.n_sequences
+        assert a.m_bits == b.m_bits  # same sized filter on the same eval set
+
+
 def test_bloom_m_bits_for_holds_gram_fp():
     """The mechanized filter sizing: fill factor from the closed form
     stays at the designed point, and the gate's pinned 65536 floor is
