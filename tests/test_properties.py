@@ -247,12 +247,18 @@ def test_bpe_greedy_apply_equals_sequential_replay(corpus, probes, n_merges):
 
     learned = _bpe_reference(dict(Counter(corpus)), n_merges)
     merges = [(l, r) for _, l, r, _, _, _ in learned]
-    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
-    for w in probes:
-        assert bpe_encode_word(w, ranks) == _sequential_bpe(w, merges), (
-            w,
-            merges,
-        )
+    # every PREFIX of a valid table is itself a valid table (symbols are
+    # created in rank order) — t106/t108 rely on exactly this when they
+    # ship a prefix of the frozen artifact, so pin it here too
+    for k in range(len(merges) + 1):
+        pre = merges[:k]
+        ranks = {(l, r): i for i, (l, r) in enumerate(pre)}
+        for w in probes:
+            assert bpe_encode_word(w, ranks) == _sequential_bpe(w, pre), (
+                w,
+                k,
+                pre,
+            )
 
 
 # --------------------------------------------------------------------------

@@ -483,6 +483,51 @@ def test_bpe_encode_doc_stats_matches_expression_chain(spark):
     assert emitted == has_words
 
 
+def test_bpe_encoder_handles_production_size_rank_map(spark):
+    """The t106 claim is a 32k-merge PRODUCTION vocab: ship a 32k-entry
+    rank map through the broadcast + mapInPandas path (validity is not
+    required just to run — greedy apply only ever consults the map) and
+    assert the encode completes with sane, deterministic counts. Guards
+    the broadcast-size path (≈1 MB pickled) and per-doc cost staying
+    independent of table size."""
+    import random
+    import time
+
+    from pymongraph_spark.functions.text import bpe_encode_doc_stats
+
+    rng = random.Random(42)
+    charset = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def rand_sym() -> str:
+        # multi-char symbols: single chars give only 36² distinct pairs
+        return "".join(rng.choice(charset) for _ in range(rng.randint(1, 4)))
+
+    merges = [("a", "b")]
+    seen = {("a", "b")}
+    while len(merges) < 32768:
+        pair = (rand_sym(), rand_sym())
+        if pair not in seen:
+            seen.add(pair)
+            merges.append(pair)
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox 42 jumps over "),
+            F.md5(F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    rows = bpe_encode_doc_stats(docs, merges).collect()
+    sec = time.monotonic() - t0
+    assert len(rows) == 200
+    for r in rows:
+        assert r.n_words == 8 and 1 <= r.n_bpe_tokens <= r.n_chars
+    # twice the same plan → identical counts (deterministic encode)
+    again = bpe_encode_doc_stats(docs, merges).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert sec < 60, f"32k-merge encode took {sec:.1f}s"
+
+
 def test_pii_count_and_redact(spark):
     """Known-answer PII battery + the redaction fixpoint: counting any
     kind over already-redacted text is zero, and clean text round-trips
