@@ -60,6 +60,31 @@ def _last_gated_round() -> dict[str, int]:
     return last
 
 
+def _changed_since_gate(last: dict[str, int]) -> set[str]:
+    """Queries whose implementation fingerprint (callable source +
+    oracle string — queries/fingerprints.py) differs from the snapshot
+    taken of the tree their last driver gate ran on (GATE_FPS.json,
+    written per round by scripts/snapshot_gate_fps.py). Unknown
+    snapshots degrade to 'unchanged' — the pre-r13 behavior."""
+    path = os.path.join(_REPO_DIR, "GATE_FPS.json")
+    try:
+        with open(path) as f:
+            snaps = json.load(f).get("snapshots", {})
+    except (OSError, json.JSONDecodeError):
+        return set()
+    if not snaps:
+        return set()
+    from pymongraph_spark.queries.fingerprints import current_fingerprints
+
+    cur = current_fingerprints()
+    changed = set()
+    for name, rnd in last.items():
+        fp_at_gate = snaps.get(str(rnd), {}).get(name)
+        if fp_at_gate is not None and fp_at_gate != cur.get(name):
+            changed.add(name)
+    return changed
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -71,15 +96,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     behind stale greens provably starves them once the gated population
     settles into window-sized cohorts (the round-6 verdict caught
     exactly that steady state: three 50-query cohorts cycling forever).
-    After the never-gated block, gated queries follow in ascending
-    last-gated-round order (stalest first — regenerated testdata can
-    silently break old greens; round-3's schema drift proved it), name
-    as tie-break. Once every query has a driver row, the registry
-    cycles through the gate every ceil(N/50) rounds.
+    Queries EDITED since their last gate rank with the never-gated
+    block (VERDICT r12 item 2: a gated green certifies the code it ran
+    on, and r12 left five queries wearing r11 greens over r12 edits) —
+    detected by comparing the current implementation fingerprint to the
+    per-round snapshot in GATE_FPS.json. After that block, gated
+    queries follow in ascending last-gated-round order (stalest first —
+    regenerated testdata can silently break old greens; round-3's
+    schema drift proved it), name as tie-break. Once every query has a
+    current driver row, the registry cycles through the gate every
+    ceil(N/50) rounds.
     """
     last = _last_gated_round()
+    changed = _changed_since_gate(last)
 
-    ordered = sorted(QUERIES, key=lambda k: (last.get(k, 0), k))
+    ordered = sorted(
+        QUERIES, key=lambda k: (0 if k in changed else last.get(k, 0), k)
+    )
     return {k: QUERIES[k] for k in ordered}
 
 

@@ -338,6 +338,30 @@ def bpe_encode_word(word: str, ranks: "dict[tuple[str, str], int]") -> list[str]
     return syms
 
 
+# rank-map broadcast cache, keyed by (application, merge-table identity):
+# bpe_encode_doc_stats used to broadcast a fresh rank map on EVERY call,
+# and st95 calls it once per micro-batch — a long-running stream leaked
+# one driver-side broadcast per trigger (ADVICE r12). Merge tables are
+# module-level constants (FROZEN_MERGES_R12 and its prefixes), so one
+# broadcast per table identity per SparkContext is the steady state;
+# entries from dead contexts are dropped on the next miss.
+_RANKS_BC_CACHE: dict = {}
+
+
+def _ranks_broadcast(spark, merges: "list[tuple[str, str]]"):
+    app = spark.sparkContext.applicationId
+    key = (app, tuple((l, r) for l, r in merges))
+    bc = _RANKS_BC_CACHE.get(key)
+    if bc is None:
+        for stale in [k for k in _RANKS_BC_CACHE if k[0] != app]:
+            del _RANKS_BC_CACHE[stale]
+        bc = spark.sparkContext.broadcast(
+            {(l, r): i for i, (l, r) in enumerate(merges)}
+        )
+        _RANKS_BC_CACHE[key] = bc
+    return bc
+
+
 def bpe_encode_doc_stats(
     docs: "DataFrame",
     merges: "list[tuple[str, str]]",
@@ -380,9 +404,7 @@ def bpe_encode_doc_stats(
     import pandas as pd
 
     spark = docs.sparkSession
-    ranks_bc = spark.sparkContext.broadcast(
-        {(l, r): i for i, (l, r) in enumerate(merges)}
-    )
+    ranks_bc = _ranks_broadcast(spark, merges)
     out_schema = (
         f"{id_col} long, n_words bigint, n_chars bigint, n_bpe_tokens bigint"
     )

@@ -1227,6 +1227,7 @@ def hierarchical_codebook(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: int | None = None,
 ):
     """Train semdedup_hierarchical's two-level (coarse → fine) codebook
     ONCE and return it as DRIVER METADATA — the pretrained artifact a
@@ -1244,7 +1245,14 @@ def hierarchical_codebook(
     Arithmetic is shared with semdedup_hierarchical via _fine_lloyd, so
     assign_hierarchical over the training corpus reproduces its leaf
     cells bit-exactly (pinned by
-    test_hierarchical_codebook_matches_batch_leaves)."""
+    test_hierarchical_codebook_matches_batch_leaves).
+
+    ``scale``: the quantization scale (default GRID_SCALE). Pass
+    ``scale=1`` when ``vec_col`` is ALREADY a quantized int64 array —
+    floor(q·1) = q, so the frame trains as-is. The streaming retrain
+    path (queries/streaming.py) trains on the standing index's stored
+    qarr this way; re-quantizing at GRID_SCALE would scale the grid a
+    second time and change the truncated-mean centroids."""
     import math
 
     from pymongraph_spark.operators.similarity import (
@@ -1262,7 +1270,9 @@ def hierarchical_codebook(
             f"fine cluster count k2={k2} >= 2^20 leaf stride; "
             f"k_clusters={k_clusters} needs a larger _LEAF_STRIDE"
         )
-    qa = quantize_arr(emb, id_col, vec_col, GRID_SCALE, out="qarr")
+    qa = quantize_arr(
+        emb, id_col, vec_col, GRID_SCALE if scale is None else scale, out="qarr"
+    )
     coarse, cent = grid_kmeans_cells_fast(qa, grid_seeds(emb, k1, id_col), iters)
     cells_arr, cmat = _centroid_matrix(cent)
 

@@ -5619,6 +5619,16 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.operators.graph_algos import connected_components
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    # the planted ids live at doc_id + 1000000, and BOTH engines share
+    # that offset — so an id collision with a real doc at a larger scale
+    # factor would corrupt the result in a way the oracle gate cannot
+    # catch (ADVICE r12). Fail loud instead: one bounded agg job.
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    if max_id >= 1_000_000:
+        raise ValueError(
+            f"t107 planted-near-dup offset collision: max doc_id {max_id} "
+            ">= 1000000 — raise the plant offset in query AND oracle"
+        )
     planted = docs.filter(F.col("doc_id") % _T107_PLANT_MOD == 3).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_T107_TAIL)).alias("text"),

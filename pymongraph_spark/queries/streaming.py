@@ -771,6 +771,9 @@ def _stream_neardup_run(
     compact_every: int | None = None,
     occupancy: list | None = None,
     occupancy_target: int = 125,
+    refresh: "str | int | None" = None,
+    refresh_k: int | None = None,
+    refresh_log: list | None = None,
 ) -> DataFrame:
     """Shared streaming near-dup core (st91 flat / st92 hierarchical /
     st94 compacted / scale probes): stage ``emb`` as ``waves``
@@ -793,14 +796,14 @@ def _stream_neardup_run(
       new ``b=*`` subdirs fold into one generation ``gen/r=<lo>_<hi>``
       (batch id carried as an explicit ``b`` column) — O(those batches)
       written, NO rewrite of standing data;
-    - **major fold** when ``_MAJOR_FANOUT`` generations accumulate: the
-      generations merge into one covering their union — the classic
-      tiered-LSM shape, so total fold bytes are O(n log n) over the
-      stream's life instead of the O(n²/compact_every) a cumulative
-      re-fold per minor would cost (the r12 first-cut was cumulative;
-      its probe measured the fold rewriting the whole index every
-      compact_every triggers — this is the refinement its artifact
-      named).
+    - **staggered major fold** (r12 item 6): once ``_MAJOR_FANOUT``
+      generations accumulate, each trigger folds exactly ONE adjacent
+      generation pair — the smallest combined span — instead of merging
+      the whole tier at once (the r12 all-at-once major landed as
+      late-decile latency spikes, last/first decile 2.9 at 100 triggers,
+      SCALE_PROBE_st94_decade2). Total fold bytes stay O(n log n) over
+      the stream's life; any single trigger's fold is bounded by the two
+      smallest neighbors.
 
     Live per-batch subdirs stay ≤ compact_every and committed
     generations ≤ _MAJOR_FANOUT at any trigger count. Crash-safe in
@@ -822,10 +825,42 @@ def _stream_neardup_run(
     max_occupancy > 4 × ``occupancy_target`` (the codebook_k_for design
     occupancy): the bounded-occupancy guarantee behind flat per-trigger
     cost assumes the pretrain corpus was representative, and a drifting
-    stream erodes it silently — the documented refresh rule is to
-    retrain the codebook at codebook_k_for(index_rows) when the flag
-    fires (probe: scripts/probe_occupancy_drift.py catches a
-    deliberately undersized codebook)."""
+    stream erodes it silently — the refresh rule is to retrain the
+    codebook at codebook_k_for(index_rows) when the flag fires (probe:
+    scripts/probe_occupancy_drift.py catches a deliberately undersized
+    codebook). When ``refresh`` is enabled (below), the monitor's
+    counts are SEEDED from the standing index at stream start so a
+    restarted process keeps a correct view.
+
+    ``refresh`` (VERDICT r12 item 1 — the monitor→retrain consumer):
+
+    - ``"occupancy"`` — the PRODUCTION rule: when the monitor's
+      max_occupancy exceeds 4 × ``occupancy_target``, retrain the
+      codebook on the standing index at ``refresh_k`` or
+      codebook_k_for(index_rows) and RE-KEY the index (probe:
+      scripts/probe_retrain.py shows post-retrain occupancy back at the
+      design point and per-trigger cost re-flattened);
+    - an ``int`` — fire unconditionally at the END of that trigger id.
+      The st96 GATE row pins the trigger (and refresh_k=16) because its
+      DuckDB oracle is a static string that must replay the retrained
+      codebook — the st92 pins-k-16 precedent; the occupancy-driven
+      path is what production runs, exercised by the probe and unit
+      tests.
+
+    The retrain itself is a major compaction with a new assignment
+    function: train hierarchical_codebook on the standing index's
+    stored (vec_id, qarr) rows (scale=1 — already quantized), write the
+    re-keyed full index as ONE generation ``re=0_<j>`` (epoch
+    namespace), then commit the epoch with an atomic marker file
+    ``retrain/j=<j>.json`` and only then retire the old-epoch dirs.
+    Crash-safe in that order: an UNMARKED re= generation is invisible
+    to the read path (state stays pre-retrain and the fire re-runs — a
+    deterministic function of the committed index, so the rewrite is
+    byte-identical); a marked one is authoritative, and a restart
+    rebuilds the epoch's codebook by re-running the same deterministic
+    retrain on the index rows b ≤ j. Pairs emitted BEFORE the retrain
+    are never touched (they were exact-L2²-verified facts); pairs after
+    it probe the re-keyed index under the new cells."""
     import shutil as _shutil
     import time as _time
 
@@ -839,27 +874,51 @@ def _stream_neardup_run(
     index_dir = os.path.join(base, "index")
     gen_dir = os.path.join(base, "gen")
     pairs_dir = os.path.join(base, "pairs")
+    retrain_dir = os.path.join(base, "retrain")
     ckpt = os.path.join(base, "ckpt")
 
-    def _committed_gens() -> list[tuple[int, int]]:
-        """Committed generation (lo, hi) ranges, reduced to the MAXIMAL
-        set: ranges are disjoint or strictly contained (a major contains
-        the minors it merged), so any contained range is a not-yet-GC'd
-        duplicate — skip it."""
+    def _epoch_hi() -> int:
+        """Highest committed retrain marker (-1 when never retrained).
+        The marker — retrain/j=<j>.json, written with os.replace — is
+        the atomic commit point of a retrain: re= generations without
+        one are invisible to the read path."""
+        if not os.path.isdir(retrain_dir):
+            return -1
+        js = [
+            int(f[2:-5])
+            for f in os.listdir(retrain_dir)
+            if f.startswith("j=") and f.endswith(".json")
+        ]
+        return max(js) if js else -1
+
+    def _committed_gens() -> list[tuple[int, int, str]]:
+        """Committed generation (lo, hi, dirname) ranges, reduced to the
+        MAXIMAL set: ranges are disjoint or strictly contained (a major
+        contains the minors it merged; a retrain epoch contains the
+        whole prefix it re-keyed), so any contained range is a
+        not-yet-GC'd duplicate — skip it. re= generations count only
+        when their epoch marker committed, and outrank an r= twin of the
+        same range (the re-keyed rows are the newer epoch)."""
         if not os.path.isdir(gen_dir):
             return []
+        ehi = _epoch_hi()
         raw = []
         for d in os.listdir(gen_dir):
-            if d.startswith("r=") and os.path.exists(
-                os.path.join(gen_dir, d, "_SUCCESS")
-            ):
+            if not os.path.exists(os.path.join(gen_dir, d, "_SUCCESS")):
+                continue
+            if d.startswith("re="):
+                lo, hi = (int(x) for x in d[3:].split("_", 1))
+                if hi <= ehi:  # marked epoch only
+                    raw.append((lo, hi, d))
+            elif d.startswith("r="):
                 lo, hi = (int(x) for x in d[2:].split("_", 1))
-                raw.append((lo, hi))
-        raw.sort(key=lambda p: (p[0] - p[1], p[0]))  # widest first
-        kept: list[tuple[int, int]] = []
-        for lo, hi in raw:
-            if not any(lo >= klo and hi <= khi for klo, khi in kept):
-                kept.append((lo, hi))
+                raw.append((lo, hi, d))
+        # widest first; on an equal range the re= epoch wins
+        raw.sort(key=lambda p: (p[0] - p[1], p[0], not p[2].startswith("re=")))
+        kept: list[tuple[int, int, str]] = []
+        for lo, hi, d in raw:
+            if not any(lo >= klo and hi <= khi for klo, khi, _ in kept):
+                kept.append((lo, hi, d))
         return sorted(kept)
 
     def _live_batches() -> list[int]:
@@ -880,7 +939,7 @@ def _stream_neardup_run(
         if gens:
             frames.append(
                 spark.read.parquet(
-                    *[os.path.join(gen_dir, f"r={lo}_{hi}") for lo, hi in gens]
+                    *[os.path.join(gen_dir, d) for _, _, d in gens]
                 )
                 .filter(F.col("b") < F.lit(batch_id))
                 .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
@@ -912,23 +971,22 @@ def _stream_neardup_run(
 
     _MAJOR_FANOUT = 4
 
-    def _gen_frame(ranges) -> DataFrame:
+    def _gen_frame(gens) -> DataFrame:
         return (
             spark.read.parquet(
-                *[os.path.join(gen_dir, f"r={lo}_{hi}") for lo, hi in ranges]
+                *[os.path.join(gen_dir, d) for _, _, d in gens]
             )
             .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
         )
 
     def _compact(upto: int) -> None:
-        """Size-tiered fold + retirement GC (the store.py LSM pattern).
-        MINOR: fold only the not-yet-covered b=* subdirs into one
-        generation r=<lo>_<upto> — O(those batches), no standing-data
-        rewrite. MAJOR (every _MAJOR_FANOUT minors): merge all committed
-        generations into one covering their union. Each commits
-        atomically (_SUCCESS) before any retirement delete; a crash
-        between commit and GC leaves duplicates the maximal-range read
-        path skips."""
+        """MINOR fold + retirement GC (the store.py LSM pattern): fold
+        only the not-yet-covered b=* subdirs into one generation
+        r=<lo>_<upto> — O(those batches), no standing-data rewrite. The
+        generation commits atomically (_SUCCESS) before any retirement
+        delete; a crash between commit and GC leaves duplicates the
+        maximal-range read path skips (and _gc_contained_gens retires).
+        Majors are STAGGERED — see _fold_pair."""
         gens = _committed_gens()
         covered = gens[-1][1] if gens else -1
         fresh = [b for b in _live_batches() if covered < b <= upto]
@@ -946,21 +1004,161 @@ def _stream_neardup_run(
                     _shutil.rmtree(
                         os.path.join(index_dir, f"b={b}"), ignore_errors=True
                     )
+        _gc_contained_gens()
+
+    def _fold_pair() -> None:
+        """STAGGERED major fold (VERDICT r12 item 6): the r12 major
+        merged ALL committed generations in one trigger, so at 100
+        triggers the majors landed as late-decile latency spikes
+        (last/first decile 2.9, SCALE_PROBE_st94_decade2). Instead, once
+        _MAJOR_FANOUT generations accumulate, fold exactly ONE adjacent
+        pair per trigger — the pair with the smallest combined batch
+        span (leftmost on ties), the size-tiered rule that keeps total
+        fold bytes O(n log n) over the stream's life while bounding any
+        single trigger's fold to the two smallest neighbors instead of
+        the whole tier. Generation count stays ≤ _MAJOR_FANOUT (a fold
+        fires at least as often as a minor can add one). Same crash
+        discipline: the merged generation contains both sources, commits
+        before their retirement, and a crash in between leaves contained
+        duplicates the read path skips and the GC sweep retires."""
         gens = _committed_gens()
-        if len(gens) >= _MAJOR_FANOUT:
-            lo, hi = gens[0][0], gens[-1][1]
-            _gen_frame(gens).write.mode("overwrite").parquet(
-                os.path.join(gen_dir, f"r={lo}_{hi}")
-            )
-            for glo, ghi in gens:
-                if (glo, ghi) != (lo, hi):
-                    _shutil.rmtree(
-                        os.path.join(gen_dir, f"r={glo}_{ghi}"), ignore_errors=True
-                    )
+        if len(gens) < _MAJOR_FANOUT:
+            return
+        i = min(
+            range(len(gens) - 1),
+            key=lambda j: (gens[j][1] - gens[j][0]) + (gens[j + 1][1] - gens[j + 1][0]),
+        )
+        pair = gens[i : i + 2]
+        lo, hi = pair[0][0], pair[1][1]
+        _gen_frame(pair).write.mode("overwrite").parquet(
+            os.path.join(gen_dir, f"r={lo}_{hi}")
+        )
+        for _, _, d in pair:
+            if d != f"r={lo}_{hi}":
+                _shutil.rmtree(os.path.join(gen_dir, d), ignore_errors=True)
+        _gc_contained_gens()
+
+    def _gc_contained_gens() -> None:
+        """Retire committed generations no longer in the kept maximal
+        set (ADVICE r12): a crash between a major's _SUCCESS commit and
+        its retirement GC leaves the folded minors on disk — the
+        maximal-range read path skips them, but without this sweep they
+        accumulate unboundedly across crashes. re= dirs are swept only
+        when superseded INSIDE a committed epoch (an unmarked re= dir
+        is a retrain mid-commit — the fire will overwrite it)."""
+        kept = {d for _, _, d in _committed_gens()}
+        ehi = _epoch_hi()
+        if not os.path.isdir(gen_dir):
+            return
+        for d in os.listdir(gen_dir):
+            if d in kept or not os.path.exists(
+                os.path.join(gen_dir, d, "_SUCCESS")
+            ):
+                continue
+            if d.startswith("r="):
+                _shutil.rmtree(os.path.join(gen_dir, d), ignore_errors=True)
+            elif d.startswith("re="):
+                hi = int(d[3:].split("_", 1)[1])
+                if hi <= ehi:  # superseded committed epoch
+                    _shutil.rmtree(os.path.join(gen_dir, d), ignore_errors=True)
 
     cell_counts: dict = {}  # occupancy monitor state (driver-side, k-bounded)
+    _monitor = occupancy is not None or refresh is not None
 
-    assign = make_assign(emb)
+    def _retrain_codebook(upto: int):
+        """Deterministic retrain at the committed prefix b <= upto: a
+        hierarchical codebook at refresh_k (gate) or codebook_k_for(n)
+        (production) over the standing index's STORED qarr rows —
+        scale=1, they are already quantized. Deterministic in the
+        committed index content, so a replay (or a restart rebuild)
+        reproduces the same codebook bit-exactly."""
+        from pymongraph_spark.operators.dedup import (
+            assign_hierarchical,
+            codebook_k_for,
+            hierarchical_codebook,
+        )
+
+        idx = _standing_index(upto + 1)
+        if idx is None:
+            return None, None, 0, 0
+        idx = idx.localCheckpoint(eager=True)  # one read feeds train + re-key
+        n = idx.count()
+        k_new = refresh_k if refresh_k is not None else codebook_k_for(n)
+        cells_arr, cmat, fine_cb = hierarchical_codebook(
+            idx, k_clusters=k_new, iters=2, vec_col="qarr", scale=1
+        )
+        return (
+            lambda qb: assign_hierarchical(qb, cells_arr, cmat, fine_cb),
+            idx,
+            k_new,
+            n,
+        )
+
+    def _retrain(upto: int) -> None:
+        """The monitor→retrain consumer (VERDICT r12 item 1): retrain,
+        RE-KEY the standing index through the generation-fold machinery
+        (a retrain IS a major compaction with a new assignment
+        function), commit the epoch with the atomic marker, then retire
+        the superseded dirs — see the refresh docstring for the crash
+        windows each ordering step closes."""
+        new_assign, idx, k_new, n = _retrain_codebook(upto)
+        if new_assign is None:
+            return
+        rekeyed = (
+            idx.drop("cell")
+            .join(new_assign(idx.select("vec_id", "qarr")), "vec_id")
+            .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
+        )
+        rekeyed.write.mode("overwrite").parquet(
+            os.path.join(gen_dir, f"re=0_{upto}")
+        )
+        # atomic epoch commit: the marker is what makes the re=
+        # generation visible — everything before this line is
+        # invisible-on-crash and deterministically rewritten by the fire
+        os.makedirs(retrain_dir, exist_ok=True)
+        tmp = os.path.join(retrain_dir, f".j={upto}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f'{{"k_new": {k_new}, "index_rows": {n}}}')
+        os.replace(tmp, os.path.join(retrain_dir, f"j={upto}.json"))
+        # retirement GC of the superseded epoch's gens and b-subdirs
+        _gc_contained_gens()
+        for b in _live_batches():
+            if b <= upto:
+                _shutil.rmtree(
+                    os.path.join(index_dir, f"b={b}"), ignore_errors=True
+                )
+        assign_ref[0] = new_assign
+        if _monitor:
+            # monitor counts are epoch-keyed — re-seed under the new cells
+            # (k-row collect of the re-key the retrain already computed)
+            cell_counts.clear()
+            for r in rekeyed.groupBy("cell").count().collect():
+                cell_counts[int(r["cell"])] = int(r["count"])
+        if refresh_log is not None:
+            refresh_log.append(
+                {"batch_id": upto, "index_rows": int(n), "k_new": int(k_new)}
+            )
+
+    assign_ref = [make_assign(emb)]
+    if refresh is not None:
+        ehi = _epoch_hi()
+        if ehi >= 0:
+            # restart into a committed epoch: rebuild its codebook by
+            # re-running the deterministic retrain over the rows b<=ehi
+            # (the re-key only relocated cells — vec_id/qarr content is
+            # identical to what the original fire trained on)
+            rebuilt, _, _, _ = _retrain_codebook(ehi)
+            if rebuilt is not None:
+                assign_ref[0] = rebuilt
+            _gc_contained_gens()  # finish any interrupted retirement
+    if _monitor:
+        seeded = _standing_index(1 << 62)
+        if seeded is not None:
+            # restart-correct monitor (needed once refresh consumes it):
+            # seed the counts from the standing index so a replayed or
+            # resumed stream evaluates the fire rule on true occupancy
+            for r in seeded.groupBy("cell").count().collect():
+                cell_counts[int(r["cell"])] = int(r["count"])
 
     if not os.path.isdir(input_dir):  # restart keeps the staged waves
         staged: list[str] = []
@@ -983,67 +1181,94 @@ def _stream_neardup_run(
         t0 = _time.perf_counter()
         bdir = os.path.join(index_dir, f"b={batch_id}")
         gens = _committed_gens()
-        if (gens and batch_id <= gens[-1][1]) or os.path.exists(
+        # a replayed batch already fully committed (or compacted) skips
+        # its data work, but must NOT skip the refresh evaluation below:
+        # the crash window between the batch's index commit and the
+        # retrain's epoch marker replays exactly this way, and an early
+        # return would strand the stream on the stale codebook
+        already = (gens and batch_id <= gens[-1][1]) or os.path.exists(
             os.path.join(bdir, "_SUCCESS")
-        ):
-            return  # replayed batch already fully committed (or compacted)
-        qb = quantize_arr(batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr")
-        probe = (
-            qb.join(assign(qb), "vec_id")
-            .select("vec_id", "qarr", "cell")
-            .localCheckpoint(eager=True)  # reused twice below
         )
-        standing = _standing_index(batch_id)
-        if standing is not None:
-            pairs = (
-                probe.select(
-                    F.col("vec_id").alias("vec_id_new"),
-                    F.col("qarr").alias("__qn"),
-                    "cell",
-                )
-                .join(
-                    standing.select(
-                        F.col("vec_id").alias("vec_id_corpus"),
-                        F.col("qarr").alias("__qc"),
+        if not already:
+            qb = quantize_arr(
+                batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr"
+            )
+            probe = (
+                qb.join(assign_ref[0](qb), "vec_id")
+                .select("vec_id", "qarr", "cell")
+                .localCheckpoint(eager=True)  # reused twice below
+            )
+            standing = _standing_index(batch_id)
+            if standing is not None:
+                pairs = (
+                    probe.select(
+                        F.col("vec_id").alias("vec_id_new"),
+                        F.col("qarr").alias("__qn"),
                         "cell",
-                    ),
-                    "cell",
+                    )
+                    .join(
+                        standing.select(
+                            F.col("vec_id").alias("vec_id_corpus"),
+                            F.col("qarr").alias("__qc"),
+                            "cell",
+                        ),
+                        "cell",
+                    )
+                    .select(
+                        "vec_id_new",
+                        "vec_id_corpus",
+                        _l2sq_arr(F.col("__qn"), F.col("__qc")).alias("l2sq"),
+                    )
+                    .filter(F.col("l2sq") <= F.lit(threshold))
                 )
-                .select(
-                    "vec_id_new",
-                    "vec_id_corpus",
-                    _l2sq_arr(F.col("__qn"), F.col("__qc")).alias("l2sq"),
+                # pairs before index: a crash between the two leaves the
+                # pair subdir committed and the index subdir absent — the
+                # replay overwrites both with identical content
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_dir, f"b={batch_id}")
                 )
-                .filter(F.col("l2sq") <= F.lit(threshold))
+            probe.write.mode("overwrite").parquet(bdir)
+            if _monitor:
+                # batch cell counts (k rows, no index scan) accumulate
+                # into the driver dict seeded from the standing index
+                for r in probe.groupBy("cell").count().collect():
+                    cell_counts[r["cell"]] = (
+                        cell_counts.get(r["cell"], 0) + r["count"]
+                    )
+            if occupancy is not None and cell_counts:
+                # guarded on non-empty counts (ADVICE r12): an all-empty
+                # first micro-batch would otherwise max() over {} and
+                # kill the stream
+                n_rows = sum(cell_counts.values())
+                max_occ = max(cell_counts.values())
+                occupancy.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_cells": len(cell_counts),
+                        "index_rows": int(n_rows),
+                        "mean_occupancy": round(n_rows / len(cell_counts), 2),
+                        "max_occupancy": int(max_occ),
+                        "needs_refresh": bool(max_occ > 4 * occupancy_target),
+                    }
+                )
+            if compact_every is not None:
+                if len(_live_batches()) >= compact_every:
+                    _compact(batch_id)
+                _fold_pair()  # staggered major: at most ONE pair per trigger
+        if refresh is not None:
+            if isinstance(refresh, bool) or not isinstance(refresh, (int, str)):
+                raise ValueError(f"refresh must be 'occupancy' or int, got {refresh!r}")
+            fire = (
+                batch_id == refresh
+                if isinstance(refresh, int)
+                else bool(
+                    cell_counts
+                    and max(cell_counts.values()) > 4 * occupancy_target
+                )
             )
-            # pairs before index: a crash between the two leaves the pair
-            # subdir committed and the index subdir absent — the replay
-            # overwrites both with identical content
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_dir, f"b={batch_id}")
-            )
-        probe.write.mode("overwrite").parquet(bdir)
-        if occupancy is not None:
-            # per-RUN monitor: batch cell counts (k rows, no index scan)
-            # accumulate into a driver dict — a restarted process starts
-            # the monitor fresh, it never affects results
-            for r in probe.groupBy("cell").count().collect():
-                cell_counts[r["cell"]] = cell_counts.get(r["cell"], 0) + r["count"]
-            n_rows = sum(cell_counts.values())
-            max_occ = max(cell_counts.values())
-            occupancy.append(
-                {
-                    "batch_id": batch_id,
-                    "n_cells": len(cell_counts),
-                    "index_rows": int(n_rows),
-                    "mean_occupancy": round(n_rows / len(cell_counts), 2),
-                    "max_occupancy": int(max_occ),
-                    "needs_refresh": bool(max_occ > 4 * occupancy_target),
-                }
-            )
-        if compact_every is not None and len(_live_batches()) >= compact_every:
-            _compact(batch_id)
-        if batch_times is not None:
+            if fire and _epoch_hi() < batch_id:
+                _retrain(batch_id)
+        if batch_times is not None and not already:
             batch_times.append(
                 (batch_id, probe.count(), round(_time.perf_counter() - t0, 3))
             )
@@ -1203,6 +1428,246 @@ def st94_streaming_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFr
 
 query("st94_streaming_neardup_compacted", oracle=_st92_oracle())(
     st94_streaming_neardup_compacted
+)
+
+
+# --------------------------------------------------------------------------
+# st96: streaming near-dup with a MID-STREAM CODEBOOK RETRAIN (VERDICT r12
+# item 1 — the monitor→retrain consumer, the tier's last unguarded scale
+# assumption): the stream starts DELIBERATELY UNDERSIZED — a flat k=4
+# codebook pretrained on wave 0 only, the "stream outgrew its pretrain
+# corpus" drift the occupancy monitor catches — and at the end of trigger
+# 2 RETRAINS a hierarchical k=16 codebook on the standing index (waves
+# 0-2) and RE-KEYS the index through the generation-fold machinery (a
+# retrain is a major compaction with a new assignment function; epoch
+# commit via the atomic retrain marker, replay-idempotent — see
+# _stream_neardup_run's refresh docstring). Waves 1-2 probe under the
+# undersized codebook; wave 3 probes the re-keyed index under the
+# retrained one; the final pair set is the union, and the oracle replays
+# BOTH codebooks — a k=4 kmeans TRAINED ON WAVE 0 ONLY but assigning all
+# vectors, then the d62 two-level kmeans TRAINED ON WAVES 0-2 assigning
+# all vectors — so the retrain seam (train-on-subset → assign-everyone →
+# re-key → probe) is cross-engine-gated end to end.
+# The gate PINS the fire trigger (2) and the retrain k (16) because the
+# DuckDB oracle is a static string (the st92 pins-k=16 precedent); the
+# production path — refresh="occupancy", k=codebook_k_for(index_rows) —
+# runs the same code and is probe-verified (scripts/probe_retrain.py:
+# post-retrain max occupancy back at the design point, per-trigger cost
+# re-flattened) and unit-tested (tests/test_streaming_state.py).
+# --------------------------------------------------------------------------
+_ST96_K_UNDERSIZED = 4
+_ST96_FIRE_AT = 2
+_ST96_K_RETRAIN = 16
+
+
+def _st96_make_undersized_assign(emb: DataFrame):
+    """Flat k=4 exact-grid codebook pretrained on WAVE 0 ONLY — the
+    st91 recipe restricted to the first ingest wave, i.e. the codebook a
+    stream that outgrew its pretrain corpus is stuck with."""
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        _assign_from_matrix,
+        _centroid_matrix,
+        grid_kmeans_cells_fast,
+        grid_seeds,
+        quantize_arr,
+    )
+
+    wave0 = emb.filter(F.col("vec_id") % 4 == 0)
+    qa = quantize_arr(wave0, "vec_id", "embedding", GRID_SCALE, out="qarr")
+    _, cent = grid_kmeans_cells_fast(
+        qa, grid_seeds(wave0, _ST96_K_UNDERSIZED, "vec_id"), 2
+    )
+    cells_arr, cmat = _centroid_matrix(cent)
+    return lambda qb: _assign_from_matrix(qb, cells_arr, cmat)
+
+
+def _st96_run(spark: SparkSession, sf_dir: str, base: str, **kw) -> DataFrame:
+    from pymongraph_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    kw.setdefault("refresh", _ST96_FIRE_AT)
+    kw.setdefault("refresh_k", _ST96_K_RETRAIN)
+    return _stream_neardup_run(
+        spark, emb, base, _ST91_T, _st96_make_undersized_assign, **kw
+    )
+
+
+def st96_streaming_neardup_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = scratch_dir("st96_embneardup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+    return _st96_run(spark, sf_dir, base)
+
+
+def _st96_flat_split_ctes(k: int, iters: int, train_pred: str, tag: str) -> str:
+    """Unrolled flat-kmeans CTE chain TRAINED on the ``train_pred``
+    subset but ASSIGNING every vector (ends at ``bf{tag}``) — the
+    _grid_cells_cte arithmetic (same seeds rule, Lloyd rounds, truncated
+    means, (d, cell) tie-break) with the train/assign split a mid-stream
+    retrain introduces: the codebook only ever saw part of the stream,
+    yet assigns all of it. Assumes ``q`` (vec_id, dim, qv) is already in
+    scope; {{v}} in train_pred is replaced by the vec_id reference."""
+    tp = train_pred.format(v="vec_id")
+    tpq = train_pred.format(v="q.vec_id")
+    parts = [
+        f"""
+    rid{tag} AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE {tp})
+    ),
+    seeds{tag} AS (SELECT CAST(cell AS BIGINT) AS cell, vec_id
+                   FROM rid{tag} WHERE cell < {k}),
+    c{tag}0 AS (SELECT s.cell, q.dim, q.qv AS cv
+                FROM seeds{tag} s JOIN q USING (vec_id))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , a{tag}{i} AS (
+      SELECT q.vec_id, c.cell, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+      FROM q JOIN c{tag}{i - 1} c ON q.dim = c.dim
+      WHERE {tpq}
+      GROUP BY q.vec_id, c.cell
+    ), b{tag}{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM a{tag}{i}) WHERE rn = 1
+    ), c{tag}{i} AS (
+      SELECT b.cell, q.dim, SUM(q.qv) // COUNT(*) AS cv
+      FROM b{tag}{i} b JOIN q ON q.vec_id = b.vec_id
+      GROUP BY b.cell, q.dim
+    )""")
+    parts.append(f"""
+    , af{tag} AS (
+      SELECT q.vec_id, c.cell, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+      FROM q JOIN c{tag}{iters} c ON q.dim = c.dim
+      GROUP BY q.vec_id, c.cell
+    ), bf{tag} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM af{tag}) WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+def _st96_hier_split_ctes(k: int, iters: int, train_pred: str, tag: str) -> str:
+    """Two-level (coarse → fine) split-training chain ending at
+    ``leaf{tag}`` — the _hier_leaf_parts arithmetic (fine seeds = k2
+    smallest train vec_ids per coarse cell, per-cell Lloyd, (d, fine)
+    tie-break, leaf = coarse·2^20 + fine) with training restricted to
+    ``train_pred`` rows and the FINAL assignment over every vector, the
+    hierarchical_codebook/assign_hierarchical contract the retrain
+    uses."""
+    import math
+
+    k1 = max(2, math.isqrt(max(k - 1, 0)) + 1)
+    k2 = max(1, -(-k // k1))
+    tpq = train_pred.format(v="q.vec_id")
+    tpv = train_pred.format(v="vec_id")
+    parts = [_st96_flat_split_ctes(k1, iters, train_pred, tag)]
+    parts.append(f"""
+    , fs{tag} AS (
+      SELECT vec_id, cell AS coarse,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS fine
+      FROM bf{tag}
+      WHERE {tpv}
+      QUALIFY fine < {k2}
+    ), fc{tag}0 AS (
+      SELECT fs.coarse, fs.fine, q.dim, q.qv AS cv
+      FROM fs{tag} fs JOIN q USING (vec_id)
+    )""")
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , fa{tag}{i} AS (
+      SELECT q.vec_id, fc.fine,
+             SUM((q.qv - fc.cv) * (q.qv - fc.cv)) AS d
+      FROM q JOIN bf{tag} ON bf{tag}.vec_id = q.vec_id
+             JOIN fc{tag}{i - 1} fc
+               ON fc.coarse = bf{tag}.cell AND fc.dim = q.dim
+      WHERE {tpq}
+      GROUP BY q.vec_id, fc.fine
+    ), fb{tag}{i} AS (
+      SELECT vec_id, fine FROM (
+        SELECT vec_id, fine,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rn
+        FROM fa{tag}{i}) WHERE rn = 1
+    ), fc{tag}{i} AS (
+      SELECT bf{tag}.cell AS coarse, fb.fine, q.dim, SUM(q.qv) // COUNT(*) AS cv
+      FROM fb{tag}{i} fb JOIN q ON q.vec_id = fb.vec_id
+                    JOIN bf{tag} ON bf{tag}.vec_id = fb.vec_id
+      GROUP BY bf{tag}.cell, fb.fine, q.dim
+    )""")
+    parts.append(f"""
+    , faf{tag} AS (
+      SELECT q.vec_id, fc.fine,
+             SUM((q.qv - fc.cv) * (q.qv - fc.cv)) AS d
+      FROM q JOIN bf{tag} ON bf{tag}.vec_id = q.vec_id
+             JOIN fc{tag}{iters} fc
+               ON fc.coarse = bf{tag}.cell AND fc.dim = q.dim
+      GROUP BY q.vec_id, fc.fine
+    ), leaf{tag} AS (
+      SELECT f.vec_id, bf{tag}.cell * {1 << 20} + f.fine AS cell
+      FROM (
+        SELECT vec_id, fine FROM (
+          SELECT vec_id, fine,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, fine) AS rn
+          FROM faf{tag}) WHERE rn = 1
+      ) f JOIN bf{tag} ON bf{tag}.vec_id = f.vec_id
+    )""")
+    return "".join(parts)
+
+
+def _st96_oracle() -> str:
+    """DuckDB replay of the retrain seam end to end: codebook A = flat
+    k=4 kmeans TRAINED ON WAVE 0 only (the undersized pretrain),
+    codebook B = the d62 two-level k=16 kmeans TRAINED ON WAVES 0-2
+    (what the trigger-2 retrain fits to the standing index), both
+    assigning every vector. Waves 1-2 pair under A against earlier
+    waves; wave 3 pairs under B against waves 0-2 (the re-keyed
+    standing index); union, exact integer-L2² threshold."""
+    from pymongraph_spark.queries.llm import _GRID_SCALE
+
+    return f"""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, dim, CAST(floor(val * {_GRID_SCALE}) AS BIGINT) AS qv
+          FROM ex),
+    {_st96_flat_split_ctes(_ST96_K_UNDERSIZED, 2, "{v} % 4 = 0", "u")},
+    {_st96_hier_split_ctes(_ST96_K_RETRAIN, 2, "{v} % 4 <= " + str(_ST96_FIRE_AT), "r")},
+    pairs_u AS (
+      SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus
+      FROM bfu a JOIN bfu b ON a.cell = b.cell
+      WHERE a.vec_id % 4 IN (1, 2) AND b.vec_id % 4 < a.vec_id % 4
+    ),
+    pairs_r AS (
+      SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus
+      FROM leafr a JOIN leafr b ON a.cell = b.cell
+      WHERE a.vec_id % 4 = 3 AND b.vec_id % 4 < 3
+    ),
+    allp AS (SELECT * FROM pairs_u UNION ALL SELECT * FROM pairs_r),
+    pd96 AS (
+      SELECT p.vec_id_new, p.vec_id_corpus,
+             CAST(SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) AS BIGINT) AS l2sq
+      FROM allp p
+      JOIN q q1 ON q1.vec_id = p.vec_id_new
+      JOIN q q2 ON q2.vec_id = p.vec_id_corpus AND q2.dim = q1.dim
+      GROUP BY p.vec_id_new, p.vec_id_corpus
+    )
+    SELECT vec_id_new, vec_id_corpus, l2sq FROM pd96 WHERE l2sq <= {_ST91_T}
+    """
+
+
+query("st96_streaming_neardup_retrain", oracle=_st96_oracle())(
+    st96_streaming_neardup_retrain
 )
 
 

@@ -65,6 +65,11 @@ def deciles(times: list[float]) -> list[float]:
     ]
 
 
+def pct(times: list[float], p: float) -> float:
+    s = sorted(times)
+    return round(s[min(len(s) - 1, int(p * len(s)))], 3)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     waves = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -108,6 +113,14 @@ def main() -> None:
             "n_triggers": len(per_trigger),
             "per_trigger_decile_means_sec": dec,
             "last_over_first_decile": round(dec[-1] / dec[0], 3),
+            # r12 item 6 criterion: the staggered majors must keep the
+            # per-trigger tail flat — p90 ≤ ~1.5× median
+            "per_trigger_median_sec": pct(per_trigger, 0.5),
+            "per_trigger_p90_sec": pct(per_trigger, 0.9),
+            "p90_over_median": round(
+                pct(per_trigger, 0.9) / max(pct(per_trigger, 0.5), 1e-9), 3
+            ),
+            "per_trigger_max_sec": pct(per_trigger, 1.0),
             "final_layout": data_file_count(base),
             "n_pairs": len(pair_sets[variant]),
         }

@@ -25,15 +25,59 @@ def test_never_gated_queries_lead_the_window():
     entry = _load_entry()
     ordered = list(entry.queries())
     last = entry._last_gated_round()
-    ranks = [last.get(k, 0) for k in ordered]
-    # sort key is (last_gated_round or 0, name): ranks must be
-    # non-decreasing, so every never-gated query (rank 0) precedes every
-    # gated one and no stale cohort can push the backlog out of the window
+    changed = entry._changed_since_gate(last)
+    ranks = [0 if k in changed else last.get(k, 0) for k in ordered]
+    # sort key is (0 if changed-since-gate else last_gated_round, name):
+    # ranks must be non-decreasing, so every never-gated or edited query
+    # (rank 0) precedes every current green and no stale cohort can push
+    # the backlog out of the window
     assert ranks == sorted(ranks)
     never = [k for k in ordered if k not in last]
     if never:
-        first_gated = next((i for i, k in enumerate(ordered) if k in last), len(ordered))
-        assert all(ordered.index(k) < first_gated for k in never)
+        first_ranked = next(
+            (i for i, k in enumerate(ordered) if k in last and k not in changed),
+            len(ordered),
+        )
+        assert all(ordered.index(k) < first_ranked for k in never)
+
+
+def test_edited_query_jumps_the_queue(tmp_path, monkeypatch):
+    """VERDICT r12 item 2: a query whose implementation fingerprint no
+    longer matches the snapshot of its last-gated tree must rank with
+    the never-gated block — simulated by tampering one snapshot fp."""
+    import json
+
+    entry = _load_entry()
+    last = entry._last_gated_round()
+    # pick a CURRENT green: gated most recently and fingerprint-clean
+    clean = [
+        k
+        for k, r in last.items()
+        if r == max(last.values()) and k not in entry._changed_since_gate(last)
+    ]
+    assert clean, "no fingerprint-clean current greens to tamper with"
+    victim = sorted(clean)[0]
+    baseline_pos = list(entry.queries()).index(victim)
+    with open(os.path.join(REPO, "GATE_FPS.json")) as fh:
+        data = json.load(fh)
+    data["snapshots"][str(last[victim])][victim] = "0" * 16  # tamper
+    tampered = tmp_path / "repo"
+    tampered.mkdir()
+    (tampered / "GATE_FPS.json").write_text(json.dumps(data))
+    for name in os.listdir(REPO):
+        if name.startswith("CORRECTNESS_r"):
+            os.symlink(os.path.join(REPO, name), tampered / name)
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tampered))
+    ordered = list(entry.queries())
+    assert victim in entry._changed_since_gate(entry._last_gated_round())
+    assert ordered.index(victim) < baseline_pos
+    # and it ranks inside the rank-0 block: before every clean green
+    first_clean = next(
+        i
+        for i, k in enumerate(ordered)
+        if k in last and k not in entry._changed_since_gate(last) and k != victim
+    )
+    assert ordered.index(victim) < first_clean
 
 
 def test_rotation_simulation_clears_backlog():

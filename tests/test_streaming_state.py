@@ -387,3 +387,132 @@ def test_st95_stream_equals_batch(spark):
     assert stream.count() == batch.count()
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+# --------------------------------------------------------------------------
+# st96: the monitor→retrain loop (VERDICT r12 item 1)
+# --------------------------------------------------------------------------
+def test_st96_replay_after_retrain_is_idempotent(spark, tmp_path):
+    """Delete the final checkpoint commit and restart: the restart must
+    REBUILD the committed epoch's codebook (deterministic retrain over
+    the re-keyed rows) and replay the post-retrain trigger
+    bit-identically."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    base = str(tmp_path / "st96r")
+    first = sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect()))
+    assert first, "st96 emitted no pairs"
+    assert os.path.exists(os.path.join(base, "retrain", "j=2.json"))
+
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    replayed = sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect()))
+    assert replayed == first
+
+
+def test_st96_crash_before_marker_refires_retrain(spark, tmp_path, monkeypatch):
+    """The crash window between the re= generation's _SUCCESS and the
+    epoch marker: the unmarked generation must stay INVISIBLE to the
+    read path, and the replayed fire must deterministically rewrite it
+    — simulated by making the marker's os.replace raise once."""
+    import os
+
+    from pymongraph_spark.queries import streaming as st_mod
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    ref = sorted(
+        map(tuple, _st96_run(spark, SF_SMALL, str(tmp_path / "ref")).collect())
+    )
+
+    base = str(tmp_path / "st96c")
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.sep + "retrain" + os.sep in dst:
+            raise OSError("injected crash before epoch marker")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(st_mod.os, "replace", boom)
+    with pytest.raises(Exception):
+        _st96_run(spark, SF_SMALL, base).collect()
+    monkeypatch.setattr(st_mod.os, "replace", real_replace)
+
+    # crash state: re= generation committed but unmarked, b-subdirs intact
+    gen = os.path.join(base, "gen", "re=0_2")
+    assert os.path.exists(os.path.join(gen, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(base, "retrain", "j=2.json"))
+    assert os.path.exists(os.path.join(base, "index", "b=2", "_SUCCESS"))
+
+    recovered = sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect()))
+    assert recovered == ref
+    assert os.path.exists(os.path.join(base, "retrain", "j=2.json"))
+
+
+def test_st96_occupancy_rule_equals_pinned_trigger(spark, tmp_path):
+    """The production firing rule (occupancy monitor) and the gate's
+    pinned trigger are the SAME retrain: pick a target that makes the
+    monitor first fire at trigger 2 and assert pair-set equality with
+    the pinned-at-2 run, plus the refresh_log evidence."""
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    # calibrate: per-trigger max occupancy of the undersized codebook
+    mon: list[dict] = []
+    _st96_run(
+        spark,
+        SF_SMALL,
+        str(tmp_path / "cal"),
+        refresh=999,  # never fires — pure monitor run
+        occupancy=mon,
+    ).collect()
+    max1, max2 = mon[1]["max_occupancy"], mon[2]["max_occupancy"]
+    assert max2 > max1 + 4, "corpus too small to separate the triggers"
+    target = max1 // 4 + 1  # max1 <= 4*target < max2
+
+    log: list[dict] = []
+    got = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark,
+                SF_SMALL,
+                str(tmp_path / "occ"),
+                refresh="occupancy",
+                occupancy_target=target,
+                refresh_log=log,
+            ).collect(),
+        )
+    )
+    assert log and log[0]["batch_id"] == 2 and log[0]["k_new"] == 16
+    want = sorted(
+        map(tuple, _st96_run(spark, SF_SMALL, str(tmp_path / "pin")).collect())
+    )
+    assert got == want
+
+
+def test_st96_retrain_composes_with_compaction(spark, tmp_path):
+    """refresh + compact_every together: minors fold post-retrain
+    batches, the staggered major may merge across the epoch generation,
+    and pairs stay identical to the uncompacted retrain run."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    want = sorted(
+        map(tuple, _st96_run(spark, SF_SMALL, str(tmp_path / "plain")).collect())
+    )
+    base = str(tmp_path / "both")
+    got = sorted(
+        map(tuple, _st96_run(spark, SF_SMALL, base, compact_every=2).collect())
+    )
+    assert got == want and len(got) > 0
+    live = [
+        d for d in os.listdir(os.path.join(base, "index")) if d.startswith("b=")
+    ]
+    assert len(live) <= 2, f"per-batch tier not folded: {live}"
