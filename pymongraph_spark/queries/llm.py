@@ -5698,14 +5698,23 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T108_MERGES = 32
 
 
-def _t108_oracle() -> str:
+def _tokenized_pack_oracle(n_merges: int | None, enrich_hex: bool) -> str:
+    """Shared oracle for the tokenizer-unit packing pipeline: t108
+    (32-merge prefix over raw text) and t109 (FULL frozen table over
+    hex-enriched text — see t109's header for why the enrichment is
+    what keeps the full-table regime non-vacuous)."""
     from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
 
-    merges = FROZEN_MERGES_R12[:_T108_MERGES]
+    merges = FROZEN_MERGES_R12[:n_merges] if n_merges else FROZEN_MERGES_R12
+    src = (
+        "lower(d.text) || ' ' || md5(CAST(d.doc_id AS VARCHAR))"
+        if enrich_hex
+        else "lower(d.text)"
+    )
     enc_ctes = [
-        """docw AS (
+        f"""docw AS (
       SELECT k.doc_id,
-             unnest(regexp_extract_all(lower(d.text), '([a-z0-9]+)', 1)) AS word
+             unnest(regexp_extract_all({src}, '([a-z0-9]+)', 1)) AS word
       FROM kept k JOIN documents d USING (doc_id)
     )""",
         "e0 AS (SELECT doc_id, regexp_replace(word, '(.)', '<\\1>', 'g') AS e"
@@ -5812,8 +5821,17 @@ def _t108_oracle() -> str:
     """
 
 
-@query("t108_pipeline_compose_tokenized", oracle=_t108_oracle())
+@query("t108_pipeline_compose_tokenized", oracle=_tokenized_pack_oracle(_T108_MERGES, False))
 def t108_pipeline_compose_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokenized_pack(spark, sf_dir, _T108_MERGES, enrich_hex=False)
+
+
+def _tokenized_pack(
+    spark: SparkSession, sf_dir: str, n_merges: int | None, enrich_hex: bool
+) -> DataFrame:
+    """Shared body for t108/t109: exact dedup → sized Bloom → Gopher →
+    frozen-vocab BPE encode of the kept docs (optionally hex-enriched,
+    the t106 recipe) → per-shard 512-TOKEN packing → manifest."""
     from pymongraph_spark.functions.bpe_frozen import FROZEN_MERGES_R12
     from pymongraph_spark.functions.text import bpe_encode_doc_stats
     from pymongraph_spark.operators.dedup import (
@@ -5824,6 +5842,7 @@ def t108_pipeline_compose_tokenized(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from pymongraph_spark.operators.sink import shard_expr
 
+    merges = FROZEN_MERGES_R12[:n_merges] if n_merges else FROZEN_MERGES_R12
     docs = load_tables(spark, sf_dir)["documents"]
     surv = dedup_keep_first(docs)
 
@@ -5861,10 +5880,17 @@ def t108_pipeline_compose_tokenized(spark: SparkSession, sf_dir: str) -> DataFra
     # the production stage order: TOKENIZE the kept docs with the frozen
     # vocab (JVM-side lower, then the broadcast-rank-map encode), pack
     # in the tokenizer's own units
-    kept_docs = docs.join(kept_ids, "doc_id", "left_semi").select(
-        "doc_id", F.lower("text").alias("text")
+    text = (
+        F.concat(
+            F.lower("text"), F.lit(" "), F.md5(F.col("doc_id").cast("string"))
+        )
+        if enrich_hex
+        else F.lower("text")
     )
-    toked = bpe_encode_doc_stats(kept_docs, FROZEN_MERGES_R12[:_T108_MERGES]).select(
+    kept_docs = docs.join(kept_ids, "doc_id", "left_semi").select(
+        "doc_id", text.alias("text")
+    )
+    toked = bpe_encode_doc_stats(kept_docs, merges).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
 
@@ -5890,6 +5916,32 @@ def t108_pipeline_compose_tokenized(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .withColumn("m_bits", F.lit(m_bits).cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# t109: tokenizer-unit packing with the FULL frozen merge table (VERDICT
+# r12 item 5 — t108 deliberately packs with a 32-merge PREFIX because the
+# synthetic corpus's 31-word vocabulary saturates the full 256-merge table
+# into one-token-per-word, which would make the token-vs-word packing
+# distinction gate-invisible; that left the exact regime production packs
+# with — the full table — never cross-engine-gated). t109 lifts it with
+# the vocab-sustaining corpus trick from t106/SCALE_PROBE_bpe_r12: the
+# kept docs are enriched with one deterministic hex word per doc
+# (lower(text) || ' ' || md5(doc_id) — the recipe the frozen table was
+# TRAINED on), so the hex-heavy half of the 256 merges fires and no hex
+# word collapses to a single token (a 32-char md5 word would need its
+# exact 31-merge chain in the table — the random hex space makes that
+# impossible), keeping tokens > words at the full table
+# (test_t109_full_table_stays_nonvacuous). Same dedup → sized Bloom →
+# Gopher → encode → 512-token packing body as t108; the oracle replays
+# the full table as a 256-CTE sequential replace chain over the enriched
+# kept docs.
+# --------------------------------------------------------------------------
+@query("t109_pipeline_compose_tokenized_full", oracle=_tokenized_pack_oracle(None, True))
+def t109_pipeline_compose_tokenized_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _tokenized_pack(spark, sf_dir, None, enrich_hex=True)
 
 
 # --------------------------------------------------------------------------

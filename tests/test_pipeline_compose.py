@@ -147,3 +147,25 @@ def test_bloom_m_bits_for_holds_gram_fp():
             assert got_fp <= fp * 1.001, (n, fp, m, got_fp)
             # not absurdly oversized either: within 2x of the target
             assert got_fp >= fp / 8, (n, fp, m, got_fp)
+
+
+def test_t109_full_table_stays_nonvacuous(spark):
+    """t109 packs with the FULL 256-merge table (VERDICT r12 item 5):
+    the hex enrichment must keep the gate non-vacuous — same doc sets
+    per shard as t104, and total_tokens STRICTLY above t104's word
+    counts (each real word ≥ 1 token; the per-doc hex word cannot
+    collapse to one token, so enriched tokens > words everywhere)."""
+    t104 = {r.shard_id: r for r in QUERIES["t104_pipeline_compose"](spark, SF_SMALL).collect()}
+    t109 = {
+        r.shard_id: r
+        for r in QUERIES["t109_pipeline_compose_tokenized_full"](spark, SF_SMALL).collect()
+    }
+    assert set(t104) == set(t109) == set(range(8))
+    for sid in t104:
+        a, b = t104[sid], t109[sid]
+        assert (a.n_docs, a.first_doc, a.last_doc) == (b.n_docs, b.first_doc, b.last_doc)
+        # > words + n_docs: every real word >= 1 token AND every doc's
+        # hex word contributes >= 2 tokens — the full-table degeneracy
+        # t108 documents (one token per word) provably did not happen
+        assert b.total_tokens > a.total_tokens + b.n_docs
+        assert a.m_bits == b.m_bits
