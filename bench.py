@@ -59,6 +59,10 @@ HEADLINE = [
     # cost adds the banded-join + CC stages to t104's)
     "t106_bpe_encode_frozen",
     "t107_pipeline_compose_fuzzy",
+    # round-13 flagship: tokenizer-unit packing on the FULL 256-merge
+    # table (dedup → sized Bloom → Gopher → hex-enriched frozen-vocab
+    # encode → 512-token packing) — the heaviest mapInPandas composition
+    "t109_pipeline_compose_tokenized_full",
 ]
 
 
