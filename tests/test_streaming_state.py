@@ -516,3 +516,66 @@ def test_st96_retrain_composes_with_compaction(spark, tmp_path):
         d for d in os.listdir(os.path.join(base, "index")) if d.startswith("b=")
     ]
     assert len(live) <= 2, f"per-batch tier not folded: {live}"
+
+
+def test_st96_multi_epoch_retrain_and_replay(spark, tmp_path):
+    """A long drifting stream can fire the occupancy rule MORE THAN
+    ONCE: with a tiny design target every trigger re-trips the rule, so
+    the stream retrains repeatedly (epoch markers accumulate, each
+    re-key covering a wider prefix) — and a replay of the last trigger
+    after a checkpoint-commit loss must still be bit-identical, with
+    the restart rebuilding the LATEST epoch's codebook."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    base = str(tmp_path / "multi")
+    log: list[dict] = []
+    first = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark,
+                SF_SMALL,
+                base,
+                refresh="occupancy",
+                occupancy_target=1,  # 4*1: every trigger trips the rule
+                refresh_k=16,
+                refresh_log=log,
+            ).collect(),
+        )
+    )
+    assert len(log) >= 2, f"expected multiple retrains, got {log}"
+    markers = sorted(
+        int(f[2:-5]) for f in os.listdir(os.path.join(base, "retrain"))
+    )
+    assert markers == [r["batch_id"] for r in log]
+    # exactly one committed re= generation survives (the widest epoch)
+    gens = [
+        d
+        for d in os.listdir(os.path.join(base, "gen"))
+        if d.startswith("re=")
+        and os.path.exists(os.path.join(base, "gen", d, "_SUCCESS"))
+    ]
+    assert gens == [f"re=0_{markers[-1]}"], gens
+
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    replayed = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark,
+                SF_SMALL,
+                base,
+                refresh="occupancy",
+                occupancy_target=1,
+                refresh_k=16,
+            ).collect(),
+        )
+    )
+    assert replayed == first
