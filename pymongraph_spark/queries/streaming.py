@@ -796,17 +796,18 @@ def _stream_neardup_run(
       new ``b=*`` subdirs fold into one generation ``gen/r=<lo>_<hi>``
       (batch id carried as an explicit ``b`` column) — O(those batches)
       written, NO rewrite of standing data;
-    - **staggered major fold** (r12 item 6): once ``_MAJOR_FANOUT``
-      generations accumulate, each trigger folds exactly ONE adjacent
-      generation pair — the smallest combined span — instead of merging
-      the whole tier at once (the r12 all-at-once major landed as
-      late-decile latency spikes, last/first decile 2.9 at 100 triggers,
-      SCALE_PROBE_st94_decade2). Total fold bytes stay O(n log n) over
-      the stream's life; any single trigger's fold is bounded by the two
-      smallest neighbors.
+    - **staggered major fold, binary-counter discipline** (r12 item 6):
+      each trigger folds AT MOST ONE adjacent generation pair — the
+      rightmost pair violating span(left) ≥ 2·span(right) — instead of
+      merging the whole tier at once (the r12 all-at-once major landed
+      as late-decile latency spikes, last/first decile 2.9 at 100
+      triggers; and any fixed-count roster is quadratic in fold bytes —
+      see _fold_pair). Merges combine near-equal sizes only, so total
+      fold bytes are O(n log n) and the generation count is
+      ≤ log₂(minors)+1.
 
     Live per-batch subdirs stay ≤ compact_every and committed
-    generations ≤ _MAJOR_FANOUT at any trigger count. Crash-safe in
+    generations ≤ log₂(minors)+1 at any trigger count. Crash-safe in
     write order: a generation commits (atomic _SUCCESS) BEFORE any
     retirement delete; generation ranges are disjoint-or-contained by
     construction, and the read path keeps only the MAXIMAL ranges (a
@@ -969,8 +970,6 @@ def _stream_neardup_run(
             out = out.unionByName(fr)
         return out
 
-    _MAJOR_FANOUT = 4
-
     def _gen_frame(gens) -> DataFrame:
         return (
             spark.read.parquet(
@@ -1007,27 +1006,43 @@ def _stream_neardup_run(
         _gc_contained_gens()
 
     def _fold_pair() -> None:
-        """STAGGERED major fold (VERDICT r12 item 6): the r12 major
-        merged ALL committed generations in one trigger, so at 100
-        triggers the majors landed as late-decile latency spikes
-        (last/first decile 2.9, SCALE_PROBE_st94_decade2). Instead, once
-        _MAJOR_FANOUT generations accumulate, fold exactly ONE adjacent
-        pair per trigger — the pair with the smallest combined batch
-        span (leftmost on ties), the size-tiered rule that keeps total
-        fold bytes O(n log n) over the stream's life while bounding any
-        single trigger's fold to the two smallest neighbors instead of
-        the whole tier. Generation count stays ≤ _MAJOR_FANOUT (a fold
-        fires at least as often as a minor can add one). Same crash
-        discipline: the merged generation contains both sources, commits
-        before their retirement, and a crash in between leaves contained
-        duplicates the read path skips and the GC sweep retires."""
+        """STAGGERED major fold, binary-counter discipline (VERDICT r12
+        item 6). The r12 major merged ALL committed generations in one
+        trigger, so at 100 triggers the majors landed as late-decile
+        latency spikes (last/first decile 2.9). Staggering alone (one
+        pair per trigger) fixes the spikes but NOT the write
+        amplification: ANY policy that caps the generation COUNT at a
+        constant is quadratic in total fold bytes — a fixed roster
+        forces some generation to keep re-absorbing small neighbors
+        (simulated: the fixed-fanout-4 pair rule writes ~2017
+        bytes/trigger by 10⁵ triggers; the r12 all-at-once rule ~2084 —
+        both O(n²/compact_every)). The classic fix is to bound the
+        count LOGARITHMICALLY instead: maintain the invariant
+        span(gens[i]) ≥ 2·span(gens[i+1]) by folding, at most once per
+        trigger, the RIGHTMOST adjacent pair that violates it — merges
+        then only ever combine near-equal sizes, every row is rewritten
+        ≤ log₂(n) times, total fold bytes are O(n log n) (simulated:
+        ~0.81·n·log₂n from 10² through 10⁶ triggers) and the live
+        generation count is ≤ log₂(minors)+1 (16 at 10⁶ triggers vs
+        the quadratic roster's 3-4 — a trade every size-tiered LSM
+        makes). One fold per trigger drains the counter's carry chain
+        easily: minors arrive every compact_every ≥ 2 triggers and the
+        amortized folds per minor is ~1. Same crash discipline: the
+        merged generation contains both sources, commits before their
+        retirement, and a crash in between leaves contained duplicates
+        the read path skips and the GC sweep retires."""
         gens = _committed_gens()
-        if len(gens) < _MAJOR_FANOUT:
-            return
-        i = min(
-            range(len(gens) - 1),
-            key=lambda j: (gens[j][1] - gens[j][0]) + (gens[j + 1][1] - gens[j + 1][0]),
+        i = next(
+            (
+                j
+                for j in range(len(gens) - 2, -1, -1)
+                if (gens[j][1] - gens[j][0] + 1)
+                < 2 * (gens[j + 1][1] - gens[j + 1][0] + 1)
+            ),
+            None,
         )
+        if i is None:
+            return
         pair = gens[i : i + 2]
         lo, hi = pair[0][0], pair[1][1]
         _gen_frame(pair).write.mode("overwrite").parquet(
@@ -1408,10 +1423,12 @@ query("st92_streaming_embedding_neardup_hier", oracle=_st92_oracle())(
 # the same hierarchical streaming near-dup, but every 2 committed batches
 # the size-tiered generation-fold + retirement-GC path (the store.py LSM
 # discipline) folds the fresh per-trigger b=N subdirs into a generation
-# file (minor), merging generations when 4 accumulate (major) — live
-# per-batch subdirs stay ≤ compact_every and generations ≤ 4 at any
-# trigger count instead of growing one subdir per trigger forever, with
-# total fold bytes O(n log n) over the stream's life. Pair results
+# file (minor), then folds at most one near-equal-size adjacent
+# generation pair per trigger (staggered binary-counter major — see
+# _fold_pair) — live per-batch subdirs stay ≤ compact_every and
+# generations ≤ log₂(minors)+1 at any trigger count instead of growing
+# one subdir per trigger forever, with total fold bytes O(n log n) over
+# the stream's life. Pair results
 # are IDENTICAL to st92 by construction (the fold only relocates rows;
 # the b < batch_id replay prune applies to the generation's explicit b
 # column) — so st94 shares st92's oracle verbatim, and the gate hash-

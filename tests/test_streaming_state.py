@@ -247,9 +247,9 @@ def test_st94_compaction_preserves_pairs_and_bounds_layout(spark, tmp_path):
     gens = [
         d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("r=")
     ]
-    # size-tiered: committed generations bounded by the major fanout (4),
-    # and at 4 waves / compact_every=2 the two minors haven't hit it
-    assert 1 <= len(gens) <= 4, f"generation tier out of bounds: {gens}"
+    # binary-counter tier: generations ≤ log2(minors)+1 — at 4 waves /
+    # compact_every=2 the two equal-size minors fold into one
+    assert 1 <= len(gens) <= 2, f"generation tier out of bounds: {gens}"
     live = [
         d
         for d in os.listdir(os.path.join(base, "index"))
@@ -289,11 +289,12 @@ def test_st94_replay_after_compaction_is_idempotent(spark, tmp_path):
 
 
 def test_st94_major_fold_preserves_pairs(spark, tmp_path):
-    """12 waves at compact_every=2 force minors at b=1,3,5,... and a
-    MAJOR merge once 4 generations accumulate. Pairs must equal the
-    uncompacted run's, generations must stay below the fanout, and the
-    majors must have actually happened (some generation spans more than
-    one minor's range)."""
+    """12 waves at compact_every=2 force minors at b=1,3,5,... and
+    binary-counter majors whenever two adjacent generations reach
+    near-equal size. Pairs must equal the uncompacted run's,
+    generations must stay within the log₂ bound, and the majors must
+    have actually happened (some generation spans more than one
+    minor's range)."""
     import os
 
     from pymongraph_spark.catalog import load_tables
