@@ -836,11 +836,15 @@ def _stream_neardup_run(
     ``refresh`` (VERDICT r12 item 1 — the monitor→retrain consumer):
 
     - ``"occupancy"`` — the PRODUCTION rule: when the monitor's
-      max_occupancy exceeds 4 × ``occupancy_target``, retrain the
-      codebook on the standing index at ``refresh_k`` or
+      max_occupancy exceeds 4 × ``occupancy_target`` AND the index has
+      grown ≥ 2× since the last retrain (growth hysteresis — clustered
+      data keeps a hot cell above any threshold, and without the
+      damper the decade-2 probe re-fired an O(index) retrain every
+      trigger; geometric spacing bounds total retrain cost at O(n)),
+      retrain the codebook on the standing index at ``refresh_k`` or
       codebook_k_for(index_rows) and RE-KEY the index (probe:
-      scripts/probe_retrain.py shows post-retrain occupancy back at the
-      design point and per-trigger cost re-flattened);
+      scripts/probe_retrain.py: occupancy re-bounded, per-trigger cost
+      re-flattened at two scale decades);
     - an ``int`` — fire unconditionally at the END of that trigger id.
       The st96 GATE row pins the trigger (and refresh_k=16) because its
       DuckDB oracle is a static string that must replay the retrained
@@ -891,6 +895,21 @@ def _stream_neardup_run(
             if f.startswith("j=") and f.endswith(".json")
         ]
         return max(js) if js else -1
+
+    def _epoch_rows() -> int:
+        """index_rows recorded in the latest committed retrain marker
+        (0 when never retrained) — the growth-hysteresis baseline for
+        occupancy-driven re-fires, durable across restarts."""
+        import json as _json
+
+        ehi = _epoch_hi()
+        if ehi < 0:
+            return 0
+        try:
+            with open(os.path.join(retrain_dir, f"j={ehi}.json")) as fh:
+                return int(_json.load(fh).get("index_rows", 0))
+        except (OSError, ValueError):  # pragma: no cover — marker is ours
+            return 0
 
     def _committed_gens() -> list[tuple[int, int, str]]:
         """Committed generation (lo, hi, dirname) ranges, reduced to the
@@ -1273,14 +1292,26 @@ def _stream_neardup_run(
         if refresh is not None:
             if isinstance(refresh, bool) or not isinstance(refresh, (int, str)):
                 raise ValueError(f"refresh must be 'occupancy' or int, got {refresh!r}")
-            fire = (
-                batch_id == refresh
-                if isinstance(refresh, int)
-                else bool(
+            if isinstance(refresh, int):
+                fire = batch_id == refresh
+            else:
+                # occupancy rule WITH GROWTH HYSTERESIS: re-fire only
+                # once the index has grown >= 2x since the last retrain.
+                # The decade-2 probe (20k vectors, clustered data)
+                # showed why the raw rule can't run un-dampened: a hot
+                # cluster keeps max-occupancy above the threshold no
+                # matter how well-sized the codebook is, so the rule
+                # re-fired EVERY trigger (7 O(index) retrains in 8
+                # waves). Geometric spacing bounds total retrain cost
+                # at O(n) over the stream's life (n + n/2 + n/4 + ...)
+                # and each retrain still lands within 2x of the ideal
+                # k∝n point. Durable across restarts: the baseline is
+                # the index_rows recorded in the committed marker.
+                fire = bool(
                     cell_counts
                     and max(cell_counts.values()) > 4 * occupancy_target
+                    and sum(cell_counts.values()) >= 2 * _epoch_rows()
                 )
-            )
             if fire and _epoch_hi() < batch_id:
                 _retrain(batch_id)
         if batch_times is not None and not already:
