@@ -11,9 +11,12 @@ stream (the stream outgrows its pretrain corpus ~8×) — run twice:
                codebook_k_for(index_rows) on the standing index and
                re-keys it through the generation-fold machinery.
 
-Expected: the retrain run fires mid-stream, post-retrain max_occupancy
-returns to the design point (~125, vs the no-retrain trajectory's
-continued climb), and late-trigger wall re-flattens. Pair-set SUPERSET
+Expected: the retrain run fires mid-stream, occupancy is re-BOUNDED
+(at decade 1 a single fire lands max back inside the 4×125 design band
+— claim_occupancy_back_at_design True; at larger scales growth
+hysteresis spaces fires geometrically, so transient peaks between
+fires are expected and the operative claim is bounded-and-flat vs the
+no-retrain climb), and late-trigger wall re-flattens. Pair-set SUPERSET
 check: both runs emit exact-L2²-verified pairs only, but under
 different cells after the fire, so sets differ — the probe instead
 hash-checks the PRE-FIRE prefix equality (identical codebook until the
