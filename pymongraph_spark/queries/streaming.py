@@ -1096,6 +1096,15 @@ def _stream_neardup_run(
                 if hi <= ehi:  # superseded committed epoch
                     _shutil.rmtree(os.path.join(gen_dir, d), ignore_errors=True)
 
+    # ADVICE r13 low: a typo'd string (e.g. 'ocupancy') must not silently
+    # run the occupancy rule — accept exactly 'occupancy' or a non-bool
+    # int, and fail BEFORE the stream starts
+    if refresh is not None and not (
+        refresh == "occupancy"
+        or (isinstance(refresh, int) and not isinstance(refresh, bool))
+    ):
+        raise ValueError(f"refresh must be 'occupancy' or int, got {refresh!r}")
+
     cell_counts: dict = {}  # occupancy monitor state (driver-side, k-bounded)
     _monitor = occupancy is not None or refresh is not None
 
@@ -1290,8 +1299,6 @@ def _stream_neardup_run(
                     _compact(batch_id)
                 _fold_pair()  # staggered major: at most ONE pair per trigger
         if refresh is not None:
-            if isinstance(refresh, bool) or not isinstance(refresh, (int, str)):
-                raise ValueError(f"refresh must be 'occupancy' or int, got {refresh!r}")
             if isinstance(refresh, int):
                 fire = batch_id == refresh
             else:

@@ -17,14 +17,54 @@ verified.
 
 from __future__ import annotations
 
+import glob
 import importlib.util
+import json
 import os
+import re
 import sys
 import time
 import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _next_round(repo: str) -> int:
+    """The round number the driver will stamp on the gates it runs over
+    this tree: max existing CORRECTNESS round + 1."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def ensure_fresh_snapshot(repo: str = REPO, round_key: str | None = None) -> bool:
+    """Snapshot this tree's fingerprints under the round the driver gates
+    next, replacing whatever was stored (VERDICT r13 item 6: snapshot
+    freshness was manual — one forgotten refresh after a late-round edit
+    silently re-ages the whole changed-since-gate mechanism). Returns
+    True when a DIFFERENT snapshot was already stored for that round —
+    i.e. a stale snapshot was about to ship; the caller must fail loudly
+    so the discrepancy is seen, even though this call already fixed it."""
+    from pymongraph_spark.queries.fingerprints import current_fingerprints
+
+    if round_key is None:
+        round_key = str(_next_round(repo))
+    fps = current_fingerprints()
+    path = os.path.join(repo, "GATE_FPS.json")
+    data: dict = {"snapshots": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    snaps = data.setdefault("snapshots", {})
+    stored = snaps.get(round_key)
+    snaps[round_key] = fps
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+    return stored is not None and stored != fps
 
 spec = importlib.util.spec_from_file_location(
     "_entry", os.path.join(REPO, "__spark_entry__.py")
@@ -42,6 +82,14 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     tz = sys.argv[3] if len(sys.argv) > 3 else None
+    stale_snapshot = ensure_fresh_snapshot()
+    if stale_snapshot:
+        print(
+            "WARNING: GATE_FPS.json carried a STALE snapshot for the "
+            "upcoming round (tree edited after it was taken). It has been "
+            "refreshed — re-run gate_precheck to confirm a clean pass.",
+            flush=True,
+        )
     gate = list(entry.queries())[:n]
     if tz:
         from pyspark.sql import SparkSession
@@ -83,7 +131,9 @@ def main() -> int:
             traceback.print_exc()
         print(f"[{i + 1}/{len(gate)}] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
     print(f"\n{len(gate) - len(failed)}/{len(gate)} ok; failures: {failed}")
-    return 1 if failed else 0
+    if stale_snapshot:
+        print("RESULT: FAIL — stale GATE_FPS snapshot (now refreshed)")
+    return 1 if (failed or stale_snapshot) else 0
 
 
 if __name__ == "__main__":

@@ -325,6 +325,30 @@ def test_st94_major_fold_preserves_pairs(spark, tmp_path):
     assert any(hi - lo >= 3 for lo, hi in spans), f"no major fold ran: {spans}"
 
 
+def test_refresh_rejects_typo_strings(spark, tmp_path):
+    """ADVICE r13 low: refresh='ocupancy' (typo) used to pass the
+    isinstance check and silently run the occupancy rule. Only the
+    literal 'occupancy' or a non-bool int may pass, and the rejection
+    must fire BEFORE the stream starts."""
+    import pytest
+
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.queries.streaming import (
+        _ST91_T,
+        _make_hier_assign,
+        _stream_neardup_run,
+    )
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"].select("vec_id", "embedding")
+    for bad in ("ocupancy", "OCCUPANCY", True, False):
+        with pytest.raises(ValueError, match="refresh must be"):
+            _stream_neardup_run(
+                spark, emb, str(tmp_path / "x"), _ST91_T, _make_hier_assign,
+                refresh=bad,
+            )
+        assert not (tmp_path / "x" / "ckpt").exists()  # nothing started
+
+
 def test_occupancy_monitor_columns_and_refresh_rule(spark, tmp_path):
     """The codebook drift monitor (VERDICT r11 item 5): per-trigger rows
     carry the standing-index occupancy including the arriving batch, and
