@@ -760,6 +760,49 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     return _stream_neardup_run(spark, emb, base, _ST91_T, make_flat_assign)
 
 
+def _codebook_payload(cells_arr, cmat, fine_cb) -> str:
+    """Canonical JSON serialization of a hierarchical codebook
+    (VERDICT r13 item 7). All values are int64 grid coordinates, so the
+    round-trip is exact; key order and separators are pinned so the
+    sha256 over this string is a stable checksum."""
+    import json as _json
+
+    payload = {
+        "cells": [int(x) for x in cells_arr],
+        "cmat": [[int(x) for x in row] for row in cmat],
+        "fine": {
+            str(int(c)): {
+                "ids": [int(x) for x in fids],
+                "cents": [[int(x) for x in row] for row in fmat],
+            }
+            for c, fids, fmat in sorted(
+                (c, f[0], f[1]) for c, f in fine_cb.items()
+            )
+        },
+    }
+    return _json.dumps(payload, sort_keys=True, separators=(",", ":"))
+
+
+def _codebook_from_payload(text: str):
+    """Inverse of _codebook_payload: (cells_arr, cmat, fine_cb) as the
+    numpy structures assign_hierarchical consumes."""
+    import json as _json
+
+    import numpy as np
+
+    p = _json.loads(text)
+    cells_arr = np.array(p["cells"], dtype=np.int64)
+    cmat = np.array(p["cmat"], dtype=np.int64)
+    fine_cb = {
+        int(c): (
+            np.array(f["ids"], dtype=np.int64),
+            np.array(f["cents"], dtype=np.int64),
+        )
+        for c, f in p["fine"].items()
+    }
+    return cells_arr, cmat, fine_cb
+
+
 def _stream_neardup_run(
     spark: SparkSession,
     emb: DataFrame,
@@ -1123,7 +1166,7 @@ def _stream_neardup_run(
 
         idx = _standing_index(upto + 1)
         if idx is None:
-            return None, None, 0, 0
+            return None, None, 0, 0, None
         idx = idx.localCheckpoint(eager=True)  # one read feeds train + re-key
         n = idx.count()
         k_new = refresh_k if refresh_k is not None else codebook_k_for(n)
@@ -1135,7 +1178,36 @@ def _stream_neardup_run(
             idx,
             k_new,
             n,
+            (cells_arr, cmat, fine_cb),
         )
+
+    def _load_epoch_codebook(ehi: int):
+        """Load the persisted epoch codebook (VERDICT r13 item 7: a
+        restart used to rebuild the codebook by re-running the full
+        kmeans over the index — at 100 TB every restart paid one
+        O(index) train). The artifact retrain/cb=<j>.json is written
+        BEFORE the marker commits and its sha256 is recorded IN the
+        marker, so a loaded codebook is exactly the one the epoch
+        trained. Any miss — pre-artifact marker, missing file, checksum
+        mismatch — returns None and the caller falls back to the
+        deterministic re-train (which reproduces it bit-exactly)."""
+        import hashlib as _hashlib
+        import json as _json
+
+        from pymongraph_spark.operators.dedup import assign_hierarchical
+
+        try:
+            with open(os.path.join(retrain_dir, f"j={ehi}.json")) as fh:
+                marker = _json.load(fh)
+            want_sha = marker["codebook_sha"]
+            with open(os.path.join(retrain_dir, f"cb={ehi}.json")) as fh:
+                text = fh.read()
+            if _hashlib.sha256(text.encode("utf-8")).hexdigest() != want_sha:
+                return None
+            cells_arr, cmat, fine_cb = _codebook_from_payload(text)
+        except (OSError, KeyError, ValueError):
+            return None
+        return lambda qb: assign_hierarchical(qb, cells_arr, cmat, fine_cb)
 
     def _retrain(upto: int) -> None:
         """The monitor→retrain consumer (VERDICT r12 item 1): retrain,
@@ -1144,7 +1216,7 @@ def _stream_neardup_run(
         function), commit the epoch with the atomic marker, then retire
         the superseded dirs — see the refresh docstring for the crash
         windows each ordering step closes."""
-        new_assign, idx, k_new, n = _retrain_codebook(upto)
+        new_assign, idx, k_new, n, cb = _retrain_codebook(upto)
         if new_assign is None:
             return
         rekeyed = (
@@ -1155,14 +1227,38 @@ def _stream_neardup_run(
         rekeyed.write.mode("overwrite").parquet(
             os.path.join(gen_dir, f"re=0_{upto}")
         )
+        # persist the codebook artifact BEFORE the marker (VERDICT r13
+        # item 7): once the marker commits with the artifact's sha256, a
+        # restart loads the codebook instead of re-running the O(index)
+        # kmeans; a crash before the marker leaves the artifact orphaned
+        # and invisible (the re-fire overwrites it)
+        import hashlib as _hashlib
+
+        os.makedirs(retrain_dir, exist_ok=True)
+        cb_text = _codebook_payload(*cb)
+        cb_tmp = os.path.join(retrain_dir, f".cb={upto}.tmp")
+        with open(cb_tmp, "w") as fh:
+            fh.write(cb_text)
+        os.replace(cb_tmp, os.path.join(retrain_dir, f"cb={upto}.json"))
+        cb_sha = _hashlib.sha256(cb_text.encode("utf-8")).hexdigest()
         # atomic epoch commit: the marker is what makes the re=
         # generation visible — everything before this line is
         # invisible-on-crash and deterministically rewritten by the fire
-        os.makedirs(retrain_dir, exist_ok=True)
         tmp = os.path.join(retrain_dir, f".j={upto}.tmp")
         with open(tmp, "w") as fh:
-            fh.write(f'{{"k_new": {k_new}, "index_rows": {n}}}')
+            fh.write(
+                f'{{"k_new": {k_new}, "index_rows": {n},'
+                f' "codebook_sha": "{cb_sha}"}}'
+            )
         os.replace(tmp, os.path.join(retrain_dir, f"j={upto}.json"))
+        # sweep superseded epochs' codebook artifacts (k×dim each — tiny,
+        # but unbounded across epochs without this)
+        for f in os.listdir(retrain_dir):
+            if f.startswith("cb=") and int(f[3:-5]) < upto:
+                try:
+                    os.remove(os.path.join(retrain_dir, f))
+                except OSError:  # pragma: no cover — concurrent sweep
+                    pass
         # retirement GC of the superseded epoch's gens and b-subdirs
         _gc_contained_gens()
         for b in _live_batches():
@@ -1186,13 +1282,20 @@ def _stream_neardup_run(
     if refresh is not None:
         ehi = _epoch_hi()
         if ehi >= 0:
-            # restart into a committed epoch: rebuild its codebook by
-            # re-running the deterministic retrain over the rows b<=ehi
-            # (the re-key only relocated cells — vec_id/qarr content is
-            # identical to what the original fire trained on)
-            rebuilt, _, _, _ = _retrain_codebook(ehi)
-            if rebuilt is not None:
-                assign_ref[0] = rebuilt
+            # restart into a committed epoch: load the persisted codebook
+            # artifact (checksummed against the marker — no kmeans job on
+            # a clean restart); fall back to re-running the deterministic
+            # retrain over the rows b<=ehi when the artifact is missing
+            # or corrupt (the re-key only relocated cells — vec_id/qarr
+            # content is identical to what the original fire trained on,
+            # so the rebuild is bit-exact)
+            loaded = _load_epoch_codebook(ehi)
+            if loaded is not None:
+                assign_ref[0] = loaded
+            else:
+                rebuilt, _, _, _, _ = _retrain_codebook(ehi)
+                if rebuilt is not None:
+                    assign_ref[0] = rebuilt
             _gc_contained_gens()  # finish any interrupted retirement
     if _monitor:
         seeded = _standing_index(1 << 62)

@@ -480,6 +480,134 @@ def test_st96_crash_before_marker_refires_retrain(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(base, "retrain", "j=2.json"))
 
 
+def test_codebook_payload_roundtrip():
+    """The persisted epoch-codebook artifact (VERDICT r13 item 7) is a
+    canonical JSON of int64 grid coordinates: the round-trip must be
+    exact and the serialization deterministic (it is checksummed)."""
+    import numpy as np
+
+    from pymongraph_spark.queries.streaming import (
+        _codebook_from_payload,
+        _codebook_payload,
+    )
+
+    cells = np.array([3, 7], dtype=np.int64)
+    cmat = np.array([[1, -2, 3], [4, 5, -6]], dtype=np.int64)
+    fine = {
+        3: (np.array([0, 1], dtype=np.int64),
+            np.array([[9, 8, 7], [6, 5, 4]], dtype=np.int64)),
+        7: (np.array([2], dtype=np.int64),
+            np.array([[-1, 0, 1]], dtype=np.int64)),
+    }
+    text = _codebook_payload(cells, cmat, fine)
+    assert text == _codebook_payload(*_codebook_from_payload(text))
+    c2, m2, f2 = _codebook_from_payload(text)
+    assert (c2 == cells).all() and (m2 == cmat).all()
+    assert set(f2) == {3, 7}
+    assert (f2[3][1] == fine[3][1]).all() and (f2[7][0] == fine[7][0]).all()
+
+
+def test_st96_restart_loads_codebook_without_kmeans(spark, tmp_path, monkeypatch):
+    """VERDICT r13 item 7: a clean restart into a committed epoch must
+    LOAD the persisted codebook artifact (checksummed against the
+    marker) instead of re-running the O(index) kmeans. Job-count
+    assertion: hierarchical_codebook — the retrain trainer — must not
+    be called at all on the replay (the wave-0 pretrain uses the flat
+    grid_kmeans path, so a zero count isolates the retrain rebuild)."""
+    import hashlib
+    import json
+    import os
+
+    from pymongraph_spark.operators import dedup as dedup_mod
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    base = str(tmp_path / "st96a")
+    first = sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect()))
+    assert first, "st96 emitted no pairs"
+    marker_path = os.path.join(base, "retrain", "j=2.json")
+    cb_path = os.path.join(base, "retrain", "cb=2.json")
+    with open(marker_path) as fh:
+        marker = json.load(fh)
+    with open(cb_path) as fh:
+        cb_text = fh.read()
+    assert (
+        marker["codebook_sha"]
+        == hashlib.sha256(cb_text.encode("utf-8")).hexdigest()
+    )
+
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    calls = []
+    real = dedup_mod.hierarchical_codebook
+    monkeypatch.setattr(
+        dedup_mod,
+        "hierarchical_codebook",
+        lambda *a, **kw: calls.append(1) or real(*a, **kw),
+    )
+    replayed = sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect()))
+    assert replayed == first
+    assert calls == [], "clean restart re-ran the kmeans retrain"
+
+
+def test_st96_corrupt_or_missing_artifact_rebuilds_bitexact(
+    spark, tmp_path, monkeypatch
+):
+    """The fallback half of VERDICT r13 item 7: a checksum-mismatched or
+    missing artifact must fall back to the deterministic re-train and
+    reproduce the replay bit-identically (one kmeans call, pairs equal)."""
+    import os
+
+    from pymongraph_spark.operators import dedup as dedup_mod
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    def drop_last_commit(base):
+        commits = os.path.join(base, "ckpt", "commits")
+        last = max(
+            (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+        )
+        os.unlink(os.path.join(commits, last))
+        crc = os.path.join(commits, f".{last}.crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+
+    calls = []
+    real = dedup_mod.hierarchical_codebook
+    monkeypatch.setattr(
+        dedup_mod,
+        "hierarchical_codebook",
+        lambda *a, **kw: calls.append(1) or real(*a, **kw),
+    )
+
+    # corrupt artifact: flip content so the sha in the marker mismatches
+    base = str(tmp_path / "corrupt")
+    first = sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect()))
+    cb_path = os.path.join(base, "retrain", "cb=2.json")
+    with open(cb_path) as fh:
+        text = fh.read()
+    with open(cb_path, "w") as fh:
+        fh.write(text.replace('"cells":[', '"cells":[999,', 1))
+    drop_last_commit(base)
+    calls.clear()
+    assert sorted(map(tuple, _st96_run(spark, SF_SMALL, base).collect())) == first
+    assert calls == [1], "mismatch fallback must re-train exactly once"
+
+    # missing artifact (pre-item-7 epoch layout): same fallback
+    base2 = str(tmp_path / "missing")
+    first2 = sorted(map(tuple, _st96_run(spark, SF_SMALL, base2).collect()))
+    os.unlink(os.path.join(base2, "retrain", "cb=2.json"))
+    drop_last_commit(base2)
+    calls.clear()
+    assert (
+        sorted(map(tuple, _st96_run(spark, SF_SMALL, base2).collect())) == first2
+    )
+    assert 1 in calls, "missing-artifact fallback must re-train"
+
+
 def test_st96_occupancy_rule_equals_pinned_trigger(spark, tmp_path):
     """The production firing rule (occupancy monitor) and the gate's
     pinned trigger are the SAME retrain: pick a target that makes the
@@ -571,10 +699,15 @@ def test_st96_multi_epoch_retrain_and_replay(spark, tmp_path):
         )
     )
     assert len(log) >= 2, f"expected multiple retrains, got {log}"
+    retrain_files = os.listdir(os.path.join(base, "retrain"))
     markers = sorted(
-        int(f[2:-5]) for f in os.listdir(os.path.join(base, "retrain"))
+        int(f[2:-5]) for f in retrain_files if f.startswith("j=")
     )
     assert markers == [r["batch_id"] for r in log]
+    # only the LATEST epoch's codebook artifact survives the sweep
+    assert [f for f in retrain_files if f.startswith("cb=")] == [
+        f"cb={markers[-1]}.json"
+    ]
     # exactly one committed re= generation survives (the widest epoch)
     gens = [
         d
