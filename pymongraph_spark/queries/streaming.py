@@ -760,6 +760,15 @@ def _st91_run(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     return _stream_neardup_run(spark, emb, base, _ST91_T, make_flat_assign)
 
 
+# Hot-cell split id stride (VERDICT r13 item 5): a split of base cell c
+# re-keys its rows to sub-cells -(c*64 + j + 1), j < 64 — negative ids
+# cannot collide with codebook cells (coarse*2^20+fine, always >= 0) and
+# map back to their base via (-id-1) // 64. A re-split REPLACES the
+# patch for c (wider k over the whole family), so one level of
+# negativity suffices.
+_SPLIT_STRIDE = 64
+
+
 def _codebook_payload(cells_arr, cmat, fine_cb) -> str:
     """Canonical JSON serialization of a hierarchical codebook
     (VERDICT r13 item 7). All values are int64 grid coordinates, so the
@@ -817,6 +826,7 @@ def _stream_neardup_run(
     refresh: "str | int | None" = None,
     refresh_k: int | None = None,
     refresh_log: list | None = None,
+    split_hot: bool = True,
 ) -> DataFrame:
     """Shared streaming near-dup core (st91 flat / st92 hierarchical /
     st94 compacted / scale probes): stage ``emb`` as ``waves``
@@ -908,7 +918,30 @@ def _stream_neardup_run(
     rebuilds the epoch's codebook by re-running the same deterministic
     retrain on the index rows b ≤ j. Pairs emitted BEFORE the retrain
     are never touched (they were exact-L2²-verified facts); pairs after
-    it probe the re-keyed index under the new cells."""
+    it probe the re-keyed index under the new cells.
+
+    ``split_hot`` (VERDICT r13 item 5 — bounding steady-state occupancy
+    under hysteresis): the 2×-growth gate makes retrain cost O(n) but
+    lets a single hot cell climb to many multiples of the design
+    occupancy between fires (decade-2 ended at 6.6×). When the
+    occupancy rule trips but the growth gate blocks the global fire,
+    the targeted path splits ONLY the violating cell: a flat
+    sub-codebook (k ∝ family size, ≤ 63) trained on that cell's family
+    rows, the family re-keyed into sub-cells -(c·64+j+1) and written as
+    an overlay generation ``gen/p=<c>_<hi>``, committed by the atomic
+    marker ``retrain/p=<c>.json`` (which carries the tiny sub-codebook
+    inline, plus the epoch it belongs to). The read path excludes
+    base-frame family rows with b ≤ hi and appends the overlay; the
+    assignment path refines base assignments landing in patched cells
+    through the sub-codebook (map-only, like the main assignment). At
+    most one split per trigger; re-splits require 2× family growth
+    since the last split (baseline durable in the marker), so lifetime
+    re-key bytes per family are O(family) and O(n) overall. A global
+    retrain supersedes and sweeps every patch (its epoch re-keys all
+    rows); a patch marker from an older epoch is ignored and swept on
+    load. Crash discipline mirrors the retrain: overlay commits
+    (_SUCCESS) before its marker; an unmarked overlay is invisible and
+    the split deterministically re-fires."""
     import shutil as _shutil
     import time as _time
 
@@ -993,9 +1026,37 @@ def _stream_neardup_run(
             if d.startswith("b=")
         )
 
+    patches: dict = {}  # base cell -> committed hot-cell patch (driver)
+
+    def _to_base(cid: int) -> int:
+        """Base cell of a (possibly sub-) cell id."""
+        return (-int(cid) - 1) // _SPLIT_STRIDE if cid < 0 else int(cid)
+
+    def _family_pred(c: int):
+        """Column predicate matching base cell ``c`` and its sub-cells."""
+        return (F.col("cell") == c) | (
+            (F.col("cell") < 0)
+            & (F.floor((-F.col("cell") - 1) / _SPLIT_STRIDE) == c)
+        )
+
+    def _patch_keep():
+        """Predicate keeping base-frame rows NOT superseded by a
+        committed hot-cell overlay (each overlay re-keys its family's
+        rows b ≤ hi; newer family rows arrive already sub-keyed). The
+        OR-chain is over the handful of hot cells — at a patch count
+        where this matters, swap to a broadcast map join."""
+        superseded = F.lit(False)
+        for c, p in patches.items():
+            superseded = superseded | (
+                _family_pred(c) & (F.col("b") <= F.lit(p["hi"]))
+            )
+        return ~superseded
+
     def _standing_index(batch_id: int):
         """Maximal committed generations + newer per-batch subdirs, all
-        pruned to b < batch_id (the replay guard). None when empty."""
+        pruned to b < batch_id (the replay guard), with hot-cell
+        overlays replacing the base rows they re-keyed. None when
+        empty."""
         gens = _committed_gens()
         covered = gens[-1][1] if gens else -1
         frames = []
@@ -1025,6 +1086,19 @@ def _stream_neardup_run(
                 .filter((F.col("b") > F.lit(covered)) & (F.col("b") < F.lit(batch_id)))
                 .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
             )
+        if frames and patches:
+            frames = [fr.filter(_patch_keep()) for fr in frames]
+            for c, p in patches.items():
+                frames.append(
+                    spark.read.parquet(
+                        os.path.join(gen_dir, f"p={c}_{p['hi']}")
+                    )
+                    .filter(F.col("b") < F.lit(batch_id))
+                    .select(
+                        "vec_id", "qarr", "cell",
+                        F.col("b").cast("long").alias("b"),
+                    )
+                )
         if not frames:
             return None
         out = frames[0]
@@ -1124,6 +1198,7 @@ def _stream_neardup_run(
         when superseded INSIDE a committed epoch (an unmarked re= dir
         is a retrain mid-commit — the fire will overwrite it)."""
         kept = {d for _, _, d in _committed_gens()}
+        kept.update(f"p={c}_{p['hi']}" for c, p in patches.items())
         ehi = _epoch_hi()
         if not os.path.isdir(gen_dir):
             return
@@ -1132,7 +1207,9 @@ def _stream_neardup_run(
                 os.path.join(gen_dir, d, "_SUCCESS")
             ):
                 continue
-            if d.startswith("r="):
+            if d.startswith("r=") or d.startswith("p="):
+                # p= overlays not in the live patch set are crash
+                # leftovers (unmarked split) or superseded re-splits
                 _shutil.rmtree(os.path.join(gen_dir, d), ignore_errors=True)
             elif d.startswith("re="):
                 hi = int(d[3:].split("_", 1)[1])
@@ -1259,6 +1336,22 @@ def _stream_neardup_run(
                     os.remove(os.path.join(retrain_dir, f))
                 except OSError:  # pragma: no cover — concurrent sweep
                     pass
+        # a global retrain supersedes every hot-cell patch: the epoch
+        # re-keyed ALL rows b <= upto (the standing index it trained on
+        # already presented overlay rows in place of the base rows they
+        # replaced). A crash before this sweep is safe: _load_patches
+        # ignores and sweeps markers whose epoch predates the new one.
+        for f in list(os.listdir(retrain_dir)):
+            if f.startswith("p=") and f.endswith(".json"):
+                try:
+                    os.remove(os.path.join(retrain_dir, f))
+                except OSError:  # pragma: no cover
+                    pass
+        if os.path.isdir(gen_dir):
+            for d in list(os.listdir(gen_dir)):
+                if d.startswith("p="):
+                    _shutil.rmtree(os.path.join(gen_dir, d), ignore_errors=True)
+        patches.clear()
         # retirement GC of the superseded epoch's gens and b-subdirs
         _gc_contained_gens()
         for b in _live_batches():
@@ -1278,6 +1371,185 @@ def _stream_neardup_run(
                 {"batch_id": upto, "index_rows": int(n), "k_new": int(k_new)}
             )
 
+    def _split_cell(c: int, upto: int) -> None:
+        """Hot-cell-targeted refresh (VERDICT r13 item 5): re-key ONLY
+        the violating cell's family — flat sub-codebook with k ∝ family
+        size, overlay generation + atomic marker, same crash discipline
+        as the retrain. O(family) rows rewritten per split; the 2×
+        family-growth gate in the caller makes lifetime split cost
+        O(family) per family and O(n) overall. The family extraction
+        reads the standing index filtered on the cell predicate — I/O
+        is bounded by parquet row-group stats on ``cell``; sorting
+        generations by cell at fold time would sharpen that pruning if
+        splits ever dominate."""
+        import json as _json
+        import math as _math  # noqa: F401 — ceil via -(-a // b)
+
+        import numpy as np
+
+        from pymongraph_spark.operators.similarity import (
+            _assign_from_matrix,
+            _centroid_matrix,
+            grid_kmeans_cells_fast,
+            grid_seeds,
+        )
+
+        idx = _standing_index(upto + 1)
+        if idx is None:
+            return
+        fam = idx.filter(_family_pred(c)).localCheckpoint(eager=True)
+        n_fam = fam.count()
+        if n_fam == 0:  # pragma: no cover — monitor counted a dead cell
+            return
+        k_split = min(
+            _SPLIT_STRIDE - 1, max(2, -(-n_fam // max(1, occupancy_target)))
+        )
+        qa = fam.select("vec_id", "qarr")
+        _, cent = grid_kmeans_cells_fast(
+            qa, grid_seeds(fam, k_split, "vec_id"), 2
+        )
+        scells, smat = _centroid_matrix(cent)
+        rekeyed = (
+            fam.drop("cell")
+            .join(_assign_from_matrix(qa, scells, smat), "vec_id")
+            .select(
+                "vec_id",
+                "qarr",
+                (-(F.lit(int(c)) * _SPLIT_STRIDE + F.col("cell") + 1))
+                .cast("long")
+                .alias("cell"),
+                F.col("b").cast("long").alias("b"),
+            )
+        )
+        rekeyed.write.mode("overwrite").parquet(
+            os.path.join(gen_dir, f"p={c}_{upto}")
+        )
+        # atomic patch commit — the marker makes the overlay visible and
+        # carries the sub-codebook inline (k×dim ints, driver metadata)
+        marker = {
+            "hi": int(upto),
+            "rows": int(n_fam),
+            "k": int(k_split),
+            "epoch": _epoch_hi(),
+            "cells": [int(x) for x in scells],
+            "cmat": [[int(x) for x in row] for row in smat],
+        }
+        os.makedirs(retrain_dir, exist_ok=True)
+        tmp = os.path.join(retrain_dir, f".p={c}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(marker, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(retrain_dir, f"p={c}.json"))
+        old = patches.get(c)
+        patches[c] = {
+            "hi": int(upto),
+            "rows": int(n_fam),
+            "cells": np.array(marker["cells"], dtype=np.int64),
+            "cmat": np.array(marker["cmat"], dtype=np.int64),
+        }
+        if old is not None and old["hi"] != upto:
+            _shutil.rmtree(
+                os.path.join(gen_dir, f"p={c}_{old['hi']}"),
+                ignore_errors=True,
+            )
+        if _monitor:
+            # re-seed the family's monitor counts under the new sub-cells
+            for key in [
+                k for k in cell_counts if _to_base(k) == c
+            ]:
+                del cell_counts[key]
+            for r in rekeyed.groupBy("cell").count().collect():
+                cell_counts[int(r["cell"])] = int(r["count"])
+        if refresh_log is not None:
+            refresh_log.append(
+                {
+                    "batch_id": int(upto),
+                    "split_cell": int(c),
+                    "family_rows": int(n_fam),
+                    "k_split": int(k_split),
+                }
+            )
+
+    def _load_patches() -> None:
+        """Rebuild the committed patch set on restart: markers whose
+        epoch matches the current one and whose overlay committed; any
+        other p= marker is stale (crash between a global retrain's epoch
+        commit and its patch sweep, or an uncommitted overlay) and is
+        swept here."""
+        import json as _json
+
+        import numpy as np
+
+        if not os.path.isdir(retrain_dir):
+            return
+        ehi = _epoch_hi()
+        for f in os.listdir(retrain_dir):
+            if not (f.startswith("p=") and f.endswith(".json")):
+                continue
+            path = os.path.join(retrain_dir, f)
+            try:
+                with open(path) as fh:
+                    m = _json.load(fh)
+                c = int(f[2:-5])
+            except (OSError, ValueError):  # pragma: no cover — ours
+                continue
+            overlay = os.path.join(gen_dir, f"p={c}_{m['hi']}")
+            if m.get("epoch", -1) != ehi or not os.path.exists(
+                os.path.join(overlay, "_SUCCESS")
+            ):
+                os.remove(path)
+                _shutil.rmtree(overlay, ignore_errors=True)
+                continue
+            patches[c] = {
+                "hi": int(m["hi"]),
+                "rows": int(m["rows"]),
+                "cells": np.array(m["cells"], dtype=np.int64),
+                "cmat": np.array(m["cmat"], dtype=np.int64),
+            }
+
+    def _assign(qb: DataFrame) -> DataFrame:
+        """The live assignment: the epoch codebook, refined through the
+        committed hot-cell patches (rows landing in a patched cell get a
+        second map-only argmin against that cell's sub-codebook)."""
+        a = assign_ref[0](qb)
+        if not patches:
+            return a
+        import numpy as np
+        import pandas as pd
+
+        from pymongraph_spark.operators.similarity import _argmin_kernel
+
+        pc = list(patches)
+        pb = {c: (p["cells"], p["cmat"]) for c, p in patches.items()}
+
+        def refine(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+                base = pdf["cell"].to_numpy()
+                out = np.empty(len(pdf), dtype=np.int64)
+                for c in np.unique(base):
+                    mask = base == c
+                    scells, smat = pb[int(c)]
+                    out[mask] = -(
+                        int(c) * _SPLIT_STRIDE
+                        + scells[_argmin_kernel(smat)(q[mask])]
+                        + 1
+                    )
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": out})
+
+        joined = a.join(qb.select("vec_id", "qarr"), "vec_id")
+        refined = (
+            joined.filter(F.col("cell").isin(pc))
+            .select("vec_id", "qarr", "cell")
+            .mapInPandas(refine, schema="vec_id bigint, cell bigint")
+        )
+        return (
+            a.filter(~F.col("cell").isin(pc))
+            .select("vec_id", "cell")
+            .unionByName(refined)
+        )
+
     assign_ref = [make_assign(emb)]
     if refresh is not None:
         ehi = _epoch_hi()
@@ -1296,6 +1568,8 @@ def _stream_neardup_run(
                 rebuilt, _, _, _, _ = _retrain_codebook(ehi)
                 if rebuilt is not None:
                     assign_ref[0] = rebuilt
+        _load_patches()  # committed hot-cell patches survive restarts
+        if ehi >= 0 or patches:
             _gc_contained_gens()  # finish any interrupted retirement
     if _monitor:
         seeded = _standing_index(1 << 62)
@@ -1340,7 +1614,7 @@ def _stream_neardup_run(
                 batch_df, "vec_id", "embedding", GRID_SCALE, out="qarr"
             )
             probe = (
-                qb.join(assign_ref[0](qb), "vec_id")
+                qb.join(_assign(qb), "vec_id")
                 .select("vec_id", "qarr", "cell")
                 .localCheckpoint(eager=True)  # reused twice below
             )
@@ -1402,6 +1676,7 @@ def _stream_neardup_run(
                     _compact(batch_id)
                 _fold_pair()  # staggered major: at most ONE pair per trigger
         if refresh is not None:
+            hot_blocked = None
             if isinstance(refresh, int):
                 fire = batch_id == refresh
             else:
@@ -1417,13 +1692,30 @@ def _stream_neardup_run(
                 # and each retrain still lands within 2x of the ideal
                 # k∝n point. Durable across restarts: the baseline is
                 # the index_rows recorded in the committed marker.
-                fire = bool(
+                viol = bool(
                     cell_counts
                     and max(cell_counts.values()) > 4 * occupancy_target
-                    and sum(cell_counts.values()) >= 2 * _epoch_rows()
                 )
+                fire = viol and sum(cell_counts.values()) >= 2 * _epoch_rows()
+                if split_hot and viol and not fire:
+                    # the occupancy rule tripped but the growth gate
+                    # blocked the global fire — target just the hot cell
+                    hot_blocked = max(cell_counts, key=cell_counts.get)
             if fire and _epoch_hi() < batch_id:
                 _retrain(batch_id)
+            elif hot_blocked is not None:
+                c = _to_base(hot_blocked)
+                p = patches.get(c)
+                fam_rows = sum(
+                    v for k2, v in cell_counts.items() if _to_base(k2) == c
+                )
+                # per-family 2x-growth hysteresis, baseline durable in the
+                # patch marker — same discipline as the global rule; at
+                # most one split per trigger (this one)
+                if p is None or (
+                    p["hi"] < batch_id and fam_rows >= 2 * p["rows"]
+                ):
+                    _split_cell(c, batch_id)
         if batch_times is not None and not already:
             batch_times.append(
                 (batch_id, probe.count(), round(_time.perf_counter() - t0, 3))

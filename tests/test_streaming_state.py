@@ -608,6 +608,177 @@ def test_st96_corrupt_or_missing_artifact_rebuilds_bitexact(
     assert 1 in calls, "missing-artifact fallback must re-train"
 
 
+# --------------------------------------------------------------------------
+# hot-cell-targeted refresh (VERDICT r13 item 5)
+# --------------------------------------------------------------------------
+def test_hot_cell_split_when_growth_gate_blocks(spark, tmp_path):
+    """With occupancy_target=2 on 4 waves the rule fires globally at
+    triggers 0/1/3 but is hysteresis-blocked at trigger 2 (375 < 2x250)
+    while a cell is hot — the targeted path must split exactly that
+    cell, and the trigger-3 global retrain must supersede the patch
+    (markers swept, index fully re-keyed to non-negative epoch cells)."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    base = str(tmp_path / "split")
+    log: list[dict] = []
+    pairs = _st96_run(
+        spark, SF_SMALL, base,
+        refresh="occupancy", occupancy_target=2, refresh_log=log,
+    ).collect()
+    assert len(pairs) > 0
+    kinds = [("split" if "split_cell" in r else "retrain") for r in log]
+    assert kinds == ["retrain", "retrain", "split", "retrain"], log
+    split = next(r for r in log if "split_cell" in r)
+    assert split["k_split"] >= 2 and split["family_rows"] > 0
+    retrain_files = os.listdir(os.path.join(base, "retrain"))
+    assert not [f for f in retrain_files if f.startswith("p=")], retrain_files
+    assert not [
+        d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("p=")
+    ]
+    final = spark.read.parquet(os.path.join(base, "gen", "re=0_3"))
+    assert final.select("vec_id").distinct().count() == final.count() == 500
+    assert final.filter("cell < 0").count() == 0  # epoch re-key cleared subs
+
+
+def test_hot_cell_split_persists_and_replays(spark, tmp_path):
+    """3 waves end right after the blocked-trigger split: the patch
+    must be durably committed (marker + overlay), the standing index
+    must present every row exactly once with the family re-keyed to
+    sub-cells, a restart must reload the patch and replay the last
+    trigger bit-identically, and — since the split fired AFTER the
+    final trigger's data work — the pair set must equal the
+    split_hot=False twin's exactly."""
+    import json
+    import os
+
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    base = str(tmp_path / "live")
+    log: list[dict] = []
+    first = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark, SF_SMALL, base, waves=3,
+                refresh="occupancy", occupancy_target=2, refresh_log=log,
+            ).collect(),
+        )
+    )
+    assert [("split" if "split_cell" in r else "retrain") for r in log] == [
+        "retrain", "retrain", "split",
+    ], log
+    c = next(r["split_cell"] for r in log if "split_cell" in r)
+    marker_path = os.path.join(base, "retrain", f"p={c}.json")
+    with open(marker_path) as fh:
+        m = json.load(fh)
+    assert m["epoch"] == 1 and m["hi"] == 2 and m["k"] >= 2
+    overlay = os.path.join(base, "gen", f"p={c}_2")
+    assert os.path.exists(os.path.join(overlay, "_SUCCESS"))
+    ov = spark.read.parquet(overlay)
+    assert ov.count() == m["rows"] and ov.filter("cell >= 0").count() == 0
+    assert ov.filter(
+        f"CAST(floor((-cell - 1) / 64) AS BIGINT) != {c}"
+    ).count() == 0  # every sub-cell maps back to the split base
+
+    twin = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark, SF_SMALL, str(tmp_path / "twin"), waves=3,
+                refresh="occupancy", occupancy_target=2, split_hot=False,
+            ).collect(),
+        )
+    )
+    assert first == twin and len(first) > 0
+
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    replayed = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark, SF_SMALL, base, waves=3,
+                refresh="occupancy", occupancy_target=2,
+            ).collect(),
+        )
+    )
+    assert replayed == first
+
+
+def test_split_crash_before_marker_is_invisible_and_refires(
+    spark, tmp_path, monkeypatch
+):
+    """The crash window between the overlay's _SUCCESS and the patch
+    marker: the unmarked overlay must stay invisible and the restarted
+    stream must re-fire the split and converge to the clean run."""
+    import os
+
+    from pymongraph_spark.queries import streaming as st_mod
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    want = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark, SF_SMALL, str(tmp_path / "clean"), waves=3,
+                refresh="occupancy", occupancy_target=2,
+            ).collect(),
+        )
+    )
+
+    base = str(tmp_path / "crash")
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.sep + "retrain" + os.sep in dst and os.path.basename(
+            dst
+        ).startswith("p="):
+            raise OSError("injected crash before patch marker")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(st_mod.os, "replace", boom)
+    with pytest.raises(Exception):
+        _st96_run(
+            spark, SF_SMALL, base, waves=3,
+            refresh="occupancy", occupancy_target=2,
+        ).collect()
+    monkeypatch.setattr(st_mod.os, "replace", real_replace)
+
+    overlays = [
+        d for d in os.listdir(os.path.join(base, "gen")) if d.startswith("p=")
+    ]
+    assert overlays, "overlay should have committed before the crash"
+    assert not [
+        f
+        for f in os.listdir(os.path.join(base, "retrain"))
+        if f.startswith("p=")
+    ], "patch marker must not exist after the crash"
+
+    log: list[dict] = []
+    recovered = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark, SF_SMALL, base, waves=3,
+                refresh="occupancy", occupancy_target=2, refresh_log=log,
+            ).collect(),
+        )
+    )
+    assert recovered == want
+    assert any("split_cell" in r for r in log), "split must re-fire"
+    assert [
+        f
+        for f in os.listdir(os.path.join(base, "retrain"))
+        if f.startswith("p=")
+    ], "re-fired split must commit its marker"
+
+
 def test_st96_occupancy_rule_equals_pinned_trigger(spark, tmp_path):
     """The production firing rule (occupancy monitor) and the gate's
     pinned trigger are the SAME retrain: pick a target that makes the
@@ -698,12 +869,13 @@ def test_st96_multi_epoch_retrain_and_replay(spark, tmp_path):
             ).collect(),
         )
     )
-    assert len(log) >= 2, f"expected multiple retrains, got {log}"
+    retrains = [r for r in log if "k_new" in r]  # splits log separately
+    assert len(retrains) >= 2, f"expected multiple retrains, got {log}"
     retrain_files = os.listdir(os.path.join(base, "retrain"))
     markers = sorted(
         int(f[2:-5]) for f in retrain_files if f.startswith("j=")
     )
-    assert markers == [r["batch_id"] for r in log]
+    assert markers == [r["batch_id"] for r in retrains]
     # only the LATEST epoch's codebook artifact survives the sweep
     assert [f for f in retrain_files if f.startswith("cb=")] == [
         f"cb={markers[-1]}.json"
