@@ -1728,6 +1728,21 @@ def _stream_neardup_run(
         .start()
     )
     q.awaitTermination()
+    if occupancy is not None and cell_counts:
+        # end-state row (marked, so per-trigger consumers can filter):
+        # the per-trigger rows read occupancy BEFORE that trigger's
+        # refresh action, so the post-drain standing state — what a
+        # steady-state occupancy claim is actually about — was invisible
+        n_rows = sum(cell_counts.values())
+        occupancy.append(
+            {
+                "end_state": True,
+                "n_cells": len(cell_counts),
+                "index_rows": int(n_rows),
+                "mean_occupancy": round(n_rows / len(cell_counts), 2),
+                "max_occupancy": int(max(cell_counts.values())),
+            }
+        )
     if not os.path.isdir(pairs_dir):
         return spark.createDataFrame(
             [], "vec_id_new bigint, vec_id_corpus bigint, l2sq bigint"

@@ -148,6 +148,22 @@ def gen_embeddings(con: duckdb.DuckDBPyConnection, src: str, out: str, mult: int
     centers = rng.normal(0, 1.0, size=(n_labels, dim)).astype(np.float32)
     labels = rng.integers(0, n_labels, size=n)
     vecs = centers[labels] + rng.normal(0, 0.35, size=(n, dim)).astype(np.float32)
+    # planted near-dups at asserted offsets (VERDICT r13 item 3: the r13
+    # clustered synth yielded n_pairs=0 under the streaming L2² threshold,
+    # making the decade-2 retrain probe's pair evidence vacuous). Every
+    # 100th vector clones its predecessor with sigma=0.02 noise: expected
+    # quantized L2² ≈ 64·(0.02·10⁶)² = 2.6e10 ≪ the 1.3e12 threshold, and
+    # base%waves + 1 == clone%waves for the probe's 8 waves (100k % 8
+    # cycles {0,4}), so the clone always ARRIVES one wave after its base
+    # and the cross-wave probe must recover the pair.
+    planted = []
+    for b in range(0, n - 1, 100):
+        c = b + 1
+        assert (b % 8) + 1 == c % 8, (b, c)
+        vecs[c] = vecs[b] + rng.normal(0, 0.02, size=dim).astype(np.float32)
+        labels[c] = labels[b]
+        planted.append((c, b))
+    print(f"embeddings: planted {len(planted)} near-dup pairs", flush=True)
     table = pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),

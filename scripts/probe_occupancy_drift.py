@@ -81,10 +81,11 @@ def main() -> None:
             spark, emb, base, _ST91_T, maker, waves=waves, occupancy=mon
         ).collect()
         shutil.rmtree(base, ignore_errors=True)
+        trig = [r for r in mon if "end_state" not in r]  # drop end-state row
         results[variant] = {
-            "per_trigger": mon,
-            "max_occupancy_trajectory": [r["max_occupancy"] for r in mon],
-            "fired": [r["batch_id"] for r in mon if r["needs_refresh"]],
+            "per_trigger": trig,
+            "max_occupancy_trajectory": [r["max_occupancy"] for r in trig],
+            "fired": [r["batch_id"] for r in trig if r["needs_refresh"]],
         }
 
     out = {

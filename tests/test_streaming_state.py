@@ -359,9 +359,10 @@ def test_occupancy_monitor_columns_and_refresh_rule(spark, tmp_path):
 
     mon: list[dict] = []
     _st92_run(spark, SF_SMALL, str(tmp_path / "occ"), occupancy=mon).collect()
-    assert len(mon) == 4  # one row per wave
+    trig = [r for r in mon if "end_state" not in r]
+    assert len(trig) == 4  # one row per wave
     prev_rows = 0
-    for row in mon:
+    for row in trig:
         assert set(row) == {
             "batch_id",
             "n_cells",
@@ -374,6 +375,11 @@ def test_occupancy_monitor_columns_and_refresh_rule(spark, tmp_path):
         prev_rows = row["index_rows"]
         assert 1 <= row["mean_occupancy"] <= row["max_occupancy"]
         assert row["needs_refresh"] == (row["max_occupancy"] > 4 * 125)
+    # plus exactly one post-drain end-state row (the steady-state reading
+    # the occupancy claims are about — per-trigger rows read BEFORE that
+    # trigger's refresh action)
+    assert mon[-1].get("end_state") is True and len(mon) == 5
+    assert mon[-1]["index_rows"] == trig[-1]["index_rows"]
 
     # an undersized codebook (tiny design target) must trip the flag
     mon2: list[dict] = []
@@ -384,7 +390,7 @@ def test_occupancy_monitor_columns_and_refresh_rule(spark, tmp_path):
         occupancy=mon2,
         occupancy_target=1,
     ).collect()
-    assert mon2[-1]["needs_refresh"] is True
+    assert [r for r in mon2 if "end_state" not in r][-1]["needs_refresh"] is True
 
 
 def test_st93_stream_equals_batch(spark):
@@ -608,6 +614,35 @@ def test_st96_corrupt_or_missing_artifact_rebuilds_bitexact(
     assert 1 in calls, "missing-artifact fallback must re-train"
 
 
+def test_retrain_prefix_pairs_identical(spark, tmp_path):
+    """Unit pin for the probe's prefix-equality field (VERDICT r13
+    item 3): pairs emitted BEFORE the retrain fire must be identical to
+    a never-firing run's — the codebook is the same until the fire, and
+    each trigger's pairs are written before its refresh evaluation, so
+    the b ≤ fire_at prefix is codebook-invariant."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _ST96_FIRE_AT, _st96_run
+
+    def prefix_pairs(base):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(base, "pairs"))
+                .filter(f"b <= {_ST96_FIRE_AT}")
+                .select("b", "vec_id_new", "vec_id_corpus", "l2sq")
+                .collect(),
+            )
+        )
+
+    fired = str(tmp_path / "fired")
+    never = str(tmp_path / "never")
+    _st96_run(spark, SF_SMALL, fired).collect()  # fires at trigger 2
+    _st96_run(spark, SF_SMALL, never, refresh=999).collect()  # never fires
+    got, want = prefix_pairs(fired), prefix_pairs(never)
+    assert got == want and len(got) > 0
+
+
 # --------------------------------------------------------------------------
 # hot-cell-targeted refresh (VERDICT r13 item 5)
 # --------------------------------------------------------------------------
@@ -709,6 +744,44 @@ def test_hot_cell_split_persists_and_replays(spark, tmp_path):
         )
     )
     assert replayed == first
+
+
+def test_hot_cell_split_composes_with_compaction(spark, tmp_path):
+    """Split + compact_every together: minors fold the b-subdirs
+    (including superseded family rows — excluded at read, carried in
+    the fold), the overlay stays outside the binary-counter roster, and
+    pairs equal the uncompacted split run's."""
+    import os
+
+    from pymongraph_spark.queries.streaming import _st96_run
+
+    # waves=7, target=2: global fires at 0/1/3, blocked splits after —
+    # the run ENDS with a live overlay, and the post-retrain b-subdirs
+    # (4,5) fold into a minor at trigger 5, so overlay reads compose
+    # with both generation kinds
+    kw = dict(waves=7, refresh="occupancy", occupancy_target=2)
+    want = sorted(
+        map(
+            tuple,
+            _st96_run(spark, SF_SMALL, str(tmp_path / "plain"), **kw).collect(),
+        )
+    )
+    base = str(tmp_path / "both")
+    log: list[dict] = []
+    got = sorted(
+        map(
+            tuple,
+            _st96_run(
+                spark, SF_SMALL, base, compact_every=2, refresh_log=log, **kw
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert any("split_cell" in r for r in log)
+    gen = os.listdir(os.path.join(base, "gen"))
+    assert any(d.startswith("p=") for d in gen), gen  # overlay lives
+    assert any(d.startswith("r=") for d in gen), gen  # minors folded
+    assert any(d.startswith("re=") for d in gen), gen  # epoch generation
 
 
 def test_split_crash_before_marker_is_invisible_and_refires(
