@@ -827,6 +827,7 @@ def _stream_neardup_run(
     refresh_k: int | None = None,
     refresh_log: list | None = None,
     split_hot: bool = True,
+    split_at: int | None = None,
 ) -> DataFrame:
     """Shared streaming near-dup core (st91 flat / st92 hierarchical /
     st94 compacted / scale probes): stage ``emb`` as ``waves``
@@ -941,7 +942,16 @@ def _stream_neardup_run(
     rows); a patch marker from an older epoch is ignored and swept on
     load. Crash discipline mirrors the retrain: overlay commits
     (_SUCCESS) before its marker; an unmarked overlay is invisible and
-    the split deterministically re-fires."""
+    the split deterministically re-fires.
+
+    ``split_at``: force ONE hot-cell split at the end of that trigger
+    id, on the currently-hottest cell (max count, ties to the smallest
+    cell id — a total order a SQL oracle can replay with ORDER BY
+    count DESC, cell). The st97 GATE row pins the trigger the same way
+    st96 pins its retrain trigger: the DuckDB oracle is a static string
+    that must replay the sub-codebook, so the fire point must be a
+    deterministic function of the data alone; the occupancy-driven
+    split path is what production runs (probe + unit tests)."""
     import shutil as _shutil
     import time as _time
 
@@ -1226,7 +1236,9 @@ def _stream_neardup_run(
         raise ValueError(f"refresh must be 'occupancy' or int, got {refresh!r}")
 
     cell_counts: dict = {}  # occupancy monitor state (driver-side, k-bounded)
-    _monitor = occupancy is not None or refresh is not None
+    _monitor = (
+        occupancy is not None or refresh is not None or split_at is not None
+    )
 
     def _retrain_codebook(upto: int):
         """Deterministic retrain at the committed prefix b <= upto: a
@@ -1551,7 +1563,7 @@ def _stream_neardup_run(
         )
 
     assign_ref = [make_assign(emb)]
-    if refresh is not None:
+    if refresh is not None or split_at is not None:
         ehi = _epoch_hi()
         if ehi >= 0:
             # restart into a committed epoch: load the persisted codebook
@@ -1699,8 +1711,13 @@ def _stream_neardup_run(
                 fire = viol and sum(cell_counts.values()) >= 2 * _epoch_rows()
                 if split_hot and viol and not fire:
                     # the occupancy rule tripped but the growth gate
-                    # blocked the global fire — target just the hot cell
-                    hot_blocked = max(cell_counts, key=cell_counts.get)
+                    # blocked the global fire — target just the hot
+                    # cell (ties to the smallest cell id: a total order
+                    # replays deterministically, unlike dict-insertion
+                    # order)
+                    hot_blocked = min(
+                        cell_counts, key=lambda k2: (-cell_counts[k2], k2)
+                    )
             if fire and _epoch_hi() < batch_id:
                 _retrain(batch_id)
             elif hot_blocked is not None:
@@ -1716,6 +1733,16 @@ def _stream_neardup_run(
                     p["hi"] < batch_id and fam_rows >= 2 * p["rows"]
                 ):
                     _split_cell(c, batch_id)
+        if split_at is not None and batch_id == split_at and cell_counts:
+            # forced split (st97 gate): hottest cell under the same
+            # deterministic tie-break as the organic path; idempotent
+            # across replays — the committed marker's hi equals this
+            # trigger, so a replayed batch skips the re-fire
+            hot = min(cell_counts, key=lambda k2: (-cell_counts[k2], k2))
+            c = _to_base(hot)
+            p = patches.get(c)
+            if p is None or p["hi"] < batch_id:
+                _split_cell(c, batch_id)
         if batch_times is not None and not already:
             batch_times.append(
                 (batch_id, probe.count(), round(_time.perf_counter() - t0, 3))
@@ -1966,14 +1993,18 @@ def st96_streaming_neardup_retrain(spark: SparkSession, sf_dir: str) -> DataFram
     return _st96_run(spark, sf_dir, base)
 
 
-def _st96_flat_split_ctes(k: int, iters: int, train_pred: str, tag: str) -> str:
+def _st96_flat_split_ctes(
+    k: "int | str", iters: int, train_pred: str, tag: str
+) -> str:
     """Unrolled flat-kmeans CTE chain TRAINED on the ``train_pred``
     subset but ASSIGNING every vector (ends at ``bf{tag}``) — the
     _grid_cells_cte arithmetic (same seeds rule, Lloyd rounds, truncated
     means, (d, cell) tie-break) with the train/assign split a mid-stream
     retrain introduces: the codebook only ever saw part of the stream,
     yet assigns all of it. Assumes ``q`` (vec_id, dim, qv) is already in
-    scope; {{v}} in train_pred is replaced by the vec_id reference."""
+    scope; {{v}} in train_pred is replaced by the vec_id reference.
+    ``k`` may be a SQL scalar-subquery string (st97 sizes the split
+    sub-codebook from the family count, data the oracle must compute)."""
     tp = train_pred.format(v="vec_id")
     tpq = train_pred.format(v="q.vec_id")
     parts = [
@@ -2133,6 +2164,127 @@ def _st96_oracle() -> str:
 
 query("st96_streaming_neardup_retrain", oracle=_st96_oracle())(
     st96_streaming_neardup_retrain
+)
+
+
+# --------------------------------------------------------------------------
+# st97: streaming near-dup with a HOT-CELL SPLIT fired mid-stream — the
+# round-14 targeted-refresh seam (VERDICT r13 item 5), cross-engine
+# gated the way st96 gates the global retrain. The stream runs st96's
+# undersized wave-0 flat k=4 codebook WITHOUT a global retrain; at the
+# end of trigger 2 the hottest cell (max standing count, ties to the
+# smallest cell id — the deterministic pick the engine and the oracle
+# share) is split: a flat sub-codebook with k = min(63, max(2,
+# ceil(family/25))) is trained on the family rows that have arrived by
+# then, the family is re-keyed into sub-cells -(c·64+j+1) through an
+# overlay generation + atomic marker, and trigger 3's arrivals landing
+# in the hot cell are refined through the same sub-codebook before
+# pairing. Pairs: waves 1-2 under the plain codebook; wave 3 under the
+# patched assignment against the re-keyed standing index. The DuckDB
+# oracle replays every stage statically — hottest-cell argmax, family
+# membership, ceil-division k sizing (a scalar subquery threaded into
+# the shared flat-kmeans CTE builder), sub-codebook Lloyd rounds, and
+# the two pairing regimes. Fire placement is pinned (split_at=2), the
+# st96/st92 precedent: the occupancy-driven path is what production
+# runs (probe scripts/probe_retrain.py retrain_split arm + unit tests).
+# --------------------------------------------------------------------------
+_ST97_SPLIT_AT = 2
+_ST97_TARGET = 25
+
+
+def _st97_run(spark: SparkSession, sf_dir: str, base: str, **kw) -> DataFrame:
+    from pymongraph_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    kw.setdefault("split_at", _ST97_SPLIT_AT)
+    kw.setdefault("occupancy_target", _ST97_TARGET)
+    return _stream_neardup_run(
+        spark, emb, base, _ST91_T, _st96_make_undersized_assign, **kw
+    )
+
+
+def st97_streaming_neardup_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = scratch_dir("st97_embneardup", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # idempotent across re-runs
+    return _st97_run(spark, sf_dir, base)
+
+
+def _st97_oracle() -> str:
+    """DuckDB replay of the hot-cell split seam end to end: codebook A
+    = st96's flat k=4 wave-0 pretrain assigning everyone; the hottest
+    cell at trigger 2 (count over arrivals vec_id%4 <= 2, ties to the
+    smallest cell) gets a flat sub-codebook trained on exactly those
+    family rows, sized k = min(63, max(2, ceil(family/25))); wave-3
+    pairing runs under the patched assignment (family rows — standing
+    AND new — re-keyed to -(c·64+j+1)), waves 1-2 under plain A."""
+    from pymongraph_spark.queries.llm import _GRID_SCALE
+
+    return f"""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, dim, CAST(floor(val * {_GRID_SCALE}) AS BIGINT) AS qv
+          FROM ex),
+    {_st96_flat_split_ctes(_ST96_K_UNDERSIZED, 2, "{v} % 4 = 0", "u")},
+    hot97 AS (
+      SELECT cell FROM bfu WHERE vec_id % 4 <= {_ST97_SPLIT_AT}
+      GROUP BY cell ORDER BY COUNT(*) DESC, cell LIMIT 1
+    ),
+    fam97 AS (
+      SELECT vec_id FROM bfu
+      WHERE cell = (SELECT cell FROM hot97)
+        AND vec_id % 4 <= {_ST97_SPLIT_AT}
+    ),
+    k97 AS (
+      SELECT LEAST({_SPLIT_STRIDE - 1},
+                   GREATEST(2, CAST(CEIL(COUNT(*) / {_ST97_TARGET}.0)
+                                    AS BIGINT))) AS k
+      FROM fam97
+    ),
+    {_st96_flat_split_ctes(
+        "(SELECT k FROM k97)",
+        2,
+        "{v} IN (SELECT vec_id FROM fam97)",
+        "s",
+    )},
+    final97 AS (
+      SELECT b.vec_id,
+             CASE WHEN b.cell = (SELECT cell FROM hot97)
+                  THEN -((SELECT cell FROM hot97) * {_SPLIT_STRIDE}
+                         + s.cell + 1)
+                  ELSE b.cell END AS cell
+      FROM bfu b JOIN bfs s ON s.vec_id = b.vec_id
+    ),
+    pairs_pre AS (
+      SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus
+      FROM bfu a JOIN bfu b ON a.cell = b.cell
+      WHERE a.vec_id % 4 IN (1, 2) AND b.vec_id % 4 < a.vec_id % 4
+    ),
+    pairs_post AS (
+      SELECT a.vec_id AS vec_id_new, b.vec_id AS vec_id_corpus
+      FROM final97 a JOIN final97 b ON a.cell = b.cell
+      WHERE a.vec_id % 4 = 3 AND b.vec_id % 4 < 3
+    ),
+    allp AS (SELECT * FROM pairs_pre UNION ALL SELECT * FROM pairs_post),
+    pd97 AS (
+      SELECT p.vec_id_new, p.vec_id_corpus,
+             CAST(SUM((q1.qv - q2.qv) * (q1.qv - q2.qv)) AS BIGINT) AS l2sq
+      FROM allp p
+      JOIN q q1 ON q1.vec_id = p.vec_id_new
+      JOIN q q2 ON q2.vec_id = p.vec_id_corpus AND q2.dim = q1.dim
+      GROUP BY p.vec_id_new, p.vec_id_corpus
+    )
+    SELECT vec_id_new, vec_id_corpus, l2sq FROM pd97 WHERE l2sq <= {_ST91_T}
+    """
+
+
+query("st97_streaming_neardup_hotsplit", oracle=_st97_oracle())(
+    st97_streaming_neardup_hotsplit
 )
 
 

@@ -982,3 +982,67 @@ def test_st96_multi_epoch_retrain_and_replay(spark, tmp_path):
         )
     )
     assert replayed == first
+
+
+def test_st97_forced_split_fires_and_replays(spark, tmp_path):
+    """st97's pinned split (split_at=2, no global retrain): exactly one
+    split_cell record on the deterministically-hottest cell, an overlay
+    generation + patch marker on disk, wave-3 pairs probing sub-cells —
+    and a replayed stream (dropped last commit) neither re-splits nor
+    changes the answer."""
+    import json
+    import os
+
+    from pymongraph_spark.queries.streaming import _ST97_SPLIT_AT, _st97_run
+
+    base = str(tmp_path / "st97")
+    log: list[dict] = []
+    mon: list[dict] = []
+    first = sorted(
+        map(
+            tuple,
+            _st97_run(
+                spark, SF_SMALL, base, refresh_log=log, occupancy=mon
+            ).collect(),
+        )
+    )
+    assert len(first) > 0
+    splits = [r for r in log if "split_cell" in r]
+    assert len(splits) == 1 and splits[0]["batch_id"] == _ST97_SPLIT_AT
+    # the split target is the argmax-count cell at the split trigger
+    # (ties to the smallest id) — the pick the oracle replays in SQL
+    trig = [r for r in mon if "end_state" not in r]
+    assert trig[_ST97_SPLIT_AT]["index_rows"] > 0
+    c = splits[0]["split_cell"]
+    marker = json.load(
+        open(os.path.join(base, "retrain", f"p={c}.json"))
+    )
+    assert marker["hi"] == _ST97_SPLIT_AT
+    assert marker["k"] == splits[0]["k_split"] >= 2
+    overlay = os.path.join(base, "gen", f"p={c}_{_ST97_SPLIT_AT}")
+    assert os.path.exists(os.path.join(overlay, "_SUCCESS"))
+    assert splits[0]["family_rows"] > 0
+    # the overlay actually subdivides: re-keyed rows carry negative
+    # sub-cell ids in the hot cell's stride range
+    sub = spark.read.parquet(overlay).select("cell").distinct().collect()
+    assert all(r["cell"] < 0 and (-r["cell"] - 1) // 64 == c for r in sub)
+    # replay: drop the last streaming commit and re-run — the committed
+    # patch marker makes the forced split a no-op (hi == trigger), and
+    # the pairs are unchanged
+    commits = os.path.join(base, "ckpt", "commits")
+    last = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.unlink(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    relog: list[dict] = []
+    replayed = sorted(
+        map(
+            tuple,
+            _st97_run(spark, SF_SMALL, base, refresh_log=relog).collect(),
+        )
+    )
+    assert replayed == first
+    assert not [r for r in relog if "split_cell" in r]
