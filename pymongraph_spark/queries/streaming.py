@@ -1191,8 +1191,21 @@ def _stream_neardup_run(
             return
         pair = gens[i : i + 2]
         lo, hi = pair[0][0], pair[1][1]
-        _gen_frame(pair).write.mode("overwrite").parquet(
-            os.path.join(gen_dir, f"r={lo}_{hi}")
+        # majors are the standing mass family scans read — cluster them
+        # by cell so a hot-cell split's family extraction is file/row-
+        # group pruned instead of a full-generation scan (b second, so
+        # the replay prune keeps usable stats). repartitionByRange puts
+        # each output file on a disjoint cell range (AQE coalesces the
+        # small-fold case back to few files); sortWithinPartitions
+        # tightens per-row-group min/max inside big files. Minors stay
+        # unclustered: they are small, frequent, and measured-worse
+        # territory for layout games (see the per-batch tier note).
+        (
+            _gen_frame(pair)
+            .repartitionByRange("cell", "b")
+            .sortWithinPartitions("cell", "b")
+            .write.mode("overwrite")
+            .parquet(os.path.join(gen_dir, f"r={lo}_{hi}"))
         )
         for _, _, d in pair:
             if d != f"r={lo}_{hi}":
@@ -1313,8 +1326,14 @@ def _stream_neardup_run(
             .join(new_assign(idx.select("vec_id", "qarr")), "vec_id")
             .select("vec_id", "qarr", "cell", F.col("b").cast("long").alias("b"))
         )
-        rekeyed.write.mode("overwrite").parquet(
-            os.path.join(gen_dir, f"re=0_{upto}")
+        # the epoch generation is the whole standing index — cluster it
+        # by cell (see _fold_pair) so later hot-cell family extractions
+        # prune instead of scanning the full epoch
+        (
+            rekeyed.repartitionByRange("cell", "b")
+            .sortWithinPartitions("cell", "b")
+            .write.mode("overwrite")
+            .parquet(os.path.join(gen_dir, f"re=0_{upto}"))
         )
         # persist the codebook artifact BEFORE the marker (VERDICT r13
         # item 7): once the marker commits with the artifact's sha256, a
