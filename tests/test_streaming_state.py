@@ -323,6 +323,25 @@ def test_st94_major_fold_preserves_pairs(spark, tmp_path):
     assert 1 <= len(gens) <= 4, gens
     spans = [tuple(int(x) for x in g[2:].split("_")) for g in gens]
     assert any(hi - lo >= 3 for lo, hi in spans), f"no major fold ran: {spans}"
+    # layout discipline (round 14): majors are cell-clustered at write —
+    # every data file of every major generation is sorted by cell, so
+    # footer min/max stats prune a one-cell family scan (the measured
+    # 1.87%-of-row-groups claim in SCALE_PROBE_cell_pruning.json rests
+    # on this property; pin it so a refactor can't silently drop it)
+    import pyarrow.parquet as pq
+
+    major = max(gens, key=lambda g: spans[gens.index(g)][1] - spans[gens.index(g)][0])
+    gdir = os.path.join(base, "gen", major)
+    checked = 0
+    for f in os.listdir(gdir):
+        if not f.endswith(".parquet"):
+            continue
+        cells = pq.read_table(os.path.join(gdir, f), columns=["cell"])[
+            "cell"
+        ].to_pylist()
+        assert cells == sorted(cells), f"{major}/{f} not cell-sorted"
+        checked += 1
+    assert checked > 0
 
 
 def test_refresh_rejects_typo_strings(spark, tmp_path):
