@@ -63,8 +63,21 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition before CPU-heavy per-row expressions: a small table read
     from one parquet file is a single input split, which would serialize
-    interpreted higher-order-function work onto one core."""
+    interpreted higher-order-function work onto one core.
+
+    Scale-adaptive (guide §2.5/§2.4): only fires when the input has FEWER
+    partitions than the cluster's parallelism. At 100 TB a scan already
+    has thousands of splits and an unconditional repartition(cores) would
+    both add a full-payload round-robin exchange (with its
+    sortBeforeRepartition local sort) and SHRINK the partition count to
+    one-per-core — giant partitions, lost scan parallelism. The partition
+    probe is driver-side planning only (no job)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass  # planning probe failed — keep the conservative rebalance
     return df.repartition(target)
 
 

@@ -34,10 +34,15 @@ def _cut_lineage(df: DataFrame, iteration: int) -> DataFrame:
     deep-loop executor-loss tolerance is the user's opt-in.
     """
     if iteration < RELIABLE_CHECKPOINT_DEPTH:
-        return df.localCheckpoint(eager=True)
+        # Lazy: every fixpoint loop runs an aggregate over the cut frame
+        # immediately after (convergence check), and that action
+        # materializes the checkpoint blocks — eager=True would spend a
+        # SEPARATE job per iteration computing the same frame first
+        # (guide §1.2: fewer passes; measured ~2 jobs/iter → 1).
+        return df.localCheckpoint(eager=False)
     if df.sparkSession.sparkContext.getCheckpointDir():
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def graphframes_available(spark) -> bool:

@@ -5377,7 +5377,16 @@ def pipeline_compose(
     docs = load_tables(spark, sf_dir)["documents"]
 
     # Stage 1 — exact dedup, keep-first survivor rule (d40 discipline).
-    surv = dedup_keep_first(docs)
+    # Materialized ONCE (guide §3.3/§5): the tail consumes the survivor
+    # frame from two subtrees (the shingle scan feeding ev/tr and the
+    # Gopher train branch), each of which would otherwise re-run the
+    # full scan → md5 groupBy → semi-join dedup. One lineage cut trades
+    # a single survivor-sized materialization for N full recomputes.
+    surv = (
+        dedup_keep_first(docs)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     return _compose_tail(surv, m_bits=m_bits)
 
 
@@ -5636,7 +5645,13 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = docs.unionByName(planted)
 
     # Stage 1 — exact dedup (the planted copies survive: distinct text).
-    surv = dedup_keep_first(full)
+    # Materialized ONCE: downstream, surv feeds (a) the MinHash signature
+    # pass, (b) the anti-join producing the fuzzy survivors, and (c) both
+    # tail subtrees via that anti-join — without the lineage cut each of
+    # those re-runs the scan+plant+dedup (measured 4 recomputes in the
+    # before-plan; guide §3.3 "materialising an intermediate truncates
+    # the plan").
+    surv = dedup_keep_first(full).localCheckpoint(eager=True)
 
     # Stage 1.5 — the FUZZY tier: d45 banded MinHash candidates verified
     # at jaccard >= 0.5, connected components over the (tiny) pair graph,
@@ -5844,7 +5859,13 @@ def _tokenized_pack(
 
     merges = FROZEN_MERGES_R12[:n_merges] if n_merges else FROZEN_MERGES_R12
     docs = load_tables(spark, sf_dir)["documents"]
-    surv = dedup_keep_first(docs)
+    # Materialized once — same recompute argument as pipeline_compose:
+    # the shingle scan and the Gopher train branch each consume surv.
+    surv = (
+        dedup_keep_first(docs)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
 
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
