@@ -508,7 +508,17 @@ def _neutral_banded(
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
     rows = num_hashes // bands
     s = shingled(docs, text_col, id_col, n)
-    hashes = F.transform(F.col("shingles"), _md5_hash48)
+    # The md5 fold is STAGED as its own column: higher-order functions
+    # are interpreted and do not memoize their argument, so an inline
+    # ``hashes`` subtree is re-evaluated once per permutation — num_hashes
+    # × the md5 work per row (measured 2.69s → 1.86s for the d42 pipeline
+    # at sf0.1 after staging; guide §1.2 "don't compute things you throw
+    # away"). The F.when double-reference keeps CollapseProject from
+    # re-inlining the alias into the signature lambda (single-reference
+    # aliases are collapsed regardless of cost — the shingled() staging
+    # note's rule).
+    s = s.withColumn("__h48", F.transform(F.col("shingles"), _md5_hash48))
+    hashes = F.when(F.size("__h48") >= 0, F.col("__h48")).otherwise(F.col("__h48"))
     ab = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -521,7 +531,7 @@ def _neutral_banded(
             F.transform(hashes, lambda h: (st["a"] * h + st["b"]) % F.lit(MINHASH_P))
         ),
     )
-    sigd = s.withColumn("signature", sig).persist()
+    sigd = s.withColumn("signature", sig).drop("__h48").persist()
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigd.select(

@@ -53,7 +53,9 @@ def main() -> int:
         F.concat(F.col("text"), F.lit(_T107_TAIL)).alias("text"),
     )
     full = docs.unionByName(planted)
-    surv = dedup_keep_first(full)
+    sc.setJobDescription("t107: surv checkpoint")
+    surv = dedup_keep_first(full).localCheckpoint(eager=True)
+    mark("surv checkpoint")
 
     sc.setJobDescription("t107: minhash pairs")
     pairs = (
