@@ -409,21 +409,30 @@ def minhash_lsh_pairs(
     then verify at ``threshold``. The band bucket join is an equi-join on
     (band_idx, band_hash): shuffle keys are uniform hashes, so no skew.
 
-    Cache lifecycle (VERDICT r4 hygiene + the regression naive removal
-    caused): the signature frame MUST be persisted through candidate
-    generation AND verification — without the barrier Catalyst's
+    Materialization barrier (VERDICT r4 hygiene + the regression naive
+    removal caused): the signature frame MUST be a plan barrier through
+    candidate generation AND verification — without it Catalyst's
     projection collapse inlines the 64-hash signature expression into
     each of the ``bands`` band-hash expressions, recomputing it bands×
     per row (measured 40× slower at sf0.1), and verification reuses the
-    cached shingles. The (small, near-dup-incidence-bounded) verified
-    pair result is materialized eagerly via localCheckpoint while the
-    cache is warm, then the signature cache is released synchronously —
-    the ContextCleaner frees the result blocks when the caller drops the
-    frame, so nothing stays pinned in the cache manager after the call.
+    stored shingles. The barrier is an EAGER localCheckpoint, not a lazy
+    persist: AQE submits the plan's four leaf shuffle stages (banded
+    left/right, verification sh_a/sh_b) concurrently, and against a cold
+    lazy cache all four race and recompute the signature pipeline in
+    parallel. The checkpoint blocks are freed by the ContextCleaner when
+    the caller drops the frame (cleanCheckpoints is on in session
+    defaults), so nothing stays pinned after the call.
     """
     rows = num_hashes // bands
     s = shingled(docs, text_col, id_col, n)
-    sig = minhash_signatures(s, num_hashes).persist()
+    # Materialized EAGERLY (one job), not lazily persisted: the downstream
+    # plan has FOUR leaf shuffle stages that all scan this frame (banded
+    # left/right + verification sh_a/sh_b), and AQE submits leaf stages
+    # concurrently — against a lazy cache they race on the cold miss and
+    # each recomputes the full shingle+signature pipeline (measured 4
+    # concurrent ~2.1s jobs x 34 tasks inside t107's minhash step; one
+    # eager materialization makes the other three scans block reads).
+    sig = minhash_signatures(s, num_hashes).localCheckpoint(eager=True)
     try:
         band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
         banded = sig.select(
@@ -495,16 +504,18 @@ def _neutral_banded(
     bands: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared engine-neutral signature + banding stage: returns
-    (PERSISTED signature frame — which also carries the shingles column,
-    so verification probes it while cached — and the exploded banded
-    frame (doc_id, band, key)).
+    (MATERIALIZED signature frame — which also carries the shingles
+    column, so verification probes the stored blocks — and the exploded
+    banded frame (doc_id, band, key)).
 
-    The signature frame is persisted because the banded frame's ``bands``
-    key expressions would otherwise each recompute the full signature
-    via projection collapse (see minhash_lsh_pairs). The CALLER owns the
-    release: build candidates AND the shingle-verification join against
-    the cached frame, materialize the result eagerly (localCheckpoint),
-    then unpersist in a finally."""
+    The signature frame is an eager localCheckpoint barrier: without it
+    the banded frame's ``bands`` key expressions would each recompute
+    the full signature via projection collapse, and a lazy persist
+    would let AQE's concurrently-submitted leaf stages race on the cold
+    cache and recompute the pipeline once per consumer (see
+    minhash_lsh_pairs). The blocks are freed by the ContextCleaner when
+    the caller drops the frame; the unpersist in callers' finally
+    blocks is a harmless no-op kept for the persist-based history."""
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
     rows = num_hashes // bands
     s = shingled(docs, text_col, id_col, n)
@@ -531,7 +542,11 @@ def _neutral_banded(
             F.transform(hashes, lambda h: (st["a"] * h + st["b"]) % F.lit(MINHASH_P))
         ),
     )
-    sigd = s.withColumn("signature", sig).drop("__h48").persist()
+    # Eager materialization, not a lazy persist: four downstream leaf
+    # stages scan this frame concurrently under AQE (see
+    # minhash_lsh_pairs) — a cold lazy cache makes all four recompute
+    # the signature pipeline in parallel; one eager job removes the race.
+    sigd = s.withColumn("signature", sig).drop("__h48").localCheckpoint(eager=True)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigd.select(
