@@ -102,7 +102,19 @@ def _collect(obj: object, seen: set, parts: list[str]) -> None:
             src = inspect.getsource(obj)
         except (OSError, TypeError):  # pragma: no cover
             src = repr(obj)
-        parts.append(src)
+        # Shared dispatch-shell sources contribute NOTHING: the registry
+        # decorator's `wrapped` is the registered callable for EVERY
+        # query, so including its source makes any registry.py edit flip
+        # all 226 fingerprints at once — the rotation degenerates to
+        # alphabetical and the 50-slot gate window loses the staleness
+        # signal entirely (observed after the r14 per-query gc.collect
+        # landed in the wrapper: 226/226 "changed"). The walk still
+        # recurses through the shell's closure (the real query fn) and
+        # globals, so per-query implementation edits flip exactly their
+        # own callers; registry-infrastructure edits are certified by the
+        # test suite, not by burning every gate slot.
+        if obj.__module__ != f"{_PKG}.queries.registry":
+            parts.append(src)
         for cell in obj.__closure__ or ():
             try:
                 _collect(cell.cell_contents, seen, parts)
