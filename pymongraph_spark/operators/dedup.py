@@ -1443,9 +1443,9 @@ def bloom_decontaminate(
 
     Returns one row per train doc: (doc_id, bloom_flagged) where
     bloom_flagged = 1 iff ANY of the doc's grams hits all n_hashes
-    positions. train_grams may contain duplicate (doc, gram) rows; the
-    hit count is per DISTINCT seed, so duplicates cannot defeat the
-    all-seeds-hit test.
+    positions. train_grams may contain duplicate (doc, gram) rows; each
+    duplicate row evaluates to the same all-seeds-hit boolean, so
+    duplicates cannot defeat the test (max() absorbs them).
     """
     seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
 
@@ -1479,34 +1479,52 @@ def bloom_decontaminate(
             ).alias("bits")
         )
     )
-    probe = positions(train_grams)
-    # left join: a probe position whose word was never touched by the
-    # eval set has no row in `words` — coalesce(bits, 0) below reads it
-    # as all-zero, i.e. a guaranteed miss
-    hits = probe.join(
-        F.broadcast(words), F.expr("pos div 63") == F.col("w"), "left"
+    # Probe side (optimization r14, guide §2.3/§2.4): the n_hashes
+    # positions are computed as COLUMNS of one row per (doc, gram) and
+    # each checked via its own broadcast lookup into `words`, instead of
+    # the former explode(seeds) → groupBy(doc, gram) count_distinct →
+    # groupBy(doc) chain. That chain tripled the probe rows before the
+    # exchange and planned THREE shuffles (the distinct-aggregate's two
+    # plus the doc-level max); this shape shuffles one partial-aggregated
+    # boolean per doc — a single exchange, no row multiplication, and the
+    # broadcast exchange of `words` is built once and reused by all three
+    # joins. Semantics are identical: a gram is a hit iff ALL seed
+    # positions are set (the per-seed left join + coalesce(bits, 0)
+    # reads an untouched word as all-zero = guaranteed miss), duplicate
+    # (doc, gram) rows simply produce identical hit rows under max().
+    def pos_for(seed: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.col(gram_col))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+
+    probe = train_grams.select(
+        id_col, *[pos_for(s).alias(f"__p{s}") for s in range(n_hashes)]
     )
-    # nh = number of DISTINCT seeds whose position is set: duplicate
-    # (doc, gram) input rows would make a plain sum reach 2*n_hashes on a
-    # full hit, fail the `nh == n_hashes` test below, and let a
-    # contaminated doc through — a false NEGATIVE violating the Bloom
-    # guarantee. count_distinct(seed | hit) is duplicate-proof and keeps
-    # the plan at the SAME single (doc, gram) exchange (Spark's two-phase
-    # distinct aggregate piggybacks on the groupBy keys; a distinct() on
-    # the probe input would have added a second identical shuffle).
-    gram_hits = hits.groupBy(id_col, gram_col).agg(
-        F.count_distinct(
-            F.when(
-                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
-                )
-                != 0,
-                F.col("seed"),
+    hit = F.lit(True)
+    for s in range(n_hashes):
+        w_s = words.select(
+            F.col("w").alias(f"__w{s}"), F.col("bits").alias(f"__bits{s}")
+        )
+        probe = probe.join(
+            F.broadcast(w_s), F.expr(f"__p{s} div 63") == F.col(f"__w{s}"), "left"
+        )
+        hit = hit & (
+            F.coalesce(F.col(f"__bits{s}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p{s} % 63 AS INT))")
             )
-        ).alias("nh")
-    )
-    return gram_hits.groupBy(id_col).agg(
-        F.max((F.col("nh") == n_hashes).cast("int")).alias("bloom_flagged")
+            != 0
+        )
+    return (
+        probe.select(id_col, hit.cast("int").alias("__hit"))
+        .groupBy(id_col)
+        .agg(F.max("__hit").alias("bloom_flagged"))
     )
 
 

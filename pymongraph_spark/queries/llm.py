@@ -4698,23 +4698,34 @@ def _gopher_metric_frame(docs: DataFrame) -> DataFrame:
     count, distinct-stopword count. Shared verbatim by the gated t100 row
     and the t104 pipeline composition so the composed filter is the SAME
     operator the gate verifies, not a copy."""
-    toks = tokens("text")
-    return docs.filter(token_count("text") >= 1).select(
-        "doc_id",
-        token_count("text").alias("n_words"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-        ).alias("sum_len"),
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+    # Tokenization is STAGED as its own projection (optimization r14, the
+    # shingled() discipline): inlining `tokens("text")` into each metric
+    # re-evaluated the interpreted split+filter HOF once per reference —
+    # 5× per row here (the input filter + n_words + sum_len + n_alpha +
+    # n_stop). Staging cuts that to 2 (scan filter + one projection);
+    # CollapseProject keeps the Projects separate because the alias is
+    # referenced four times by non-cheap expressions.
+    toks = F.col("__toks")
+    return (
+        docs.filter(token_count("text") >= 1)
+        .select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_words"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).alias("sum_len"),
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+            .cast("bigint")
+            .alias("n_alpha"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+                )
             )
+            .cast("bigint")
+            .alias("n_stop"),
         )
-        .cast("bigint")
-        .alias("n_stop"),
     )
 
 
