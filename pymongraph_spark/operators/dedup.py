@@ -380,8 +380,12 @@ def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 64, shingle_col: str = "shingles"
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    murmur3(shingle, seed=i). One nested transform, fully codegen'd —
-    no UDF, no shuffle."""
+    murmur3(shingle, seed=i). One nested transform — no UDF, no shuffle.
+
+    Kept for consumers that need the map-only array form; the hot pipeline
+    paths use _signature_agg (explode → codegen'd min aggregates) instead:
+    higher-order functions are interpreted per element, so this form pays
+    num_hashes interpreted lambda evaluations per shingle (guide §1.2)."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.transform(
         seeds,
@@ -390,6 +394,38 @@ def minhash_signatures(
         ),
     )
     return shingle_df.withColumn("signature", sig)
+
+
+def _signature_agg(
+    shd: DataFrame, gram_hash, min_exprs, id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature via explode → num_hashes codegen'd min() aggregates
+    (optimization r14, guide §1.2/§2.3): the former per-row HOF fold
+    (transform over num_hashes permutations × array_min over shingles)
+    runs interpreted — one lambda dispatch per (shingle, permutation) —
+    and measured ~1.0s of the 1.5s signature job at sf0.1. Exploding to
+    one (doc, gram) row and aggregating num_hashes min() columns keeps
+    every hash/permutation in whole-stage codegen. The added Exchange is
+    tiny and scale-safe: partial map-side aggregation emits one row of
+    num_hashes longs per doc per map partition, and each doc's shingles
+    live in exactly one input row, so the shuffle carries ~8·num_hashes
+    bytes per doc regardless of corpus text size.
+
+    ``gram_hash(gram_col) -> Column`` is staged as its own projection so
+    a non-cheap shared hash (the neutral md5 fold) is computed ONCE per
+    (doc, gram) row — CollapseProject leaves multi-referenced non-cheap
+    aliases staged (SPARK-36718), so the num_hashes aggregate references
+    do not re-inline it. ``min_exprs(hash_col) -> [Column...]`` supplies
+    the per-seed min-aggregate expressions; values are bit-identical to
+    the HOF form (asserted by tests and the d45/st91/st92 oracle gates)."""
+    ex = shd.select(id_col, F.explode("shingles").alias("__g")).select(
+        id_col, gram_hash(F.col("__g")).alias("__h")
+    )
+    mins = min_exprs(F.col("__h"))
+    named = [m.alias(f"__m{i}") for i, m in enumerate(mins)]
+    return ex.groupBy(id_col).agg(*named).select(
+        id_col, F.array(*[f"__m{i}" for i in range(len(named))]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -432,6 +468,11 @@ def minhash_lsh_pairs(
     # each recomputes the full shingle+signature pipeline (measured 4
     # concurrent ~2.1s jobs x 34 tasks inside t107's minhash step; one
     # eager materialization makes the other three scans block reads).
+    # The murmur3 fold stays in the map-only HOF form: murmur3 is cheap
+    # enough that the _signature_agg explode/shuffle shape measured
+    # SLOWER at both sf0.1 (1.53s → 2.50s) and a 100k-doc corpus
+    # (8.8s → 9.1s medians) — the agg restructure only pays for the
+    # expensive md5 family (see _neutral_banded).
     sig = minhash_signatures(s, num_hashes).localCheckpoint(eager=True)
     try:
         band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -504,52 +545,43 @@ def _neutral_banded(
     bands: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared engine-neutral signature + banding stage: returns
-    (MATERIALIZED signature frame — which also carries the shingles
-    column, so verification probes the stored blocks — and the exploded
-    banded frame (doc_id, band, key)).
+    (MATERIALIZED shingle frame (doc_id, shingles) — verification probes
+    the stored blocks — and the exploded banded frame (doc_id, band, key),
+    which reads a separately checkpointed (doc_id, signature) frame).
 
-    The signature frame is an eager localCheckpoint barrier: without it
-    the banded frame's ``bands`` key expressions would each recompute
-    the full signature via projection collapse, and a lazy persist
-    would let AQE's concurrently-submitted leaf stages race on the cold
-    cache and recompute the pipeline once per consumer (see
-    minhash_lsh_pairs). The blocks are freed by the ContextCleaner when
-    the caller drops the frame; the unpersist in callers' finally
-    blocks is a harmless no-op kept for the persist-based history."""
+    Both checkpoints are eager barriers: without them the banded frame's
+    key expressions would recompute the signature via projection
+    collapse, and a lazy persist would let AQE's concurrently-submitted
+    leaf stages race on the cold cache and recompute the pipeline once
+    per consumer (see minhash_lsh_pairs). Blocks are freed by the
+    ContextCleaner when the caller drops the frames."""
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
     rows = num_hashes // bands
     s = shingled(docs, text_col, id_col, n)
-    # The md5 fold is STAGED as its own column: higher-order functions
-    # are interpreted and do not memoize their argument, so an inline
-    # ``hashes`` subtree is re-evaluated once per permutation — num_hashes
-    # × the md5 work per row (measured 2.69s → 1.86s for the d42 pipeline
-    # at sf0.1 after staging; guide §1.2 "don't compute things you throw
-    # away"). The F.when double-reference keeps CollapseProject from
-    # re-inlining the alias into the signature lambda (single-reference
-    # aliases are collapsed regardless of cost — the shingled() staging
-    # note's rule).
-    s = s.withColumn("__h48", F.transform(F.col("shingles"), _md5_hash48))
-    hashes = F.when(F.size("__h48") >= 0, F.col("__h48")).otherwise(F.col("__h48"))
-    ab = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in MINHASH_AB[:num_hashes]
-        ]
-    )
-    sig = F.transform(
-        ab,
-        lambda st: F.array_min(
-            F.transform(hashes, lambda h: (st["a"] * h + st["b"]) % F.lit(MINHASH_P))
-        ),
-    )
     # Eager materialization, not a lazy persist: four downstream leaf
     # stages scan this frame concurrently under AQE (see
-    # minhash_lsh_pairs) — a cold lazy cache makes all four recompute
-    # the signature pipeline in parallel; one eager job removes the race.
-    sigd = s.withColumn("signature", sig).drop("__h48").localCheckpoint(eager=True)
+    # minhash_lsh_pairs) — a lazy cold cache makes all four recompute
+    # the shingle pipeline in parallel; one eager job removes the race.
+    sigd = s.localCheckpoint(eager=True)
+    # Signature via explode → codegen'd min aggregates (_signature_agg,
+    # optimization r14): the former interpreted HOF fold (num_hashes
+    # permutations × array_min per row, with the md5 fold staged as its
+    # own column) measured ~1.0s of the 1.5s signature job at sf0.1; the
+    # exploded form keeps the md5 AND the affine permutations in
+    # whole-stage codegen, computing md5 once per (doc, gram) row. The
+    # signature frame is checkpointed separately — num_hashes longs per
+    # doc — so the two banding scans read blocks, not the agg.
+    sig_small = _signature_agg(
+        sigd,
+        _md5_hash48,
+        lambda h: [
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+            for a, b in MINHASH_AB[:num_hashes]
+        ],
+    ).localCheckpoint(eager=True)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigd.select(
+    banded = sig_small.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -627,14 +659,12 @@ def minhash_index_frames(
     index with minhash_lsh_probe_index: the corpus text is never
     re-shingled or re-minhashed (st88 previously re-hashed the whole
     accumulated corpus every micro-batch). Both frames are eagerly
-    materialized; the signature cache is released before returning."""
+    materialized. The shingle frame _neutral_banded returns IS already
+    the (doc_id, shingles) checkpoint — re-checkpointing it was a pure
+    copy job (removed, optimization r14)."""
     sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
-    try:
-        sh = sigd.select("doc_id", "shingles").localCheckpoint(eager=True)
-        bb = banded.localCheckpoint(eager=True)
-    finally:
-        sigd.unpersist()
-    return sh, bb
+    bb = banded.localCheckpoint(eager=True)
+    return sigd, bb
 
 
 def minhash_lsh_probe_index(
