@@ -2126,17 +2126,18 @@ def d52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pymongraph_spark.operators.dedup import shingled_grams
 
-    # fused explode + bucket-as-doc_id-function: exploding an aliased
-    # gram array in a later select trips InferFiltersFromGenerate into
-    # re-inlining the whole shingle construction into a pushed filter
-    # (see shingled_grams) — measured 14× on this exact shape
-    sh = shingled_grams(docs, n=3).withColumn("bucket", bucket)
+    # bucket is a pure function of doc_id, so each side filters its DOCS
+    # before shingling (optimization r14, guide §2.3): the post-explode
+    # filter shape shingled 100% of the corpus per consumer vs 10% + 80%
+    # now. The fused explode inside shingled_grams still avoids the
+    # InferFiltersFromGenerate re-inlining hazard (the doc_id filter
+    # never references the gram array).
     ev = (
-        sh.filter(F.col("bucket") >= 90)
+        shingled_grams(docs.filter(bucket >= 90), n=3)
         .select("gram", F.col("doc_id").alias("eval_doc"))
         .distinct()
     )
-    tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    tr = shingled_grams(docs.filter(bucket < 80), n=3)
     return (
         tr.join(ev, on="gram")
         .groupBy("doc_id")
@@ -2912,13 +2913,16 @@ def t86_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     b = docs.select("doc_id", "lang", bucket.alias("bucket"))
-    # bucket recomputed as a pure doc_id function post-explode: no join
-    # shuffle, and the fused explode avoids the InferFiltersFromGenerate
-    # re-inlining hazard (see shingled_grams)
-    grams = shingled_grams(docs, n=3).withColumn("bucket", bucket)
-    ev_grams = grams.filter(F.col("bucket") >= 90).select("gram").distinct()
+    # bucket is a pure function of doc_id, so each side filters its DOCS
+    # before shingling (optimization r14, guide §2.3): the post-explode
+    # filter shape shingled 100% of the corpus per consumer vs 10% + 80%
+    # now; no InferFiltersFromGenerate hazard (the doc_id filter never
+    # references the gram array).
+    ev_grams = (
+        shingled_grams(docs.filter(bucket >= 90), n=3).select("gram").distinct()
+    )
     dirty = (
-        grams.filter(F.col("bucket") < 80)
+        shingled_grams(docs.filter(bucket < 80), n=3)
         .join(ev_grams, on="gram", how="left_semi")
         .select("doc_id")
         .distinct()
@@ -4561,12 +4565,21 @@ def d59_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 100
     )
-    # bucket is a pure function of doc_id — computing it post-explode
-    # avoids both the join shuffle and the InferFiltersFromGenerate
-    # hazard shingled_grams documents
-    sh = shingled_grams(docs, n=3).withColumn("bucket", bucket)
-    ev = sh.filter(F.col("bucket") >= 90).select("gram").distinct()
-    tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    # bucket is a pure function of doc_id, so each side filters its DOCS
+    # before shingling (optimization r14, guide §2.3): the post-explode
+    # filter shape tokenized+shingled 100% of the corpus once per
+    # consumer (ev feeds the words build AND the exact-flag semi-join,
+    # tr feeds the probe AND the semi-join = 4.0 corpus-scans); with the
+    # doc_id filter below the explode it is 2×0.1 + 2×0.8 (no
+    # checkpoint: an extra eager job costs more at bench scale than the
+    # two 10% eval scans it would save). No InferFiltersFromGenerate
+    # hazard: the filter never references the gram array.
+    ev = (
+        shingled_grams(docs.filter(bucket >= 90), n=3)
+        .select("gram")
+        .distinct()
+    )
+    tr = shingled_grams(docs.filter(bucket < 80), n=3)
     bl = bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3)
     ex = (
         tr.join(ev, "gram", "left_semi")
@@ -5415,19 +5428,24 @@ def _compose_tail(surv: DataFrame, m_bits: int | None = None) -> DataFrame:
     # Stage 2 — Bloom decontamination over the d52/d59 md5 split: eval
     # grams (bucket >= 90) fold into the broadcast filter; train docs
     # (bucket < 80) whose any-shingle hits all 3 seeds are dropped.
-    # bucket is a pure function of doc_id — computed post-explode to keep
-    # the single exchange (the d59 InferFiltersFromGenerate note applies).
+    # bucket is a pure function of doc_id, so each side filters its DOCS
+    # before shingling (optimization r14, guide §2.3 "project before the
+    # expensive work"): the former post-explode bucket filter tokenized
+    # and shingled 100% of the survivors once per consumer — 2.0
+    # corpus-scans of shingle work here vs 0.9 (eval 10% + train 80%)
+    # with the filter on the doc_id function pushed below the explode.
+    # No InferFiltersFromGenerate hazard: the filter references only
+    # doc_id, never the gram array.
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
-    grams = shingled_grams(surv, n=_T104_NGRAM).withColumn("bucket", bucket)
     # localCheckpoint before the sizing count (the d65/ADVICE discipline:
     # the count and the filter build must not each re-run the eval-side
     # shingle scan); the checkpointed frame is tiny — distinct eval grams.
     ev = (
-        grams.filter(F.col("bucket") >= 90)
+        shingled_grams(surv.filter(bucket >= 90), n=_T104_NGRAM)
         .select("gram")
         .distinct()
         .localCheckpoint(eager=True)
@@ -5436,7 +5454,7 @@ def _compose_tail(surv: DataFrame, m_bits: int | None = None) -> DataFrame:
         from pymongraph_spark.operators.dedup import bloom_m_bits_for
 
         m_bits = bloom_m_bits_for(ev.count())
-    tr = grams.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    tr = shingled_grams(surv.filter(bucket < 80), n=_T104_NGRAM)
     flagged = (
         bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
         .filter(F.col("bloom_flagged") == 1)
@@ -5883,15 +5901,16 @@ def _tokenized_pack(
         .cast("long")
         % 100
     )
-    grams = shingled_grams(surv, n=_T104_NGRAM).withColumn("bucket", bucket)
+    # Each side filters its DOCS before shingling — bucket is a pure
+    # doc_id function (optimization r14, guide §2.3; see _compose_tail).
     ev = (
-        grams.filter(F.col("bucket") >= 90)
+        shingled_grams(surv.filter(bucket >= 90), n=_T104_NGRAM)
         .select("gram")
         .distinct()
         .localCheckpoint(eager=True)
     )
     m_bits = bloom_m_bits_for(ev.count())
-    tr = grams.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    tr = shingled_grams(surv.filter(bucket < 80), n=_T104_NGRAM)
     flagged = (
         bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
         .filter(F.col("bloom_flagged") == 1)
@@ -6054,7 +6073,9 @@ def d65_bloom_decontamination_sized(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         % 100
     )
-    sh = shingled_grams(docs, n=_T104_NGRAM).withColumn("bucket", bucket)
+    # bucket is a pure function of doc_id, so each side filters its DOCS
+    # before shingling (optimization r14, guide §2.3 — see d59): the
+    # post-explode shape shingled 100% of the corpus once per consumer.
     # localCheckpoint before counting (ADVICE r11): the sizing count and
     # the filter build otherwise each re-run the eval-side shingle scan.
     # One bounded job sizes the filter — the filter build collects the
@@ -6062,13 +6083,13 @@ def d65_bloom_decontamination_sized(spark: SparkSession, sf_dir: str) -> DataFra
     # scaling term; at 100 TB you'd count the (small) eval set once and
     # reuse m across runs.
     ev = (
-        sh.filter(F.col("bucket") >= 90)
+        shingled_grams(docs.filter(bucket >= 90), n=_T104_NGRAM)
         .select("gram")
         .distinct()
         .localCheckpoint(eager=True)
     )
     m_bits = bloom_m_bits_for(ev.count())
-    tr = sh.filter(F.col("bucket") < 80).select("doc_id", "gram")
+    tr = shingled_grams(docs.filter(bucket < 80), n=_T104_NGRAM)
     bl = bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
     ex = (
         tr.join(ev, "gram", "left_semi")
