@@ -337,14 +337,17 @@ def build_graph_tables(staging: DataFrame) -> PropertyGraph:
     - edges: dedup on (src, dst, label), first occurrence's props win.
 
     The staging frame (Python JSON parse — the one genuinely expensive
-    lineage here) is persisted only for the duration of this call: both
-    outputs are materialized eagerly via localCheckpoint, then staging is
-    released. The checkpointed result blocks are graph-sized (≪ raw
-    reports) and are freed by Spark's ContextCleaner once the returned
-    PropertyGraph is dereferenced — nothing stays pinned in the cache
-    manager for the session's lifetime.
+    lineage here) is materialized EAGERLY for the duration of this call
+    (optimization r14, the minhash-barrier discipline): the vertex and
+    edge outputs are built by two CONCURRENT jobs, and against a lazy
+    cold persist both race on the uncached staging blocks — measured
+    4.3s vs 1.0s for the first 1000-report batch (block-lock waits +
+    duplicated parse scheduling), and ~0.1s slower warm. Staging is
+    released after both outputs checkpoint; the result blocks are
+    graph-sized (≪ raw reports) and freed by Spark's ContextCleaner once
+    the returned PropertyGraph is dereferenced.
     """
-    staging = staging.persist()
+    staging = staging.localCheckpoint(eager=True)
 
     inserts = staging.filter(F.col("kind") == "v").select("label", "key", "ord", "seq", "props")
 
