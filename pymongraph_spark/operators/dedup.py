@@ -397,7 +397,7 @@ def minhash_signatures(
 
 
 def _signature_agg(
-    shd: DataFrame, gram_hash, min_exprs, id_col: str = "doc_id"
+    grams: DataFrame, gram_hash, min_exprs, id_col: str = "doc_id"
 ) -> DataFrame:
     """Signature via explode → num_hashes codegen'd min() aggregates
     (optimization r14, guide §1.2/§2.3): the former per-row HOF fold
@@ -411,6 +411,13 @@ def _signature_agg(
     live in exactly one input row, so the shuffle carries ~8·num_hashes
     bytes per doc regardless of corpus text size.
 
+    ``grams`` is the EXPLODED (doc_id, gram) frame. Callers must supply a
+    hazard-free explode: either shingled_grams(docs) (fused explode) or
+    an explode over a MATERIALIZED shingle frame — exploding a lazy
+    shingled() output here would trip the InferFiltersFromGenerate
+    re-inlining hazard shingled_grams documents (measured 2.0s vs 0.6s
+    for one 1250-doc batch's banded write).
+
     ``gram_hash(gram_col) -> Column`` is staged as its own projection so
     a non-cheap shared hash (the neutral md5 fold) is computed ONCE per
     (doc, gram) row — CollapseProject leaves multi-referenced non-cheap
@@ -418,9 +425,7 @@ def _signature_agg(
     do not re-inline it. ``min_exprs(hash_col) -> [Column...]`` supplies
     the per-seed min-aggregate expressions; values are bit-identical to
     the HOF form (asserted by tests and the d45/st91/st92 oracle gates)."""
-    ex = shd.select(id_col, F.explode("shingles").alias("__g")).select(
-        id_col, gram_hash(F.col("__g")).alias("__h")
-    )
+    ex = grams.select(id_col, gram_hash(F.col("gram")).alias("__h"))
     mins = min_exprs(F.col("__h"))
     named = [m.alias(f"__m{i}") for i, m in enumerate(mins)]
     return ex.groupBy(id_col).agg(*named).select(
@@ -571,17 +576,35 @@ def _neutral_banded(
     # whole-stage codegen, computing md5 once per (doc, gram) row. The
     # signature frame is checkpointed separately — num_hashes longs per
     # doc — so the two banding scans read blocks, not the agg.
-    sig_small = _signature_agg(
-        sigd,
+    # explode over the CHECKPOINT — the cache boundary stops the
+    # InferFiltersFromGenerate pushdown (see _signature_agg's contract)
+    grams = sigd.select("doc_id", F.explode("shingles").alias("gram"))
+    sig_small = _neutral_signature(grams, num_hashes).localCheckpoint(eager=True)
+    return sigd, _band_key_explode(sig_small, num_hashes, bands)
+
+
+def _neutral_signature(grams: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, signature) via the engine-neutral md5 + affine family —
+    the _signature_agg explode/agg shape over an exploded (doc_id, gram)
+    frame (see _signature_agg for the explode-hazard contract)."""
+    return _signature_agg(
+        grams,
         _md5_hash48,
         lambda h: [
             F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
             for a, b in MINHASH_AB[:num_hashes]
         ],
-    ).localCheckpoint(eager=True)
+    )
 
+
+def _band_key_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, key) from a (doc_id, signature) frame. Safe to
+    apply lazily to _neutral_signature output: the signature sits above
+    an Aggregate, so projection collapse cannot re-inline its
+    construction into the per-band key expressions."""
+    rows = num_hashes // bands
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig_small.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -593,7 +616,6 @@ def _neutral_banded(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
-    return sigd, banded
 
 
 def minhash_lsh_pairs_neutral(
@@ -665,6 +687,31 @@ def minhash_index_frames(
     sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
     bb = banded.localCheckpoint(eager=True)
     return sigd, bb
+
+
+def minhash_index_frames_lazy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """minhash_index_frames WITHOUT materialization barriers, for callers
+    that write both frames straight to a durable sink (the streaming
+    index append path): the parquet write IS the materialization, so the
+    three eager localCheckpoint jobs of the materialized variant are pure
+    overhead there (optimization r14 — st88 dropped from ~3.4 to ~2 s per
+    micro-batch, see OPTIMIZATION_r14.md). Each returned frame recomputes
+    the batch's shingle scan when written (two scans of one micro-batch —
+    cheap); the banded frame builds on shingled_grams' FUSED explode
+    (hazard contract in _signature_agg) and is collapse-safe per
+    _band_key_explode."""
+    s = shingled(docs, text_col, id_col, n)
+    grams = shingled_grams(docs, text_col, id_col, n)
+    return s, _band_key_explode(
+        _neutral_signature(grams, num_hashes), num_hashes, bands
+    )
 
 
 def minhash_lsh_probe_index(

@@ -513,9 +513,10 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pymongraph_spark.catalog import load_tables
     from pymongraph_spark.operators.dedup import (
-        minhash_index_frames,
+        minhash_index_frames_lazy,
         minhash_lsh_probe_index,
     )
+    from pymongraph_spark.session import run_concurrently
 
     base = scratch_dir("st88_neardup", sf_dir)
     input_dir = os.path.join(base, "in")
@@ -552,32 +553,51 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index is probed as stored parquet — the corpus is never
         # re-shingled or re-minhashed per micro-batch (previously every
         # wave re-ran the 64-permutation signature over the whole
-        # accumulated corpus, O(corpus) hashing per batch)
-        sh, bb = minhash_index_frames(batch_df, n=3, num_hashes=64, bands=16)
-        if os.path.isdir(index_sh_dir):
-            pairs = minhash_lsh_probe_index(
-                sh,
-                bb,
-                spark.read.parquet(index_sh_dir),
-                spark.read.parquet(index_bb_dir),
-                threshold=0.5,
-            ).localCheckpoint(eager=True)
-            hi = F.col("doc_id_new") % 4 > F.col("doc_id_corpus") % 4
-            oriented = (
-                pairs.filter(F.col("doc_id_new") % 4 != F.col("doc_id_corpus") % 4)
-                .select(
-                    F.when(hi, F.col("doc_id_new"))
-                    .otherwise(F.col("doc_id_corpus"))
-                    .alias("doc_id_new"),
-                    F.when(hi, F.col("doc_id_corpus"))
-                    .otherwise(F.col("doc_id_new"))
-                    .alias("doc_id_corpus"),
-                    "jaccard",
-                )
+        # accumulated corpus, O(corpus) hashing per batch).
+        #
+        # APPEND-FIRST shape (optimization r14, guide §1.2 fewer passes):
+        # pin the standing index's file list, append the batch's lazy
+        # frames straight to the index dirs (the parquet write IS the
+        # materialization — the former eager-localCheckpoint variant
+        # spent 3 extra jobs per batch re-materializing what the sink
+        # writes anyway), then probe the batch's just-written rows
+        # against the PINNED old list. Replay safety is unchanged: a
+        # replayed append duplicates index rows for one wave, a batch
+        # probing its own first-attempt copy yields only same-wave pairs
+        # (filtered below), and duplicated cross-wave pair rows are
+        # absorbed by the read-back distinct().
+        old_sh = sorted(_data_files(index_sh_dir)) if os.path.isdir(index_sh_dir) else []
+        old_bb = sorted(_data_files(index_bb_dir)) if os.path.isdir(index_bb_dir) else []
+        sh, bb = minhash_index_frames_lazy(batch_df, n=3, num_hashes=64, bands=16)
+        run_concurrently(
+            lambda: sh.write.mode("append").parquet(index_sh_dir),
+            lambda: bb.write.mode("append").parquet(index_bb_dir),
+        )
+        if not old_sh:
+            return
+        new_sh = [p for p in _data_files(index_sh_dir) if p not in set(old_sh)]
+        new_bb = [p for p in _data_files(index_bb_dir) if p not in set(old_bb)]
+        pairs = minhash_lsh_probe_index(
+            spark.read.parquet(*new_sh),
+            spark.read.parquet(*new_bb),
+            spark.read.parquet(*old_sh),
+            spark.read.parquet(*old_bb),
+            threshold=0.5,
+        )
+        hi = F.col("doc_id_new") % 4 > F.col("doc_id_corpus") % 4
+        oriented = (
+            pairs.filter(F.col("doc_id_new") % 4 != F.col("doc_id_corpus") % 4)
+            .select(
+                F.when(hi, F.col("doc_id_new"))
+                .otherwise(F.col("doc_id_corpus"))
+                .alias("doc_id_new"),
+                F.when(hi, F.col("doc_id_corpus"))
+                .otherwise(F.col("doc_id_new"))
+                .alias("doc_id_corpus"),
+                "jaccard",
             )
-            oriented.write.mode("append").parquet(pairs_dir)
-        sh.write.mode("append").parquet(index_sh_dir)
-        bb.write.mode("append").parquet(index_bb_dir)
+        )
+        oriented.write.mode("append").parquet(pairs_dir)
 
     q = (
         stream.writeStream.foreachBatch(handle)
