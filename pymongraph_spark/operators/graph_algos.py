@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 # cheap local path. Tests may lower this to exercise the reliable path.
 RELIABLE_CHECKPOINT_DEPTH = 8
 
+# Edge-count bound under which connected_components callers may opt in to
+# the driver union-find path (~16 bytes/edge collected: 200k edges ≈ 3 MB
+# on the driver — far below any broadcast we already build).
+CC_COLLECT_MAX_EDGES = 200_000
+
 
 def _cut_lineage(df: DataFrame, iteration: int) -> DataFrame:
     """Truncate plan lineage between fixpoint iterations.
@@ -101,7 +106,11 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25, strict: bool = False
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    strict: bool = False,
+    collect_max_edges: int | None = None,
 ) -> DataFrame:
     """Undirected connected components via hash-min label propagation:
     every vertex starts as its own component (comp = id) and repeatedly
@@ -115,7 +124,21 @@ def connected_components(
     partially-propagated labeling — oracle-gated callers use this so a
     pathological diameter fails loudly, never silently wrong. Early exit
     makes a generous max_iter free on well-behaved graphs.
+
+    ``collect_max_edges`` (optimization r14, guide §1.2): when set and
+    the edge count is within the bound, the components are solved by a
+    driver-side union-find over the collected edge list instead of the
+    job-per-iteration fixpoint — identical min-id labels, exact, no
+    iteration budget. The near-dup pair-graph callers opt in: their edge
+    frames hold only docs with ≥1 near-dup (a few hundred rows at bench
+    scale, where the distributed loop is ~6 Spark jobs of pure
+    scheduling overhead — measured 1.3s → ~0.15s inside t107), and the
+    bound caps driver memory at ~16 bytes/edge (200k edges ≈ 3 MB).
+    Above the bound the distributed loop runs unchanged, so this is a
+    small-side special case, not a scalability assumption.
     """
+    if collect_max_edges is not None and edges.count() <= collect_max_edges:
+        return _collected_components(vertices, edges)
     # Undirected message graph: both directions. Partition by dst — the
     # key every iteration's join uses — and dedup WITHIN that exchange
     # (HashPartitioning(dst) satisfies the dedup's (src,dst) clustering),
@@ -142,6 +165,43 @@ def connected_components(
             "max_iter rather than consuming a partially-propagated labeling"
         )
     return comp
+
+
+def _collected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver union-find over a bounded edge list (see
+    connected_components.collect_max_edges). Labels are the min vertex id
+    per component — bit-identical to the hash-min fixpoint. Vertices that
+    touch no edge keep their own id via the coalesce, so the output
+    covers exactly ``vertices`` like the distributed path."""
+    spark = vertices.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set = set()
+    for row in edges.select("src", "dst").collect():
+        nodes.add(row[0])
+        nodes.add(row[1])
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # union by min id: the min root stays the representative, so
+            # find() yields the component's min vertex id directly
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(v, find(v)) for v in nodes]
+    comp_df = spark.createDataFrame(labels, "id: long, component: long")
+    return (
+        vertices.select("id")
+        .join(F.broadcast(comp_df), "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
 
 
 def connected_components_adjacency(

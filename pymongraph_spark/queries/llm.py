@@ -266,7 +266,10 @@ def d49_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure + MIN(root) per node over the identical pair set.
     """
     from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
-    from pymongraph_spark.operators.graph_algos import connected_components
+    from pymongraph_spark.operators.graph_algos import (
+        CC_COLLECT_MAX_EDGES,
+        connected_components,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs_neutral(
@@ -278,7 +281,10 @@ def d49_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-    comp = connected_components(verts, edges, max_iter=200, strict=True)
+    comp = connected_components(
+        verts, edges, max_iter=200, strict=True,
+        collect_max_edges=CC_COLLECT_MAX_EDGES,
+    )
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
@@ -1349,7 +1355,10 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-group hash-agg. Nothing materializes the corpus on the driver.
     """
     from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
-    from pymongraph_spark.operators.graph_algos import connected_components
+    from pymongraph_spark.operators.graph_algos import (
+        CC_COLLECT_MAX_EDGES,
+        connected_components,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = (
@@ -1363,7 +1372,10 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-    clusters = connected_components(verts, edges, max_iter=200, strict=True).select(
+    clusters = connected_components(
+        verts, edges, max_iter=200, strict=True,
+        collect_max_edges=CC_COLLECT_MAX_EDGES,
+    ).select(
         F.col("id").alias("doc_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
@@ -2840,7 +2852,10 @@ def _d54_oracle() -> str:
 @query("d54_quality_canonical_dedup", oracle=_d54_oracle())
 def d54_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongraph_spark.operators.dedup import minhash_lsh_pairs_neutral
-    from pymongraph_spark.operators.graph_algos import connected_components
+    from pymongraph_spark.operators.graph_algos import (
+        CC_COLLECT_MAX_EDGES,
+        connected_components,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs_neutral(
@@ -2852,7 +2867,10 @@ def d54_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-    comp = connected_components(verts, edges, max_iter=200, strict=True)
+    comp = connected_components(
+        verts, edges, max_iter=200, strict=True,
+        collect_max_edges=CC_COLLECT_MAX_EDGES,
+    )
     stats = docs.select(F.col("doc_id").alias("id"), "n_chars")
     best = F.struct(F.col("n_chars").alias("q"), (-F.col("id")).alias("ni"))
     return (
@@ -5654,7 +5672,10 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_keep_first,
         minhash_lsh_pairs_neutral,
     )
-    from pymongraph_spark.operators.graph_algos import connected_components
+    from pymongraph_spark.operators.graph_algos import (
+        CC_COLLECT_MAX_EDGES,
+        connected_components,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     # the planted ids live at doc_id + 1000000, and BOTH engines share
@@ -5701,7 +5722,10 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
     noncanon = (
-        connected_components(verts, edges, max_iter=200, strict=True)
+        connected_components(
+        verts, edges, max_iter=200, strict=True,
+        collect_max_edges=CC_COLLECT_MAX_EDGES,
+    )
         .filter(F.col("component") != F.col("id"))
         .select(F.col("id").alias("doc_id"))
         .localCheckpoint(eager=True)

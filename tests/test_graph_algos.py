@@ -43,6 +43,29 @@ def test_cc_direction_irrelevant(spark):
     assert _comp_sets(connected_components(v, e)) == [[0, 1, 2, 3]]
 
 
+def test_cc_collected_matches_distributed(spark):
+    """The bounded driver union-find path (collect_max_edges, r14) must
+    produce bit-identical (id, component) labels to the distributed
+    hash-min fixpoint — including singletons, duplicate/backward edges,
+    self-loops, and chains that force multi-level union-find paths."""
+    edges = [(3, 2), (2, 1), (1, 0), (0, 3), (5, 6), (6, 5), (7, 7), (9, 8)]
+    v, e = _vng(spark, 11, edges)
+    dist = {(r["id"], r["component"]) for r in connected_components(v, e).collect()}
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(v, e, collect_max_edges=1000).collect()
+    }
+    assert dist == fast
+    # above the bound, the distributed loop must be the one that runs
+    # (the collect path would need the edge list on the driver; equality
+    # of results is what we can assert from the outside)
+    over = {
+        (r["id"], r["component"])
+        for r in connected_components(v, e, collect_max_edges=2).collect()
+    }
+    assert over == dist
+
+
 def test_cc_adjacency_matches_generic(spark):
     """connected_components_adjacency over the bucketed adjacency layout
     must agree exactly with the generic operator on the same subgraph —
