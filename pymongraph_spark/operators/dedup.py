@@ -50,14 +50,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialized exact dedup: one surviving row (min id) per distinct
-    normalized text. Window-free: groupBy + semi-join back."""
-    survivors = (
-        docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("__h"))
+    normalized text. Window-free, single-pass (optimization r14): the
+    whole row rides the hash groupBy as a min_by struct, so the input is
+    scanned once and shuffled once (by content hash). The former
+    groupBy + semi-join-back shape scanned the input twice and — at any
+    scale where the survivor id set outgrows a broadcast, i.e. any real
+    corpus (dedup keeps most docs) — shuffled the full payload a second
+    time by id. Survivor ids are unique, so min_by is deterministic."""
+    cols = docs.columns
+    return (
+        docs.select(
+            F.struct(*cols).alias("__row"),
+            F.col(id_col).alias("__id"),
+            F.md5(normalized_text(text_col)).alias("__h"),
+        )
         .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .agg(F.min_by("__row", F.col("__id")).alias("__row"))
+        .select("__row.*")
     )
-    return docs.join(survivors, on=id_col, how="left_semi")
 
 
 def _spread(df: DataFrame) -> DataFrame:
