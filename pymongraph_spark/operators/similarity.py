@@ -1071,6 +1071,12 @@ def _centroid_matrix(cent: DataFrame):
     return cells_arr, cmat
 
 
+# Row bound for grid_kmeans_cells_fast's local tier: one limit-probe job
+# fetches at most this many (vec_id, qarr) rows (~0.5 KB each at dim 64 —
+# ≤ 16 MB on the driver, far under any broadcast we already build).
+KMEANS_LOCAL_MAX = 32768
+
+
 def _argmin_kernel(cmat):
     """Positional nearest-centroid argmin over a driver-side k×dim int64
     matrix; returns fn(q: b×dim int64) -> positions into cmat's rows.
@@ -1183,6 +1189,54 @@ def grid_kmeans_cells_fast(
         )
     cells_arr = np.array([r.cell for r in seed_rows], dtype=np.int64)
     cmat = np.array([r.qarr for r in seed_rows], dtype=np.int64)
+
+    # Bounded local tier (optimization r14, guide §1.2): each Lloyd's
+    # iteration is inherently one Spark job (the next centroid matrix
+    # depends on the last), so a small corpus pays iters+1 jobs of pure
+    # scheduling overhead — measured 1.3s of d58's 1.26s bench budget at
+    # sf0.1 (2000 vectors). A limit-probe collect (one bounded job,
+    # ≤ KMEANS_LOCAL_MAX+1 rows regardless of corpus size) fetches small
+    # inputs entirely and runs the SAME numpy kernel driver-side:
+    # int64 partial sums are exact and order-free, the division is the
+    # same truncated-toward-zero, empty cells drop identically, and the
+    # final assignment is the same _argmin_kernel first-min — so the
+    # result is bit-identical to the distributed loop (equivalence
+    # pinned by test_grid_fast_local_matches_distributed). Above the
+    # bound the probe costs one truncated scan and the distributed loop
+    # runs unchanged.
+    probe = qarr.select("vec_id", "qarr").limit(KMEANS_LOCAL_MAX + 1).collect()
+    if len(probe) <= KMEANS_LOCAL_MAX:
+        ids = np.array([r.vec_id for r in probe], dtype=np.int64)
+        q = np.array([r.qarr for r in probe], dtype=np.int64)
+        for _ in range(iters):
+            p = _argmin_kernel(cmat)(q)
+            sums = np.zeros_like(cmat)
+            np.add.at(sums, p, q)
+            counts = np.bincount(p, minlength=cmat.shape[0])
+            nz = counts > 0
+            s, c = sums[nz], counts[nz][:, None]
+            cmat = np.sign(s) * (np.abs(s) // c)
+            cells_arr = cells_arr[nz]
+        cells = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": ids, "cell": cells_arr[_argmin_kernel(cmat)(q)]}
+            ),
+            schema="vec_id bigint, cell bigint",
+        )
+        cent = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": np.repeat(cells_arr, cmat.shape[1]),
+                    "dim": np.tile(
+                        np.arange(cmat.shape[1], dtype=np.int64), len(cells_arr)
+                    ),
+                    "cv": cmat.ravel(),
+                }
+            ),
+            schema="cell bigint, dim int, cv bigint",
+        )
+        return cells, cent
+
     for _ in range(iters):
         k, dim = cmat.shape
         pos_fn = _argmin_kernel(cmat)

@@ -248,6 +248,35 @@ def test_grid_fast_assignment_matches_slow_high_k(spark, sf_small):
     assert {(r.vec_id, r.cell) for r in cells_fast.collect()} == slow
 
 
+def test_grid_fast_local_matches_distributed(spark, sf_small, monkeypatch):
+    """The bounded local Lloyd's tier (KMEANS_LOCAL_MAX, r14) must be
+    bit-identical to the distributed mapInPandas loop — cells AND the
+    centroid table — since gated queries (d58/d62/st92/st96) route
+    through whichever tier the corpus size selects."""
+    import pymongraph_spark.operators.similarity as sim
+    from pymongraph_spark.catalog import load_tables
+    from pymongraph_spark.operators.similarity import (
+        GRID_SCALE,
+        grid_kmeans_cells_fast,
+        grid_seeds,
+        quantize_arr,
+    )
+
+    emb = load_tables(spark, sf_small)["embeddings"]
+    qa = quantize_arr(emb, scale=GRID_SCALE, out="qarr")
+    seeds = grid_seeds(emb, 16)
+
+    cells_loc, cent_loc = grid_kmeans_cells_fast(qa, seeds, 2)  # local tier
+    monkeypatch.setattr(sim, "KMEANS_LOCAL_MAX", 0)  # force distributed
+    cells_dist, cent_dist = grid_kmeans_cells_fast(qa, seeds, 2)
+    assert {(r.vec_id, r.cell) for r in cells_loc.collect()} == {
+        (r.vec_id, r.cell) for r in cells_dist.collect()
+    }
+    assert {(r.cell, r.dim, r.cv) for r in cent_loc.collect()} == {
+        (r.cell, r.dim, r.cv) for r in cent_dist.collect()
+    }
+
+
 def test_grid_fast_assignment_blas_tier_bit_exact(spark):
     """grid_assign_whole_fast's float64-dgemm tier (r9: the int64 matmul
     has no BLAS kernel and became d58's super-linear term at k∝n) must
