@@ -1082,7 +1082,16 @@ def minhash_estimation_report(
     error concentrates as ~1/sqrt(num_hashes), and the report makes the
     tradeoff measurable on real data instead of assumed. Engine-neutral
     hash family, so the whole evaluation is oracle-checkable."""
-    sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
+    # Builds its own signature frame: unlike the pairs pipeline, the
+    # estimator consumes BOTH the stored shingles and the signature per
+    # pair side, so the (doc_id, signature) checkpoint joins back onto
+    # the shingle checkpoint here (r14 — _neutral_banded no longer
+    # carries the signature column on the shingle frame).
+    s = shingled(docs, text_col, id_col, n)
+    sigd = s.localCheckpoint(eager=True)
+    grams = sigd.select("doc_id", F.explode("shingles").alias("gram"))
+    sig_small = _neutral_signature(grams, num_hashes).localCheckpoint(eager=True)
+    banded = _band_key_explode(sig_small, num_hashes, bands)
     try:
         left = banded.select("band", "key", F.col("doc_id").alias("doc_id_a"))
         right = banded.select("band", "key", F.col("doc_id").alias("doc_id_b"))
@@ -1092,7 +1101,9 @@ def minhash_estimation_report(
             .select("doc_id_a", "doc_id_b")
             .distinct()
         )
-        sides = sigd.select("doc_id", "shingles", "signature")
+        sides = sigd.join(sig_small, "doc_id").select(
+            "doc_id", "shingles", "signature"
+        )
         pair = candidates.join(
             sides.select(
                 F.col("doc_id").alias("doc_id_a"),
