@@ -102,19 +102,29 @@ def _collect(obj: object, seen: set, parts: list[str]) -> None:
             src = inspect.getsource(obj)
         except (OSError, TypeError):  # pragma: no cover
             src = repr(obj)
-        # Shared dispatch-shell sources contribute NOTHING: the registry
-        # decorator's `wrapped` is the registered callable for EVERY
-        # query, so including its source makes any registry.py edit flip
-        # all 226 fingerprints at once — the rotation degenerates to
+        # Shared dispatch-shell functions contribute NOTHING — neither
+        # their source NOR their globals: the registry decorator's
+        # `wrapped` is the registered callable for EVERY query, so any
+        # registry-module edit (the wrapper body, a helper it calls like
+        # _maybe_gc, or a module constant) would flip all 226
+        # fingerprints at once — the rotation degenerates to
         # alphabetical and the 50-slot gate window loses the staleness
-        # signal entirely (observed after the r14 per-query gc.collect
-        # landed in the wrapper: 226/226 "changed"). The walk still
-        # recurses through the shell's closure (the real query fn) and
-        # globals, so per-query implementation edits flip exactly their
-        # own callers; registry-infrastructure edits are certified by the
+        # signal entirely (observed twice in r14: the per-query
+        # gc.collect landing in the wrapper, then the _maybe_gc helper
+        # whose mutable _last_gc global would additionally have made
+        # fingerprints time-dependent). The walk recurses ONLY through
+        # the shell's closure — the real query fn — so per-query
+        # implementation edits flip exactly their own callers;
+        # registry/session-infrastructure edits are certified by the
         # test suite, not by burning every gate slot.
-        if obj.__module__ != f"{_PKG}.queries.registry":
-            parts.append(src)
+        if obj.__module__ == f"{_PKG}.queries.registry":
+            for cell in obj.__closure__ or ():
+                try:
+                    _collect(cell.cell_contents, seen, parts)
+                except ValueError:  # pragma: no cover — empty cell
+                    pass
+            return
+        parts.append(src)
         for cell in obj.__closure__ or ():
             try:
                 _collect(cell.cell_contents, seen, parts)
