@@ -274,7 +274,7 @@ def d49_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs_neutral(
         docs, n=3, num_hashes=64, bands=16, threshold=0.5
-    ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+    ).select("doc_id_a", "doc_id_b")
     verts = (
         pairs.select(F.col("doc_id_a").alias("id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("id")))
@@ -1364,7 +1364,6 @@ def t71_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         minhash_lsh_pairs_neutral(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
     )
     verts = (
         pairs.select(F.col("doc_id_a").alias("id"))
@@ -2860,7 +2859,7 @@ def d54_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs_neutral(
         docs, n=3, num_hashes=64, bands=16, threshold=0.5
-    ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+    ).select("doc_id_a", "doc_id_b")
     verts = (
         pairs.select(F.col("doc_id_a").alias("id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("id")))
@@ -5711,7 +5710,6 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         minhash_lsh_pairs_neutral(surv, n=3, num_hashes=64, bands=16, threshold=0.5)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
     )
     verts = (
         pairs.select(F.col("doc_id_a").alias("id"))
