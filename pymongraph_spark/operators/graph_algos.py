@@ -196,10 +196,15 @@ def _collected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     labels = [(v, find(v)) for v in nodes]
+    # no broadcast hint: comp_df is a LocalRelation whose exact size the
+    # planner knows (bounded by collect_max_edges), so auto-broadcast
+    # picks BHJ on its own — and the t71 plan lint forbids forced hints
+    # on the cluster join (cluster membership is unbounded in general;
+    # THIS path is the bounded special case)
     comp_df = spark.createDataFrame(labels, "id: long, component: long")
     return (
         vertices.select("id")
-        .join(F.broadcast(comp_df), "id", "left")
+        .join(comp_df, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
 
