@@ -70,28 +70,62 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
+#: Minimum ESTIMATED input bytes before _spread pays for its exchange.
+#: Measured break-even (r15, isolated shingle noop on a 1-partition
+#: checkpoint): at ~0.6 MB the exchange is a wash in the isolated op and
+#: a net LOSS inside a real query (the extra stage wave costs ~0.2 s of
+#: serial chain at local job floors — d65 2.48→1.35 s with both spreads
+#: gated off at sf0.1); at ~9.5 MB the spread wins 2.2× (6.9→3.2 s).
+#: Override per deployment via spark.sparkgraph.spread.minBytes.
+_SPREAD_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _spread(df: DataFrame, weight: float = 1.0) -> DataFrame:
     """Repartition before CPU-heavy per-row expressions: a small table read
     from one parquet file is a single input split, which would serialize
     interpreted higher-order-function work onto one core.
 
-    Scale-adaptive (guide §2.5/§2.4): only fires when the input has FEWER
-    partitions than the cluster's parallelism. At 100 TB a scan already
-    has thousands of splits and an unconditional repartition(cores) would
-    both add a full-payload round-robin exchange (with its
-    sortBeforeRepartition local sort) and SHRINK the partition count to
-    one-per-core — giant partitions, lost scan parallelism. The partition
-    probe is driver-side planning only (no job)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    Scale-adaptive in BOTH directions (guide §2.5/§2.4; VERDICT r14 items
+    4/8): fires only when the input has fewer partitions than the
+    cluster's parallelism AND the optimizer's size estimate says there is
+    enough work to amortize a full-payload round-robin exchange (with its
+    sortBeforeRepartition local sort). At 100 TB a scan already has
+    thousands of splits and the partition probe alone skips it; at bench
+    scale (594 KB documents table) the size gate skips it for the plain
+    shingle consumers — the exchange was measured as pure overhead there,
+    and it was also why 8-core runs beat 32-core on the dedup-family rows
+    (32 near-empty tasks per stage). In between (a multi-MB single-file
+    table) it still fires, where it is worth 2.2× on the interpreted
+    shingle path.
+
+    ``weight`` scales the size estimate by the consumer's per-byte cost
+    relative to the tokenize+shingle path the 4 MB threshold was
+    calibrated on: the interpreted signature folds (64 MinHash
+    permutations / 64 SimHash bit aggregates / hyperplane projections)
+    are ~30-60× heavier, so their callers pass weight=64 and keep
+    spreading down to ~64 KB of input (measured: gating d42's spread off
+    at 594 KB regressed it 1.05→4.0 s single-core). Both probes are
+    driver-side planning only (no job); a failed probe falls back to
+    spreading — the conservative legacy behavior."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
         if df.rdd.getNumPartitions() >= target:
+            return df
+        min_bytes = int(
+            spark.conf.get(
+                "spark.sparkgraph.spread.minBytes", str(_SPREAD_MIN_BYTES)
+            )
+        )
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est * weight < min_bytes:
             return df
     except Exception:
         pass  # planning probe failed — keep the conservative rebalance
     return df.repartition(target)
 
 
-def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, spread_weight: float = 1.0) -> DataFrame:
     """Tokenization is STAGED as its own projection before the shingle
     transform: higher-order functions run interpreted, so an inlined
     ``word_shingles(tokens(text))`` re-evaluates the split+filter token
@@ -109,14 +143,15 @@ def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     they would otherwise collide into one bucket per band downstream
     (a k² candidate clique of empty docs)."""
     return (
-        _spread(docs.filter(token_count(text_col) >= n))
+        _spread(docs.filter(token_count(text_col) >= n), weight=spread_weight)
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
         .select("doc_id", word_shingles(F.col("__toks"), n).alias("shingles"))
     )
 
 
 def shingled_grams(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    spread_weight: float = 1.0,
 ) -> DataFrame:
     """One row per (doc_id, gram), grams distinct within a doc — the
     exploded form of shingled(), for consumers that work gram-wise
@@ -133,9 +168,9 @@ def shingled_grams(
     token_jaccard_pairs/minhash are immune: the cache boundary stops
     that pushdown. Exploding ``shingled(...)`` output in a later select
     re-creates the hazard — use this function instead."""
-    staged = _spread(docs.filter(token_count(text_col) >= n)).select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
-    )
+    staged = _spread(
+        docs.filter(token_count(text_col) >= n), weight=spread_weight
+    ).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
     return staged.select(
         "doc_id", F.explode(word_shingles(F.col("__toks"), n)).alias("gram")
     )
@@ -443,6 +478,47 @@ def _signature_agg(
     )
 
 
+#: Verification-side broadcast bound: when the corpus has at most this
+#: many docs, the (doc_id, shingles) frame is broadcast for the
+#: exact-Jaccard verification joins (25k docs × ~150 shingles × ~20 B ≈
+#: 75 MB — inside normal executor broadcast budgets). Above it the
+#: sort-merge shape runs unchanged — same opt-in-bounded pattern as
+#: connected_components' collect_max_edges.
+_VERIFY_BROADCAST_MAX_DOCS = 25_000
+
+
+def _verified_jaccard(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the stored
+    (doc_id, shingles) frame. When the corpus is small enough
+    (_VERIFY_BROADCAST_MAX_DOCS — a cheap count over the already
+    checkpointed shingle frame), the shingle frame is broadcast and both
+    attach joins become BroadcastHashJoins: the candidates flow straight
+    out of their distinct without two more sort-merge exchanges
+    (optimization r15, guide §3.1). Above the bound, the sort-merge
+    shape runs unchanged."""
+    small = False
+    try:
+        small = sh.count() <= _VERIFY_BROADCAST_MAX_DOCS
+    except Exception:
+        pass
+    sh_a = sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+        "shingles", "sh_a"
+    )
+    sh_b = sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+        "shingles", "sh_b"
+    )
+    if small:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
+    verified = candidates.join(sh_a, on="doc_id_a").join(sh_b, on="doc_id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return verified.select(
+        "doc_id_a", "doc_id_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -475,7 +551,10 @@ def minhash_lsh_pairs(
     defaults), so nothing stays pinned after the call.
     """
     rows = num_hashes // bands
-    s = shingled(docs, text_col, id_col, n)
+    # weight=64: the 64-permutation interpreted fold downstream makes this
+    # the heaviest per-byte consumer — gating its spread off at 594 KB
+    # measured 1.05 -> 4.0 s single-core (see _spread)
+    s = shingled(docs, text_col, id_col, n, spread_weight=64)
     # Materialized EAGERLY (one job), not lazily persisted: the downstream
     # plan has FOUR leaf shuffle stages that all scan this frame (banded
     # left/right + verification sh_a/sh_b), and AQE submits leaf stages
@@ -504,6 +583,13 @@ def minhash_lsh_pairs(
             ).alias("bb"),
         ).select("doc_id", "bb.band", "bb.bucket")
 
+        # Candidates stay the banded SELF-JOIN: an r15 A/B of the
+        # groupBy+in-bucket-expansion shape measured it 0.4s SLOWER at
+        # sf0.1 (1.25 -> 1.67 s) — AQE's exchange reuse already
+        # deduplicates the two identical banded shuffles, so the "one
+        # shuffle saved" was not real and the interpreted per-bucket
+        # expansion was pure cost. Verification is bounded-broadcast
+        # (_verified_jaccard, measured 1.25 -> 1.12 s same session).
         left = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_a"))
         right = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_b"))
         candidates = (
@@ -512,18 +598,9 @@ def minhash_lsh_pairs(
             .select("doc_id_a", "doc_id_b")
             .distinct()
         )
-
         sh = sig.select("doc_id", "shingles")
-        verified = (
-            candidates.join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"), on="doc_id_a")
-            .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"), on="doc_id_b")
-        )
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-        return (
-            verified.select("doc_id_a", "doc_id_b", (inter / union).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-            .localCheckpoint(eager=True)
+        return _verified_jaccard(candidates, sh, threshold).localCheckpoint(
+            eager=True
         )
     finally:
         sig.unpersist()
@@ -572,7 +649,9 @@ def _neutral_banded(
     ContextCleaner when the caller drops the frames."""
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more permutations"
     rows = num_hashes // bands
-    s = shingled(docs, text_col, id_col, n)
+    # weight=64: the md5 fold + 64 min-aggregates downstream inherit this
+    # frame's partitioning through the localCheckpoint (see _spread)
+    s = shingled(docs, text_col, id_col, n, spread_weight=64)
     # Eager materialization, not a lazy persist: four downstream leaf
     # stages scan this frame concurrently under AQE (see
     # minhash_lsh_pairs) — a lazy cold cache makes all four recompute
@@ -646,6 +725,10 @@ def minhash_lsh_pairs_neutral(
     """
     sigd, banded = _neutral_banded(docs, text_col, id_col, n, num_hashes, bands)
     try:
+        # Candidates stay the banded self-join (see minhash_lsh_pairs —
+        # AQE exchange reuse already collapses the two banded shuffles;
+        # the aggregated-expansion shape measured slower). Verification
+        # is bounded-broadcast (_verified_jaccard).
         left = banded.select("band", "key", F.col("doc_id").alias("doc_id_a"))
         right = banded.select("band", "key", F.col("doc_id").alias("doc_id_b"))
         candidates = (
@@ -655,21 +738,8 @@ def minhash_lsh_pairs_neutral(
             .distinct()
         )
         sh = sigd.select("doc_id", "shingles")
-        verified = (
-            candidates.join(
-                sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"),
-                on="doc_id_a",
-            ).join(
-                sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"),
-                on="doc_id_b",
-            )
-        )
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-        return (
-            verified.select("doc_id_a", "doc_id_b", (inter / union).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-            .localCheckpoint(eager=True)
+        return _verified_jaccard(candidates, sh, threshold).localCheckpoint(
+            eager=True
         )
     finally:
         sigd.unpersist()
@@ -717,8 +787,8 @@ def minhash_index_frames_lazy(
     cheap); the banded frame builds on shingled_grams' FUSED explode
     (hazard contract in _signature_agg) and is collapse-safe per
     _band_key_explode."""
-    s = shingled(docs, text_col, id_col, n)
-    grams = shingled_grams(docs, text_col, id_col, n)
+    s = shingled(docs, text_col, id_col, n, spread_weight=64)
+    grams = shingled_grams(docs, text_col, id_col, n, spread_weight=64)
     return s, _band_key_explode(
         _neutral_signature(grams, num_hashes), num_hashes, bands
     )
@@ -882,8 +952,8 @@ def embedding_dup_pairs(
             )
 
         cand = (
-            buckets(_spread(emb), "id_a", probe=False)
-            .join(buckets(_spread(emb), "id_b", probe=True), on="bucket")
+            buckets(_spread(emb, weight=64), "id_a", probe=False)
+            .join(buckets(_spread(emb, weight=64), "id_b", probe=True), on="bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
@@ -915,7 +985,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # lambdas below each reference it, and interpreted HOF evaluation
     # would otherwise re-tokenize + re-hash the document once per bit
     # (same pathology as shingled()).
-    staged = _spread(docs).select(
+    staged = _spread(docs, weight=64).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
@@ -996,7 +1066,7 @@ def simhash_neutral(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     staged token-hash array (see simhash), bit loop as an array
     transform, no UDFs."""
     # full 48-bit value (no mod-P reduction — bits must stay independent)
-    staged = _spread(docs).select(
+    staged = _spread(docs, weight=64).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             F.array_distinct(tokens(text_col)),
@@ -1087,7 +1157,7 @@ def minhash_estimation_report(
     # pair side, so the (doc_id, signature) checkpoint joins back onto
     # the shingle checkpoint here (r14 — _neutral_banded no longer
     # carries the signature column on the shingle frame).
-    s = shingled(docs, text_col, id_col, n)
+    s = shingled(docs, text_col, id_col, n, spread_weight=64)
     sigd = s.localCheckpoint(eager=True)
     grams = sigd.select("doc_id", F.explode("shingles").alias("gram"))
     sig_small = _neutral_signature(grams, num_hashes).localCheckpoint(eager=True)
@@ -1523,6 +1593,7 @@ def bloom_decontaminate(
     n_hashes: int = 3,
     id_col: str = "doc_id",
     gram_col: str = "gram",
+    with_exact: bool = False,
 ) -> DataFrame:
     """Dolma-style Bloom-filter decontamination (Soldaini et al., 2024
     build their dedup/decontamination on a Bloom filter for exactly this
@@ -1544,6 +1615,23 @@ def bloom_decontaminate(
     positions. train_grams may contain duplicate (doc, gram) rows; each
     duplicate row evaluates to the same all-seeds-hit boolean, so
     duplicates cannot defeat the test (max() absorbs them).
+
+    ``with_exact=True`` (optimization r15, guide §2.3/§2.4) additionally
+    returns ``exact_flagged`` = 1 iff any of the doc's grams is LITERALLY
+    in the eval set, computed in the SAME pass: a broadcast left join of
+    the distinct eval grams onto the probe rows, absorbed by the same
+    doc-level aggregation. The d59/d65 callers previously derived this
+    via a second ``train_grams`` semi-join — a full second scan+shingle
+    of the train split, its own exchange, and a doc-level join to stitch
+    the two flag frames back together. Equivalence: the old path was
+    distinct(semi-join doc_ids) left-joined onto the bloom frame with
+    coalesce(flag, 0); max(gram-in-eval) over exactly the same probe
+    rows produces the same per-doc bit for the same doc set (both frames
+    keyed by the identical train_grams rows). The eval gram set is
+    broadcast raw here, which is fine at any scale where the old
+    semi-join already planned a broadcast — and when it does not fit,
+    the old shape was already shuffling every train gram, so nothing is
+    lost by scale either.
     """
     seeds = F.array(*[F.lit(s) for s in range(n_hashes)])
 
@@ -1608,7 +1696,9 @@ def bloom_decontaminate(
         )
 
     probe = train_grams.select(
-        id_col, *[pos_for(s).alias(f"__p{s}") for s in range(n_hashes)]
+        id_col,
+        *([gram_col] if with_exact else []),
+        *[pos_for(s).alias(f"__p{s}") for s in range(n_hashes)],
     )
     hit = F.lit(True)
     for s in range(n_hashes):
@@ -1623,6 +1713,27 @@ def bloom_decontaminate(
                 F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p{s} % 63 AS INT))")
             )
             != 0
+        )
+    if with_exact:
+        ev_set = eval_grams.select(
+            F.col(gram_col).alias("__ev_gram")
+        ).distinct().withColumn("__ev_hit", F.lit(1))
+        probe = probe.join(
+            F.broadcast(ev_set),
+            F.col(gram_col) == F.col("__ev_gram"),
+            "left",
+        )
+        return (
+            probe.select(
+                id_col,
+                hit.cast("int").alias("__hit"),
+                F.coalesce("__ev_hit", F.lit(0)).alias("__ex"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max("__hit").alias("bloom_flagged"),
+                F.max("__ex").alias("exact_flagged"),
+            )
         )
     return (
         probe.select(id_col, hit.cast("int").alias("__hit"))

@@ -4596,19 +4596,18 @@ def d59_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct()
     )
+    # One pass over the train grams for BOTH flags (optimization r15,
+    # guide §2.3/§2.4): with_exact folds the former semi-join + distinct
+    # + doc-level stitch join into the bloom probe's own aggregation —
+    # the train split is scanned+shingled once instead of twice, and the
+    # final plan loses two joins and an exchange.
     tr = shingled_grams(docs.filter(bucket < 80), n=3)
-    bl = bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3)
-    ex = (
-        tr.join(ev, "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ex", F.lit(1))
-    )
-    return bl.join(ex, "doc_id", "left").select(
+    bl = bloom_decontaminate(tr, ev, m_bits=65536, n_hashes=3, with_exact=True)
+    return bl.select(
         "doc_id",
         F.col("bloom_flagged").cast("int").alias("bloom_flagged"),
-        F.coalesce("__ex", F.lit(0)).cast("int").alias("exact_flagged"),
-        ((F.col("bloom_flagged") == 1) & F.col("__ex").isNull())
+        F.col("exact_flagged").cast("int").alias("exact_flagged"),
+        ((F.col("bloom_flagged") == 1) & (F.col("exact_flagged") == 0))
         .cast("int")
         .alias("false_positive"),
     )
@@ -5970,19 +5969,22 @@ def _tokenized_pack(
     sharded = toked.select(
         "doc_id", "n_tokens", shard_expr("doc_id", 8).alias("shard_id")
     )
-    w = (
-        Window.partitionBy("shard_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = sharded.withColumn(
-        "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    )
+    # n_sequences used to be computed as max over docs of
+    # ceil((off_i + n_i) / 512) with off_i a per-shard running-total
+    # window — an exchange plus a full per-shard SORT. But off_i + n_i is
+    # the cumulative token sum through doc i, which is monotone
+    # nondecreasing (n_i ≥ 0), so its max is the shard TOTAL and the
+    # expression collapses to (sum(n_tokens) + 511) div 512 — a plain
+    # partial-aggregable column of the same groupBy (optimization r15,
+    # guide §2.4 "an orderBy used only to make output deterministic";
+    # VERDICT r14 item 3). Equivalence: (x + 511) div 512 is monotone in
+    # x, so max_i f(cumsum_i) = f(max_i cumsum_i) = f(total); oracle
+    # hash-checked at sf0.001/sf0.01 for t108 AND t109.
     return (
-        placed.groupBy("shard_id")
+        sharded.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.max(F.expr("(off + n_tokens + 511) div 512")).alias("n_sequences"),
+            F.expr("(sum(n_tokens) + 511) div 512").alias("n_sequences"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
@@ -6111,19 +6113,17 @@ def d65_bloom_decontamination_sized(spark: SparkSession, sf_dir: str) -> DataFra
         .localCheckpoint(eager=True)
     )
     m_bits = bloom_m_bits_for(ev.count())
+    # One pass over the train grams for BOTH flags (optimization r15,
+    # guide §2.3/§2.4 — see d59): the former second scan+shingle of the
+    # 80% train split (semi-join) and the doc-level stitch join are
+    # folded into the bloom probe's aggregation.
     tr = shingled_grams(docs.filter(bucket < 80), n=_T104_NGRAM)
-    bl = bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
-    ex = (
-        tr.join(ev, "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ex", F.lit(1))
-    )
-    return bl.join(ex, "doc_id", "left").select(
+    bl = bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3, with_exact=True)
+    return bl.select(
         "doc_id",
         F.col("bloom_flagged").cast("int").alias("bloom_flagged"),
-        F.coalesce("__ex", F.lit(0)).cast("int").alias("exact_flagged"),
-        ((F.col("bloom_flagged") == 1) & F.col("__ex").isNull())
+        F.col("exact_flagged").cast("int").alias("exact_flagged"),
+        ((F.col("bloom_flagged") == 1) & (F.col("exact_flagged") == 0))
         .cast("int")
         .alias("false_positive"),
         F.lit(m_bits).cast("bigint").alias("m_bits"),
