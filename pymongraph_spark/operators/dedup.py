@@ -80,7 +80,23 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 _SPREAD_MIN_BYTES = 4 * 1024 * 1024
 
 
-def _spread(df: DataFrame, weight: float = 1.0) -> DataFrame:
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate for a frame (driver-side
+    planning only, no job) — reliable for parquet scans (file sizes),
+    meaningless (Long.Max default) for ExistingRDD/checkpoint inputs.
+    Callers that checkpoint a scan-derived frame can capture the scan's
+    estimate FIRST and pass it to shingled/shingled_grams as
+    spread_hint_bytes, restoring the size gate across the stats-erasing
+    checkpoint boundary."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _spread(
+    df: DataFrame, weight: float = 1.0, hint_bytes: int | None = None
+) -> DataFrame:
     """Repartition before CPU-heavy per-row expressions: a small table read
     from one parquet file is a single input split, which would serialize
     interpreted higher-order-function work onto one core.
@@ -118,6 +134,11 @@ def _spread(df: DataFrame, weight: float = 1.0) -> DataFrame:
             )
         )
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if hint_bytes is not None:
+            # a checkpoint boundary erases scan statistics (LogicalRDD
+            # reports the Long.Max default); the caller's upper bound —
+            # captured from the pre-checkpoint scan — restores the gate
+            est = min(est, hint_bytes)
         if est * weight < min_bytes:
             return df
     except Exception:
@@ -125,7 +146,7 @@ def _spread(df: DataFrame, weight: float = 1.0) -> DataFrame:
     return df.repartition(target)
 
 
-def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, spread_weight: float = 1.0) -> DataFrame:
+def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, spread_weight: float = 1.0, spread_hint_bytes: int | None = None) -> DataFrame:
     """Tokenization is STAGED as its own projection before the shingle
     transform: higher-order functions run interpreted, so an inlined
     ``word_shingles(tokens(text))`` re-evaluates the split+filter token
@@ -143,7 +164,11 @@ def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     they would otherwise collide into one bucket per band downstream
     (a k² candidate clique of empty docs)."""
     return (
-        _spread(docs.filter(token_count(text_col) >= n), weight=spread_weight)
+        _spread(
+            docs.filter(token_count(text_col) >= n),
+            weight=spread_weight,
+            hint_bytes=spread_hint_bytes,
+        )
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
         .select("doc_id", word_shingles(F.col("__toks"), n).alias("shingles"))
     )
@@ -151,7 +176,7 @@ def shingled(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
 
 def shingled_grams(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
-    spread_weight: float = 1.0,
+    spread_weight: float = 1.0, spread_hint_bytes: int | None = None,
 ) -> DataFrame:
     """One row per (doc_id, gram), grams distinct within a doc — the
     exploded form of shingled(), for consumers that work gram-wise
@@ -169,7 +194,9 @@ def shingled_grams(
     that pushdown. Exploding ``shingled(...)`` output in a later select
     re-creates the hazard — use this function instead."""
     staged = _spread(
-        docs.filter(token_count(text_col) >= n), weight=spread_weight
+        docs.filter(token_count(text_col) >= n),
+        weight=spread_weight,
+        hint_bytes=spread_hint_bytes,
     ).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
     return staged.select(
         "doc_id", F.explode(word_shingles(F.col("__toks"), n)).alias("gram")

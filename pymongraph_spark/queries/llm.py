@@ -5412,9 +5412,10 @@ def t104_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_compose(
     spark: SparkSession, sf_dir: str, m_bits: int | None = None
 ) -> DataFrame:
-    from pymongraph_spark.operators.dedup import dedup_keep_first
+    from pymongraph_spark.operators.dedup import dedup_keep_first, plan_size_bytes
 
     docs = load_tables(spark, sf_dir)["documents"]
+    hint = plan_size_bytes(docs)
 
     # Stage 1 — exact dedup, keep-first survivor rule (d40 discipline).
     # Materialized ONCE (guide §3.3/§5): the tail consumes the survivor
@@ -5427,10 +5428,14 @@ def pipeline_compose(
         .select("doc_id", "text")
         .localCheckpoint(eager=True)
     )
-    return _compose_tail(surv, m_bits=m_bits)
+    return _compose_tail(surv, m_bits=m_bits, spread_hint_bytes=hint)
 
 
-def _compose_tail(surv: DataFrame, m_bits: int | None = None) -> DataFrame:
+def _compose_tail(
+    surv: DataFrame,
+    m_bits: int | None = None,
+    spread_hint_bytes: int | None = None,
+) -> DataFrame:
     """Stages 2-5 of the composed pipeline (Bloom decontamination →
     Gopher rules → per-shard packing → manifest) over any (doc_id, text)
     survivor frame — shared by t104 (exact-dedup survivors) and t107
@@ -5460,8 +5465,17 @@ def _compose_tail(surv: DataFrame, m_bits: int | None = None) -> DataFrame:
     # localCheckpoint before the sizing count (the d65/ADVICE discipline:
     # the count and the filter build must not each re-run the eval-side
     # shingle scan); the checkpointed frame is tiny — distinct eval grams.
+    # spread_hint_bytes: surv sits behind a checkpoint, which erases the
+    # scan statistics the _spread size gate reads — the caller passes the
+    # original docs scan's estimate (an upper bound on the survivor set)
+    # so bench-scale inputs skip the full-text round-robin exchange here
+    # exactly like the direct-scan callers (optimization r15, guide §2.4)
     ev = (
-        shingled_grams(surv.filter(bucket >= 90), n=_T104_NGRAM)
+        shingled_grams(
+            surv.filter(bucket >= 90),
+            n=_T104_NGRAM,
+            spread_hint_bytes=spread_hint_bytes,
+        )
         .select("gram")
         .distinct()
         .localCheckpoint(eager=True)
@@ -5470,7 +5484,11 @@ def _compose_tail(surv: DataFrame, m_bits: int | None = None) -> DataFrame:
         from pymongraph_spark.operators.dedup import bloom_m_bits_for
 
         m_bits = bloom_m_bits_for(ev.count())
-    tr = shingled_grams(surv.filter(bucket < 80), n=_T104_NGRAM)
+    tr = shingled_grams(
+        surv.filter(bucket < 80),
+        n=_T104_NGRAM,
+        spread_hint_bytes=spread_hint_bytes,
+    )
     flagged = (
         bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
         .filter(F.col("bloom_flagged") == 1)
@@ -5732,9 +5750,11 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stages 2-5 — the t104 tail (sized Bloom → Gopher → pack → manifest)
     # over the fuzzy survivors; n_neardup_dropped is hash-checked nonzero.
-    return _compose_tail(fuzzy).withColumn(
-        "n_neardup_dropped", F.lit(n_dropped).cast("bigint")
-    )
+    from pymongraph_spark.operators.dedup import plan_size_bytes
+
+    return _compose_tail(
+        fuzzy, spread_hint_bytes=plan_size_bytes(docs)
+    ).withColumn("n_neardup_dropped", F.lit(n_dropped).cast("bigint"))
 
 
 # --------------------------------------------------------------------------
@@ -5903,12 +5923,16 @@ def _tokenized_pack(
         bloom_decontaminate,
         bloom_m_bits_for,
         dedup_keep_first,
+        plan_size_bytes,
         shingled_grams,
     )
     from pymongraph_spark.operators.sink import shard_expr
 
     merges = FROZEN_MERGES_R12[:n_merges] if n_merges else FROZEN_MERGES_R12
     docs = load_tables(spark, sf_dir)["documents"]
+    # see _compose_tail: restores the _spread size gate across surv's
+    # stats-erasing checkpoint (docs scan size bounds the survivor set)
+    hint = plan_size_bytes(docs)
     # Materialized once — same recompute argument as pipeline_compose:
     # the shingle scan and the Gopher train branch each consume surv.
     surv = (
@@ -5925,13 +5949,17 @@ def _tokenized_pack(
     # Each side filters its DOCS before shingling — bucket is a pure
     # doc_id function (optimization r14, guide §2.3; see _compose_tail).
     ev = (
-        shingled_grams(surv.filter(bucket >= 90), n=_T104_NGRAM)
+        shingled_grams(
+            surv.filter(bucket >= 90), n=_T104_NGRAM, spread_hint_bytes=hint
+        )
         .select("gram")
         .distinct()
         .localCheckpoint(eager=True)
     )
     m_bits = bloom_m_bits_for(ev.count())
-    tr = shingled_grams(surv.filter(bucket < 80), n=_T104_NGRAM)
+    tr = shingled_grams(
+        surv.filter(bucket < 80), n=_T104_NGRAM, spread_hint_bytes=hint
+    )
     flagged = (
         bloom_decontaminate(tr, ev, m_bits=m_bits, n_hashes=3)
         .filter(F.col("bloom_flagged") == 1)
