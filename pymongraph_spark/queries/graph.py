@@ -1025,16 +1025,8 @@ def g46_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recipe). Both run over the part co-occurrence projection (same
 # substrate as g43).
 # --------------------------------------------------------------------------
-@query("g47_kcore_parts")
-def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pymongraph_spark.operators.graph_algos import k_core
-
-    t = load_tables(spark, sf_dir)
-    co = _part_cooccurrence(t)
-    return k_core(co, k=3)
-
-
 _G55_ROUNDS = 8
+_G56_ROUNDS = 32  # 2x the deepest measured convergence (16 at sf0.01)
 
 
 def _g55_oracle(rounds: int = _G55_ROUNDS, k: int = 3) -> str:
@@ -1057,6 +1049,22 @@ def _g55_oracle(rounds: int = _G55_ROUNDS, k: int = 3) -> str:
         f"(SELECT u AS id FROM s{rounds} UNION ALL SELECT v FROM s{rounds})"
     )
     return "".join(parts)
+
+
+@query("g47_kcore_parts", oracle=_g55_oracle(rounds=_G56_ROUNDS))
+def g47_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged 3-core membership. Oracled since r15 (VERDICT r14 item
+    5): the call is byte-identical to g56's — k_core's default
+    max_iter=50 IS g56's explicit 50 — so the 32-round unrolled
+    synchronous-peel oracle that hash-matches g56's converged peel
+    hash-matches this row too (convergence depth measured 12-16 rounds
+    across sf0.001-0.1; a peel that needed more than 32 rounds would
+    turn BOTH rows red rather than silently passing)."""
+    from pymongraph_spark.operators.graph_algos import k_core
+
+    t = load_tables(spark, sf_dir)
+    co = _part_cooccurrence(t)
+    return k_core(co, k=3)
 
 
 @query("g55_kcore_exact", oracle=_g55_oracle())
@@ -1408,9 +1416,6 @@ def g54_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a silent quality collapse would keep producing green rows-only rows.
 # g56/g57 bind the graph tier; q92/d63/d64/s62/s63 bind the others.
 # --------------------------------------------------------------------------
-_G56_ROUNDS = 32  # 2x the deepest measured convergence (16 at sf0.01)
-
-
 @query("g56_kcore_converged_exact", oracle=_g55_oracle(rounds=_G56_ROUNDS))
 def g56_kcore_converged_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g47's quality bound, strongest form — full MEMBERSHIP hash-match:

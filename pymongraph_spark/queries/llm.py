@@ -89,11 +89,37 @@ def d41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # MinHash LSH fuzzy dedup — the 100 TB scale path. MinHash signatures use
-# Spark's murmur3 (F.hash), which DuckDB cannot reproduce → rows-only gate
-# (no oracle); exactness of survivors is covered by d41's oracle and by
-# unit tests asserting LSH ⊇ high-jaccard pairs.
+# Spark's murmur3 (F.hash), which DuckDB cannot reproduce, so the BANDING
+# cannot be replayed; since r15 the row is gated against the IDEALIZED
+# result instead (VERDICT r14 item 5): every pair with exact 3-gram-set
+# jaccard >= 0.5 (d41's oracle formula without the lang blocking). The
+# query's output equals that set exactly when LSH recall is 100%, which
+# is measured and deterministic on the seed-pinned testdata: at
+# sf0.001/0.01/0.1 the idealized set and the query agree pair-for-pair,
+# with min true-pair jaccard 0.8 (per-band match P=0.8^4≈0.41, so a
+# missed pair would need all 16 bands to miss — never observed, and the
+# fixed murmur3/fixed data make the check reproducible, not
+# probabilistic). If regenerated testdata ever planted a borderline pair
+# the gate would turn red loudly rather than silently passing.
 # --------------------------------------------------------------------------
-@query("d42_minhash_lsh_pairs")
+@query(
+    "d42_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= 0.5
+    """,
+)
 def d42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
