@@ -137,8 +137,15 @@ def connected_components(
     Above the bound the distributed loop runs unchanged, so this is a
     small-side special case, not a scalability assumption.
     """
-    if collect_max_edges is not None and edges.count() <= collect_max_edges:
-        return _collected_components(vertices, edges)
+    if collect_max_edges is not None:
+        # bounded PROBE, one job (ADVICE r14): limit(bound+1).collect()
+        # both tests the bound and fetches the edge list — the former
+        # count()+collect() pair cost two jobs (and the count was a full
+        # recompute for non-checkpointed callers); an oversize input now
+        # pays a truncated scan and falls through to the distributed loop
+        probe = edges.select("src", "dst").limit(collect_max_edges + 1).collect()
+        if len(probe) <= collect_max_edges:
+            return _collected_components(vertices, probe)
     # Undirected message graph: both directions. Partition by dst — the
     # key every iteration's join uses — and dedup WITHIN that exchange
     # (HashPartitioning(dst) satisfies the dedup's (src,dst) clustering),
@@ -167,8 +174,8 @@ def connected_components(
     return comp
 
 
-def _collected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
-    """Driver union-find over a bounded edge list (see
+def _collected_components(vertices: DataFrame, edge_rows: list) -> DataFrame:
+    """Driver union-find over a bounded, ALREADY-COLLECTED edge list (see
     connected_components.collect_max_edges). Labels are the min vertex id
     per component — bit-identical to the hash-min fixpoint. Vertices that
     touch no edge keep their own id via the coalesce, so the output
@@ -185,7 +192,7 @@ def _collected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         return r
 
     nodes: set = set()
-    for row in edges.select("src", "dst").collect():
+    for row in edge_rows:
         nodes.add(row[0])
         nodes.add(row[1])
         ra, rb = find(row[0]), find(row[1])

@@ -5762,6 +5762,9 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
+    # The localCheckpoint stays (r15 A/B): dropping it made the count +
+    # anti-join consumers re-run the verts-distinct + label join and
+    # measured ~0.3s SLOWER steady-state than one eager materialization.
     noncanon = (
         connected_components(
         verts, edges, max_iter=200, strict=True,
