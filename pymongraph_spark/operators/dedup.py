@@ -56,7 +56,13 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     groupBy + semi-join-back shape scanned the input twice and — at any
     scale where the survivor id set outgrows a broadcast, i.e. any real
     corpus (dedup keeps most docs) — shuffled the full payload a second
-    time by id. Survivor ids are unique, so min_by is deterministic."""
+    time by id. Survivor ids are unique, so min_by is deterministic.
+
+    Precondition (ADVICE r14): ``id_col`` must be unique per row. With
+    duplicate ids the old semi-join shape returned EVERY row carrying a
+    surviving id (a superset on ties); min_by returns exactly one
+    nondeterministically-chosen row per hash group. All callers pass the
+    primary-key doc_id."""
     cols = docs.columns
     return (
         docs.select(

@@ -179,8 +179,16 @@ def _collected_components(vertices: DataFrame, edge_rows: list) -> DataFrame:
     connected_components.collect_max_edges). Labels are the min vertex id
     per component — bit-identical to the hash-min fixpoint. Vertices that
     touch no edge keep their own id via the coalesce, so the output
-    covers exactly ``vertices`` like the distributed path."""
+    covers exactly ``vertices`` like the distributed path.
+
+    Preconditions (ADVICE r14): ids must be ordered/comparable (min-id
+    labeling), and edge endpoints should reference ``vertices`` — an
+    endpoint absent from ``vertices`` contributes to labeling (exactly
+    like the distributed unionByName of both endpoint columns) but emits
+    no output row of its own. The label frame's schema is derived from
+    the vertices' id type rather than hardcoding long."""
     spark = vertices.sparkSession
+    id_type = vertices.schema["id"].dataType.simpleString()
     parent: dict = {}
 
     def find(x):
@@ -208,7 +216,9 @@ def _collected_components(vertices: DataFrame, edge_rows: list) -> DataFrame:
     # picks BHJ on its own — and the t71 plan lint forbids forced hints
     # on the cluster join (cluster membership is unbounded in general;
     # THIS path is the bounded special case)
-    comp_df = spark.createDataFrame(labels, "id: long, component: long")
+    comp_df = spark.createDataFrame(
+        labels, f"id: {id_type}, component: {id_type}"
+    )
     return (
         vertices.select("id")
         .join(comp_df, "id", "left")

@@ -577,6 +577,11 @@ def st88_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         new_sh = [p for p in _data_files(index_sh_dir) if p not in set(old_sh)]
         new_bb = [p for p in _data_files(index_bb_dir) if p not in set(old_bb)]
+        if not new_sh or not new_bb:
+            # a batch whose docs all shingle to nothing (< 3 tokens each)
+            # appends no data file; spark.read.parquet(*[]) would raise
+            # and kill the stream (ADVICE r14)
+            return
         pairs = minhash_lsh_probe_index(
             spark.read.parquet(*new_sh),
             spark.read.parquet(*new_bb),
