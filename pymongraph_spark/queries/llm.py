@@ -5775,7 +5775,15 @@ def t107_pipeline_compose_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_dropped = noncanon.count()  # bounded: pair-graph vertices only
-    fuzzy = surv.join(noncanon, "doc_id", "left_anti")
+    # Broadcast the near-dup id set into the anti-join when it is small
+    # (optimization r15, guide §3.1): noncanon sits behind a checkpoint,
+    # so the planner has no stats and chose SortMergeJoin LeftAnti — and
+    # the un-checkpointed `fuzzy` is re-planned per tail consumer, so the
+    # surv side paid the sort+exchange TWICE (t107 after-plan nodes 9/18
+    # in plans/r15). n_dropped is already computed for the output column;
+    # 1M ids ≈ 8 MB broadcast. Above the bound the SMJ shape stands.
+    nc = F.broadcast(noncanon) if n_dropped <= 1_000_000 else noncanon
+    fuzzy = surv.join(nc, "doc_id", "left_anti")
 
     # Stages 2-5 — the t104 tail (sized Bloom → Gopher → pack → manifest)
     # over the fuzzy survivors; n_neardup_dropped is hash-checked nonzero.
