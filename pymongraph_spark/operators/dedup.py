@@ -511,39 +511,24 @@ def _signature_agg(
     )
 
 
-#: Verification-side broadcast bound: when the corpus has at most this
-#: many docs, the (doc_id, shingles) frame is broadcast for the
-#: exact-Jaccard verification joins (25k docs × ~150 shingles × ~20 B ≈
-#: 75 MB — inside normal executor broadcast budgets). Above it the
-#: sort-merge shape runs unchanged — same opt-in-bounded pattern as
-#: connected_components' collect_max_edges.
-_VERIFY_BROADCAST_MAX_DOCS = 25_000
-
-
 def _verified_jaccard(
     candidates: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the stored
-    (doc_id, shingles) frame. When the corpus is small enough
-    (_VERIFY_BROADCAST_MAX_DOCS — a cheap count over the already
-    checkpointed shingle frame), the shingle frame is broadcast and both
-    attach joins become BroadcastHashJoins: the candidates flow straight
-    out of their distinct without two more sort-merge exchanges
-    (optimization r15, guide §3.1). Above the bound, the sort-merge
-    shape runs unchanged."""
-    small = False
-    try:
-        small = sh.count() <= _VERIFY_BROADCAST_MAX_DOCS
-    except Exception:
-        pass
+    (doc_id, shingles) frame. Join strategy is left to the planner: the
+    shingle frame is an eager localCheckpoint, and Spark 4 PROPAGATES the
+    pre-checkpoint statistics through it, so auto-broadcast already picks
+    BroadcastHashJoin whenever the corpus fits (verified in
+    plans/r15/t107_minhash_verify_before.txt — all-BHJ before any forced
+    hint existed). An r15 forced-broadcast variant that counted the
+    frame first was measured and REVERTED: the count() job cost more at
+    bench scale (d42 1.05→1.18 s) than the hint it guarded ever saved."""
     sh_a = sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
         "shingles", "sh_a"
     )
     sh_b = sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
         "shingles", "sh_b"
     )
-    if small:
-        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     verified = candidates.join(sh_a, on="doc_id_a").join(sh_b, on="doc_id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
